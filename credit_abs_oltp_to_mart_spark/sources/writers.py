@@ -1,0 +1,52 @@
+"""Writers — model materialization (S3) and the batched-INSERT sink (S4).
+
+The reference materializes every dbt model as a table in ``credit_mart`` and
+loads OLTP rows with paged ``execute_values`` INSERTs
+(pg_oltp_synth.py:118-139). Spark-side: ``df.write.parquet`` (Spark batches
+and parallelizes natively); monthly marts are partitioned by ``month`` so
+downstream reads partition-prune — the 100 TB analogue of an index on the
+month column.
+
+Idempotent natural-key upsert (S7, the reference's ``ON CONFLICT (loan_id,
+as_of_date) DO NOTHING``, pg_oltp_synth.py:791) is ``dropDuplicates`` on the
+natural key before write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# marts whose grain includes a month column -> partition column
+_MART_PARTITION_KEYS = {
+    "fct_npl_monthly": ["month"],
+    "fct_roll_rate_monthly": ["month"],
+    "fct_cure_rate_monthly": ["month"],
+    "fct_collections_monthly": ["month"],
+    "fct_writeoff_recovery_monthly": ["month"],
+    "fct_vintage_mob": ["cohort_q"],
+    # fct_dpd_daily is loan x day and dominant: partition by month of as_of_date
+}
+_NATURAL_KEYS = {
+    "arrears_dpd_status": ["loan_id", "as_of_date"],  # pg_oltp_synth.py:791
+}
+
+
+def write_mart(df: DataFrame, out_dir: str, name: str, mode: str = "overwrite") -> None:
+    """Materialize one model (S3), partitioned when the grain allows."""
+    writer = df.write.mode(mode)
+    keys = _MART_PARTITION_KEYS.get(name)
+    if keys:
+        writer = writer.partitionBy(*keys)
+    writer.parquet(f"{out_dir.rstrip('/')}/{name}.parquet")
+
+
+def write_oltp_tables(
+    tables: dict[str, DataFrame], out_dir: str, mode: str = "overwrite"
+) -> None:
+    """Persist generated OLTP tables (S4). Natural-key dedup replaces the
+    reference's ON CONFLICT DO NOTHING (S7)."""
+    for name, df in tables.items():
+        key = _NATURAL_KEYS.get(name)
+        if key:
+            df = df.dropDuplicates(key)
+        df.write.mode(mode).parquet(f"{out_dir.rstrip('/')}/{name}.parquet")
