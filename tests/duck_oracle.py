@@ -1,0 +1,108 @@
+"""DuckDB oracle helpers: run reference SQL over the generated parquet lake
+and compare against Spark DataFrames (order-insensitive, float-tolerant)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+# Staging views — the reference staging SQL with ``{{ source(...) }}``
+# replaced by parquet scans (dbt/credit_mart/models/staging/*.sql, verbatim
+# otherwise).
+_STAGING_VIEWS = {
+    "stg_loan_contract": """
+        select loan_id::bigint as loan_id, borrower_id::bigint as borrower_id,
+               application_id::bigint as application_id, product_type, currency,
+               origination_date::date as origination_date,
+               disbursement_date::date as disbursement_date,
+               maturity_date::date as maturity_date,
+               principal_original::numeric as principal_original,
+               principal_current::numeric as principal_current,
+               term_months::int as term_months, interest_rate_type,
+               interest_rate_current::numeric as interest_rate_current,
+               repayment_method, payment_frequency,
+               grace_period_months::int as grace_period_months, status
+        from parquet_scan('{d}/loan_contract.parquet/*.parquet')
+    """,
+    "stg_arrears_daily": """
+        select loan_id::bigint as loan_id, as_of_date::date as as_of_date,
+               days_past_due::int as days_past_due,
+               past_due_amount_total::numeric as past_due_amount_total,
+               past_due_principal::numeric as past_due_principal,
+               past_due_interest::numeric as past_due_interest,
+               past_due_fees::numeric as past_due_fees,
+               oldest_unpaid_due_date::date as oldest_unpaid_due_date,
+               early_arrears_flag::boolean as early_arrears_flag,
+               default_flag::boolean as default_flag,
+               nonperforming_flag::boolean as nonperforming_flag,
+               case when days_past_due <= 0 then '0'
+                    when days_past_due between 1 and 30 then '1-30'
+                    when days_past_due between 31 and 60 then '31-60'
+                    when days_past_due between 61 and 90 then '61-90'
+                    else '90+' end as dpd_bucket,
+               (coalesce(nonperforming_flag,false) or coalesce(default_flag,false)
+                or days_past_due > 90) as npl_flag
+        from parquet_scan('{d}/arrears_dpd_status.parquet/*.parquet')
+    """,
+    "stg_payments": """
+        select payment_id::bigint as payment_id, loan_id::bigint as loan_id,
+               payment_date::date as payment_date, value_date::date as value_date,
+               currency, amount_received::numeric as amount_received,
+               payment_channel, external_reference, status
+        from parquet_scan('{d}/repayment_payment.parquet/*.parquet')
+    """,
+    "stg_writeoff_recovery": """
+        select loan_id::bigint as loan_id, writeoff_date::date as writeoff_date,
+               writeoff_amount_principal::numeric as writeoff_amount_principal,
+               writeoff_amount_interest::numeric as writeoff_amount_interest,
+               writeoff_amount_fees::numeric as writeoff_amount_fees,
+               recovery_amount::numeric as recovery_amount,
+               recovery_date::date as recovery_date
+        from parquet_scan('{d}/write_off_and_recovery.parquet/*.parquet')
+    """,
+}
+
+
+def connect_with_staging(oltp_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name, sql in _STAGING_VIEWS.items():
+        con.execute(f"CREATE VIEW {name} AS {sql.format(d=oltp_dir)}")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all values; floats/decimals -> float64,
+    dates/timestamps -> datetime64."""
+    out = df.copy()
+    for c in out.columns:
+        s = out[c]
+        if s.dtype == object and s.map(lambda v: v is None or hasattr(v, "quantize")).all():
+            out[c] = s.astype("float64")
+        elif str(s.dtype).startswith(("datetime", "date")):
+            out[c] = pd.to_datetime(s)
+        elif s.dtype == object:
+            try:
+                out[c] = pd.to_datetime(s)
+            except (ValueError, TypeError):
+                pass
+    out = out[sorted(out.columns)]
+    return out.sort_values(list(out.columns), na_position="last").reset_index(drop=True)
+
+
+def assert_frames_match(spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9) -> None:
+    a = normalize(spark_df.toPandas())
+    b = normalize(duck_df)
+    assert list(a.columns) == list(b.columns), f"columns differ: {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) == len(b), f"row counts differ: {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            both_nan = av.isna() & bv.isna()
+            ok = both_nan | np.isclose(av, bv, rtol=rtol, atol=1e-12, equal_nan=True)
+            assert ok.all(), f"column {c} differs:\n{a[~ok].head()}\n{b[~ok].head()}"
+        else:
+            ok = (av == bv) | (av.isna() & bv.isna())
+            assert ok.all(), f"column {c} differs:\n{a[~ok].head()}\n{b[~ok].head()}"
