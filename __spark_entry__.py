@@ -1,38 +1,1005 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` exercises one operator family from SURVEY.md §2
+(or a training-data-pipeline extension) over the driver's tables; the
+matching ``oracle_sql()`` is ANSI SQL for DuckDB on the same parquet.
+
+Cross-engine exactness rules used throughout (so value-hashes match):
+- sums aggregate DECIMAL(18,2|4) (exact, order-independent), final cast to
+  DOUBLE (deterministic conversion both engines);
+- ratios are DOUBLE division of exact inputs (IEEE-deterministic);
+- every window has a total deterministic ordering (explicit tiebreaks);
+- string hashing is md5-based (engine-portable), never murmur/xxhash;
+- constants (minhash coefficients, LSH hyperplanes, stopword sets) are
+  generated once in Python and baked into BOTH the Spark plan and the
+  oracle SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.similarity import (
+    MERSENNE_31,
+    minhash_coefficients,
+    random_hyperplanes,
+)
+from credit_abs_oltp_to_mart_spark.functions.text import STOPWORDS, TOKEN_PATTERN
+from credit_abs_oltp_to_mart_spark.operators import ann, dedup, textops
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# shared tuning constants (mirrored into oracles)
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.12
+MINHASH_PERMS = 8
+MINHASH_BANDS = 2
+MINHASH_SEED = 42
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 5
+LSH_PLANES = 4
+EMB_DIM = 64
+EMB_NEAR_DUP_THRESHOLD = 0.4
+
+_D182 = "decimal(18,2)"
+_D184 = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as
+        # a nanosecond long (legacy conf). Truncate to a microsecond
+        # timestamp — exactly what DuckDB does natively on the same file —
+        # so both engines see identical values and window orderings.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface operator families (SURVEY.md §2) over the driver tables
+# ---------------------------------------------------------------------------
+
+def q_stg_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6: typed projection with casts + renames (staging-layer shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("order_id"),
+        F.col("l_linenumber").cast("int").alias("line_no"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+def q_bucket_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P10 searched-CASE bucketing (dpd_bucket pattern) + A1/A3."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") <= 0, "0")
+        .when(F.col("l_quantity").between(1, 10), "1-10")
+        .when(F.col("l_quantity").between(11, 25), "11-25")
+        .when(F.col("l_quantity").between(26, 40), "26-40")
+        .otherwise("40+")
+    )
+    return (
+        li.groupBy(bucket.alias("qty_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast(_D182)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4 conditional + filtered aggregation, P8 divide-by-zero guard."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice").cast(_D182))
+            .otherwise(F.lit(0).cast(_D182))
+        ).cast("double").alias("finished_value"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_finished",
+        "finished_value",
+        F.when(F.col("n_orders") == 0, F.lit(None))
+        .otherwise(F.col("n_finished").cast("double") / F.col("n_orders").cast("double"))
+        .alias("finished_ratio"),
+    )
+
+
+def q_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family + S1: predicate pushdown + column pruning on the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_join_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 broadcast dim join + D1 month trunc + A1 grouped sum."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy(
+            F.trunc("o_orderdate", "month").alias("month"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_D182)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 referential anti-join: orders whose customer has negative balance
+    (anti vs the non-negative-balance customer set)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") >= 0)
+    return (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): orders having at least one full-quantity line."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _month_end_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+F1: last event per user per month (the month-end-snapshot CTE of
+    fct_roll_rate/cure/vintage), with a total deterministic ordering."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.trunc("ts", "month")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.trunc("ts", "month").alias("month"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_MONTH_END_ORACLE = """
+    select user_id, event_id, ts, event_type, value,
+           cast(date_trunc('month', ts) as date) as month
+    from (
+      select e.*,
+             row_number() over (partition by user_id, date_trunc('month', ts)
+                                order by ts desc, event_id desc) as rn
+      from events e) x
+    where rn = 1
+"""
+
+
+def q_month_end_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _month_end_snapshot(spark, sf_dir).select(
+        "user_id", "month", "event_id", "event_type", "value"
+    )
+
+
+def _transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: previous observed month's event_type per user (lag by row
+    ordinal, not calendar month — reference roll-rate semantics)."""
+    me = _month_end_snapshot(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("month")
+    return me.select(
+        "user_id",
+        "month",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+    )
+
+
+_TRANSITIONS_ORACLE = f"""
+    with month_end as ({_MONTH_END_ORACLE})
+    select user_id, month,
+           lag(event_type) over (partition by user_id order by month) as prev_type,
+           event_type as curr_type
+    from month_end
+"""
+
+
+def q_roll_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fct_roll_rate_monthly pattern: W2 + F2 + A3."""
+    return (
+        _transitions(spark, sf_dir)
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("month", "prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_cure_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fct_cure_rate_monthly pattern: A4 filtered counts + P12 nullif."""
+    t = _transitions(spark, sf_dir).where(F.col("prev_type").isNotNull())
+    bad, good = "error", "purchase"
+    agg = t.groupBy("month").agg(
+        F.count(F.when(F.col("prev_type") == bad, 1)).alias("prev_bad_cnt"),
+        F.count(
+            F.when((F.col("prev_type") == bad) & (F.col("curr_type") == good), 1)
+        ).alias("recovered_cnt"),
+    )
+    return agg.select(
+        "month",
+        "prev_bad_cnt",
+        "recovered_cnt",
+        (
+            F.col("recovered_cnt").cast("double")
+            / F.nullif(F.col("prev_bad_cnt"), F.lit(0)).cast("double")
+        ).alias("recovery_rate"),
+    )
+
+
+def q_vintage_mob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fct_vintage_mob pattern: D2 quarter cohorts, D3 months-on-book
+    (explicit year/month arithmetic — exact in any engine), A5 flag sums,
+    F3 mob filter."""
+    me = _month_end_snapshot(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_date")
+    )
+    base = me.join(F.broadcast(first_seen), "user_id").select(
+        F.trunc("first_date", "quarter").alias("cohort_q"),
+        (
+            (F.year("month") - F.year("first_date")) * 12
+            + (F.month("month") - F.month("first_date"))
+        ).cast("int").alias("mob"),
+        (F.col("value") > 5).cast("int").alias("high_flag"),
+    )
+    agg = (
+        base.where(F.col("mob") >= 0)
+        .groupBy("cohort_q", "mob")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("high_flag").alias("high_cnt"),
+        )
+    )
+    return agg.select(
+        "cohort_q",
+        "mob",
+        "n_users",
+        "high_cnt",
+        (
+            F.col("high_cnt").cast("double")
+            / F.nullif(F.col("n_users"), F.lit(0)).cast("double")
+        ).alias("high_rate"),
+    )
+
+
+def q_coalesce_nullif_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12/P13 + D1 + A1: fct_writeoff_recovery_monthly pattern."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast(_D182)
+    return e.groupBy(F.trunc("ts", "month").alias("month")).agg(
+        F.sum(F.coalesce(F.nullif(v, F.lit(0).cast(_D182)), F.lit(0).cast(_D182)))
+        .cast("double")
+        .alias("total_value"),
+        F.sum(
+            F.coalesce(
+                F.when(F.col("event_type") == "purchase", v), F.lit(0).cast(_D182)
+            )
+            + F.lit(1).cast(_D182)
+        )
+        .cast("double")
+        .alias("purchase_value_plus_n"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-measure grouped aggregation with derived
+    averages (A1/A5/A6); decimal-exact sums, double averages."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice").cast(_D182) * (
+        F.lit(1).cast(_D182) - F.col("l_discount").cast(_D182)
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_D182)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_D182)).cast("double").alias("sum_base_price"),
+        F.sum(disc_price.cast(_D184)).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        (F.col("sum_qty") / F.col("count_order").cast("double")).alias("avg_qty"),
+        "count_order",
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic
+    top-10 (sort + limit)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    revenue = F.col("l_extendedprice").cast(_D182) * (
+        F.lit(1).cast(_D182) - F.col("l_discount").cast(_D182)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(F.sum(revenue.cast(_D184)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region-nation-customer-orders-lineitem-
+    supplier) with the local-supplier equality, grouped revenue."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast(_D182) * (
+        F.lit(1).cast(_D182) - F.col("l_discount").cast(_D182)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(revenue.cast(_D184)).cast("double").alias("revenue"))
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 rank variant: top-3 parts by retail price per brand."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", "p_retailprice")
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-aggregate window: cumulative value per user over time
+    (decimal-exact accumulation, double output)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(_D182)).over(w).cast("double").alias("running_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) via lag + running flag-sum — the batch
+    form of the streaming session-window operator."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions (dedup / ANN / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        n_perm=MINHASH_PERMS,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+        seed=MINHASH_SEED,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP_THRESHOLD
+    )
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.lsh_topk(
+        _t(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        n_planes=LSH_PLANES,
+        dim=EMB_DIM,
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_quality(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generation (DuckDB dialect = ANSI + list lambdas)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+    toks as (
+      select doc_id, string_split_regex(trim(text), ' +') as tk from documents
+    ),
+    sh as (
+      select doc_id,
+             case when len(tk) < {JACCARD_N}
+                  then [array_to_string(tk, ' ')]
+                  else list_distinct(list_transform(
+                         generate_series(1, len(tk) - {JACCARD_N - 1}),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+             end as shingles
+      from toks
+    )
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    with {_SHINGLES_CTE},
+    ex as (select doc_id, unnest(shingles) as shingle from sh),
+    sizes as (select doc_id, len(shingles) as n from sh),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+      from ex a join ex b using (shingle)
+      where a.doc_id < b.doc_id
+      group by 1, 2)
+    select doc_a, doc_b, jaccard from (
+      select doc_a, doc_b,
+             round(n_shared::double / (sa.n + sb.n - n_shared), 6) as jaccard
+      from pairs
+      join sizes sa on sa.doc_id = doc_a
+      join sizes sb on sb.doc_id = doc_b) z
+    where jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_oracle() -> str:
+    coeffs = minhash_coefficients(MINHASH_PERMS, MINHASH_SEED)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_31})) as s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ", ".join(
+        "concat_ws(':', '{bi}', {vals})".format(
+            bi=bi,
+            vals=", ".join(f"s{bi * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+    with {_SHINGLES_CTE},
+    hashed as (
+      select doc_id, shingles,
+             list_transform(shingles,
+               x -> ('0x' || substr(md5(x), 1, 15))::bigint % {MERSENNE_31}) as hs
+      from sh),
+    sigs as (select doc_id, shingles, {sig_cols} from hashed),
+    banded as (
+      select distinct doc_id, unnest([{band_exprs}]) as band_key from sigs),
+    cands as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from banded a join banded b using (band_key)
+      where a.doc_id < b.doc_id),
+    verified as (
+      select doc_a, doc_b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::double
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))), 6) as jaccard
+      from cands
+      join sigs sa on sa.doc_id = doc_a
+      join sigs sb on sb.doc_id = doc_b)
+    select doc_a, doc_b, jaccard from verified where jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"case when list_sum(list_transform(hs, h -> case when (h >> {j}) & 1 = 1 "
+        f"then 1 else -1 end)) > 0 then {1 << j} else 0 end"
+        for j in range(16)
+    )
+    return f"""
+    with toks as (
+      select doc_id,
+             list_distinct(string_split_regex(trim(text), ' +')) as tk
+      from documents),
+    hashed as (
+      select doc_id,
+             list_transform(tk,
+               x -> ('0x' || substr(md5(x), 1, 15))::bigint % {MERSENNE_31}) as hs
+      from toks)
+    select doc_id, cast({bit_terms} as int) as simhash from hashed
+    """
+
+
+_COSINE = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _ann_brute_oracle() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = _COSINE.format(a="qv", b="nv")
+    return f"""
+    with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+               from embeddings where vec_id in ({ids})),
+    n as (select vec_id as neighbor_id, embedding::DOUBLE[] as nv from embeddings),
+    scored as (
+      select query_id, neighbor_id, {cos} as cosine
+      from q, n where neighbor_id <> query_id),
+    ranked as (
+      select *, row_number() over (partition by query_id
+                                   order by cosine desc, neighbor_id asc) as rank
+      from scored)
+    select query_id, neighbor_id, cast(rank as int) as rank, cosine
+    from ranked where rank <= {ANN_K}
+    """
+
+
+def _lsh_bucket_expr(vec: str) -> str:
+    planes = random_hyperplanes(LSH_PLANES, EMB_DIM)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"case when list_dot_product({vec}, {lit}) >= 0 then {1 << p} else 0 end"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_oracle() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = _COSINE.format(a="qv", b="nv")
+    return f"""
+    with b as (select vec_id, embedding::DOUBLE[] as v,
+                      {_lsh_bucket_expr("embedding::DOUBLE[]")} as bucket
+               from embeddings),
+    q as (select vec_id as query_id, v as qv, bucket from b where vec_id in ({ids})),
+    n as (select vec_id as neighbor_id, v as nv, bucket from b),
+    scored as (
+      select query_id, neighbor_id, {cos} as cosine
+      from q join n using (bucket) where neighbor_id <> query_id),
+    ranked as (
+      select *, row_number() over (partition by query_id
+                                   order by cosine desc, neighbor_id asc) as rank
+      from scored)
+    select query_id, neighbor_id, cast(rank as int) as rank, cosine
+    from ranked where rank <= {ANN_K}
+    """
+
+
+def _emb_near_dup_oracle() -> str:
+    cos = _COSINE.format(a="va", b="vb")
+    return f"""
+    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+    select id_a, id_b, cosine from (
+      select a.vec_id as id_a, b.vec_id as id_b,
+             {_COSINE.format(a="a.v", b="b.v")} as cosine
+      from e a, e b where a.vec_id < b.vec_id) z
+    where cosine >= {EMB_NEAR_DUP_THRESHOLD}
+    """
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(STOPWORDS)
+    ratio_exprs = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        ratio_exprs.append(
+            f"len(list_filter(ltk, t -> t in ({words})))::double"
+            f" / greatest(1, len(ltk)) as ratio_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"ratio_{lang}" for lang in langs) + ")"
+    pred_cases = " ".join(
+        f"when ratio_{lang} = best then '{lang}'" for lang in langs
+    )
+    return f"""
+    with toks as (
+      select doc_id, string_split_regex(trim(lower(text)), ' +') as ltk
+      from documents),
+    ratios as (select doc_id, {", ".join(ratio_exprs)} from toks),
+    scored as (select *, {best} as best from ratios)
+    select doc_id, {", ".join(f"ratio_{lang}" for lang in langs)},
+           case when best <= 0 then 'und' {pred_cases} else 'und' end as lang_pred
+    from scored
+    """
+
+
+def _quality_oracle() -> str:
+    return """
+    with t as (
+      select doc_id, text,
+             string_split_regex(trim(text), ' +') as tk,
+             len(regexp_extract_all(text, '[^A-Za-z0-9_ ]'))::double
+               / greatest(1, length(text)) as punct_ratio
+      from documents),
+    m as (
+      select doc_id, text, punct_ratio,
+             list_sum(list_transform(tk, x -> length(x)))::double
+               / greatest(1, len(tk)) as mean_len
+      from t)
+    select doc_id, length(text)::int as n_chars,
+           round(least(1.0, length(text)::double / 500.0) * (1.0 - punct_ratio)
+                 * (case when mean_len >= 2.0 and mean_len <= 12.0
+                         then 1.0 else 0.5 end), 6) as quality
+    from m
+    """
+
+
+def _token_counts_oracle() -> str:
+    return f"""
+    select doc_id,
+           case when trim(text) = '' then 0
+                else len(string_split_regex(trim(text), ' +')) end::int as n_ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_PATTERN}'))::int as n_regex_tokens
+    from documents
+    """
+
+
+def _fingerprint_oracle() -> str:
+    return f"""
+    with toks as (
+      select doc_id,
+             case when trim(text) = '' then []::varchar[]
+                  else string_split_regex(trim(text), ' +') end as tk
+      from documents)
+    select doc_id,
+           list_reduce(
+             list_concat([7::bigint],
+               list_transform(tk, t -> (length(t) * 17 + ascii(substr(t, 1, 1)))::bigint)),
+             (a, b) -> (a * 31 + b) % {MERSENNE_31}) as fingerprint
+    from toks
+    """
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the month-end-snapshot + lag-transition roll-rate pattern
+    (the reference's analytical heart) over the sf0.001 events table."""
+    return q_roll_rate(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference operator families (SURVEY.md §2)
+        "stg_projection": q_stg_projection,
+        "bucket_case": q_bucket_case,
+        "conditional_agg": q_conditional_agg,
+        "filter_scan": q_filter_scan,
+        "join_dim_agg": q_join_dim_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "month_end_snapshot": q_month_end_snapshot,
+        "roll_rate": q_roll_rate,
+        "cure_rate": q_cure_rate,
+        "vintage_mob": q_vintage_mob,
+        "coalesce_nullif_arith": q_coalesce_nullif_arith,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_revenue": q_region_revenue,
+        "topk_per_group": q_topk_per_group,
+        "running_total": q_running_total,
+        "sessionize": q_sessionize,
+        # training-data pipeline extensions
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stg_projection": """
+            select l_orderkey::bigint as order_id, l_linenumber::int as line_no,
+                   cast(l_quantity as int) as qty, l_extendedprice::double as price,
+                   cast(l_shipdate as date) as ship_date
+            from lineitem
+        """,
+        "bucket_case": """
+            select case when l_quantity <= 0 then '0'
+                        when l_quantity between 1 and 10 then '1-10'
+                        when l_quantity between 11 and 25 then '11-25'
+                        when l_quantity between 26 and 40 then '26-40'
+                        else '40+' end as qty_bucket,
+                   count(*) as n_lines,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_price
+            from lineitem group by 1
+        """,
+        "conditional_agg": """
+            with a as (
+              select o_orderpriority, count(*) as n_orders,
+                     count(*) filter (where o_orderstatus = 'F') as n_finished,
+                     cast(sum(case when o_orderstatus = 'F'
+                                   then cast(o_totalprice as decimal(18,2))
+                                   else cast(0 as decimal(18,2)) end) as double) as finished_value
+              from orders group by 1)
+            select o_orderpriority, n_orders, n_finished, finished_value,
+                   case when n_orders = 0 then null
+                        else n_finished::double / n_orders::double end as finished_ratio
+            from a
+        """,
+        "filter_scan": """
+            select l_orderkey, l_linenumber, l_quantity
+            from lineitem
+            where l_shipdate >= date '1995-01-01' and l_shipdate < date '1996-01-01'
+              and l_discount > 0.05
+        """,
+        "join_dim_agg": """
+            select cast(date_trunc('month', o_orderdate) as date) as month,
+                   c_mktsegment as segment,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue,
+                   count(*) as n_orders
+            from orders join customer on o_custkey = c_custkey
+            group by 1, 2
+        """,
+        "anti_join": """
+            select o_orderstatus, count(*) as n_orders
+            from orders o
+            where not exists (select 1 from customer c
+                              where c.c_custkey = o.o_custkey and c.c_acctbal >= 0)
+            group by 1
+        """,
+        "semi_join": """
+            select o_orderstatus, count(*) as n_orders
+            from orders o
+            where exists (select 1 from lineitem l
+                          where l.l_orderkey = o.o_orderkey and l.l_quantity >= 49)
+            group by 1
+        """,
+        "month_end_snapshot": f"""
+            select user_id, month, event_id, event_type, value
+            from ({_MONTH_END_ORACLE}) me
+        """,
+        "roll_rate": f"""
+            select month, prev_type, curr_type, count(*) as n_users
+            from ({_TRANSITIONS_ORACLE}) t
+            where prev_type is not null
+            group by 1, 2, 3
+        """,
+        "cure_rate": f"""
+            with t as ({_TRANSITIONS_ORACLE})
+            select month,
+                   count(*) filter (where prev_type = 'error') as prev_bad_cnt,
+                   count(*) filter (where prev_type = 'error'
+                                    and curr_type = 'purchase') as recovered_cnt,
+                   (count(*) filter (where prev_type = 'error'
+                                     and curr_type = 'purchase'))::double
+                     / nullif(count(*) filter (where prev_type = 'error'), 0)::double
+                     as recovery_rate
+            from t where prev_type is not null group by 1
+        """,
+        "vintage_mob": f"""
+            with me as ({_MONTH_END_ORACLE}),
+            fs as (select user_id, min(cast(ts as date)) as first_date
+                   from events group by 1),
+            base as (
+              select cast(date_trunc('quarter', first_date) as date) as cohort_q,
+                     ((date_part('year', month) - date_part('year', first_date)) * 12
+                      + (date_part('month', month) - date_part('month', first_date)))::int as mob,
+                     case when value > 5 then 1 else 0 end as high_flag
+              from me join fs using (user_id)),
+            agg as (
+              select cohort_q, mob, count(*) as n_users, sum(high_flag) as high_cnt
+              from base where mob >= 0 group by 1, 2)
+            select cohort_q, mob, n_users, high_cnt,
+                   high_cnt::double / nullif(n_users, 0)::double as high_rate
+            from agg
+        """,
+        "coalesce_nullif_arith": """
+            select cast(date_trunc('month', ts) as date) as month,
+                   cast(sum(coalesce(nullif(cast(value as decimal(18,2)),
+                                            cast(0 as decimal(18,2))),
+                                     cast(0 as decimal(18,2)))) as double) as total_value,
+                   cast(sum(coalesce(case when event_type = 'purchase'
+                                          then cast(value as decimal(18,2)) end,
+                                     cast(0 as decimal(18,2)))
+                            + cast(1 as decimal(18,2))) as double) as purchase_value_plus_n
+            from events group by 1
+        """,
+        "pricing_summary": """
+            with a as (
+              select l_returnflag, l_linestatus,
+                     cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+                     cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+                     cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+                                   * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                                   as decimal(18,4))) as double) as sum_disc_price,
+                     count(*) as count_order
+              from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00'
+              group by 1, 2)
+            select l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+                   sum_qty / count_order::double as avg_qty, count_order
+            from a
+        """,
+        "top_revenue_orders": """
+            select l_orderkey, cast(o_orderdate as date) as o_orderdate,
+                   cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+                                 * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                                 as decimal(18,4))) as double) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < timestamp '1998-03-15 00:00:00'
+              and l_shipdate > timestamp '1995-03-15 00:00:00'
+            group by 1, 2
+            order by revenue desc, l_orderkey asc
+            limit 10
+        """,
+        "region_revenue": """
+            select n_name as nation, r_name as region,
+                   cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+                                 * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                                 as decimal(18,4))) as double) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join supplier on l_suppkey = s_suppkey
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where c_nationkey = s_nationkey
+            group by 1, 2
+        """,
+        "topk_per_group": """
+            select p_brand, cast(rank as int) as rank, p_partkey, p_retailprice
+            from (select p_brand, p_partkey, p_retailprice,
+                         row_number() over (partition by p_brand
+                                            order by p_retailprice desc, p_partkey asc) as rank
+                  from part) x
+            where rank <= 3
+        """,
+        "running_total": """
+            select user_id, event_id,
+                   cast(sum(cast(value as decimal(18,2)))
+                          over (partition by user_id order by ts, event_id
+                                rows between unbounded preceding and current row)
+                        as double) as running_value
+            from events
+        """,
+        "sessionize": """
+            with flagged as (
+              select user_id, event_id, ts,
+                     case when epoch(ts) - epoch(lag(ts) over
+                            (partition by user_id order by ts, event_id)) > 1800
+                          then 1 else 0 end as new_session
+              from events),
+            sessions as (
+              select user_id, event_id, ts,
+                     sum(new_session) over (partition by user_id order by ts, event_id
+                                            rows between unbounded preceding
+                                            and current row) as session_no
+              from flagged)
+            select user_id, session_no, count(*) as n_events,
+                   min(ts) as session_start, max(ts) as session_end
+            from sessions group by 1, 2
+        """,
+        "dedup_exact": """
+            select md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) as content_key,
+                   min(doc_id) as canonical_doc_id, count(*) as n_docs
+            from documents group by 1
+        """,
+        "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "dedup_embedding": _emb_near_dup_oracle(),
+        "ann_brute_force": _ann_brute_oracle(),
+        "ann_lsh": _ann_lsh_oracle(),
+        "lang_id": _lang_id_oracle(),
+        "text_quality": _quality_oracle(),
+        "token_counts": _token_counts_oracle(),
+        "fingerprints": _fingerprint_oracle(),
+    }

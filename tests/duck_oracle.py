@@ -71,21 +71,40 @@ def connect_with_staging(oltp_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _dt_to_float(s: pd.Series) -> pd.Series:
+    v = pd.to_datetime(s)
+    if getattr(v.dtype, "tz", None) is not None:
+        v = v.dt.tz_localize(None)
+    v = v.astype("datetime64[ns]")
+    iv = v.astype("int64").astype("float64")
+    iv[v.isna()] = np.nan
+    return iv
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name and rows by all values; floats/decimals -> float64,
-    dates/timestamps -> datetime64."""
+    """Sort columns by name and rows by all values. Decimals/numerics ->
+    float64; dates/timestamps -> float64 epoch-ns (so Spark date objects and
+    DuckDB datetime64 compare identically). Type inference is by inspecting
+    non-null values, never by pd.to_datetime guessing."""
+    import datetime as _dt
+
     out = df.copy()
     for c in out.columns:
         s = out[c]
-        if s.dtype == object and s.map(lambda v: v is None or hasattr(v, "quantize")).all():
-            out[c] = s.astype("float64")
-        elif str(s.dtype).startswith(("datetime", "date")):
-            out[c] = pd.to_datetime(s)
+        if str(s.dtype).startswith("datetime"):
+            out[c] = _dt_to_float(s)
         elif s.dtype == object:
-            try:
-                out[c] = pd.to_datetime(s)
-            except (ValueError, TypeError):
-                pass
+            nn = s.dropna()
+            if len(nn) == 0:
+                out[c] = s.astype("float64")
+            elif nn.map(
+                lambda v: hasattr(v, "quantize") or isinstance(v, (int, float))
+            ).all():
+                out[c] = s.astype("float64")
+            elif nn.map(
+                lambda v: isinstance(v, (_dt.date, _dt.datetime, pd.Timestamp))
+            ).all():
+                out[c] = _dt_to_float(s)
     out = out[sorted(out.columns)]
     return out.sort_values(list(out.columns), na_position="last").reset_index(drop=True)
 
