@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every driver-contract query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via the noop sink (computes every column, writes
+nothing) so timings reflect the full plan, not count()-pruned shortcuts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from credit_abs_oltp_to_mart_spark.session import get_spark
+
+import __spark_entry__ as entry_mod
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JIT/codegen + parquet footer caches, not measured
+    _materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
+
+    timings: dict[str, float] = {}
+    for name, q in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        _materialize(q(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
