@@ -16,16 +16,19 @@ Training-data-pipeline extensions beyond the reference surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.functions.similarity import (
-    cosine_similarity,
+    MERSENNE_31,
+    md5_mod31,
     minhash_coefficients,
-    minhash_signature,
-    simhash16,
 )
-from credit_abs_oltp_to_mart_spark.functions.text import word_ngrams, ws_tokens
+from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -43,36 +46,51 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _shingle_pairs(docs: DataFrame, n: int) -> DataFrame:
-    """Candidate pairs sharing >= 1 n-gram shingle, with intersection size."""
-    shingled = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("shingle")
+def shingle_rows(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the exploded word-n-gram index.
+
+    Window-lead formulation: tokenize ONCE per doc (posexplode), then build
+    each n-gram from `lead(tok, j)` over (doc_id, pos). Array-lambda
+    shingling (`transform` + `element_at`) re-evaluates the tokenizing
+    regex per element in interpreted mode — ~3n splits/doc; this form is
+    whole-stage-codegen friendly and shuffles only (doc_id, pos, tok).
+
+    Docs with < n tokens contribute their whole space-normalized text as a
+    single shingle (same as DuckDB `array_to_string(tk, ' ')`)."""
+    toks = ws_tokens(F.col(text_col))
+    short = docs.where(F.size(toks) < n).select(
+        "doc_id", F.array_join(toks, " ").alias("shingle")
     )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    posed = docs.where(F.size(toks) >= n).select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        posed.select(
+            "doc_id",
+            "pos",
+            "n_toks",
+            F.concat_ws(
+                " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, n)]
+            ).alias("shingle"),
+        )
+        .where(F.col("pos") <= F.col("n_toks") - n)
+        .select("doc_id", "shingle")
+    )
+    return grams.union(short).distinct()
+
+
+def _pair_jaccard(pairs: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, n_shared) + per-doc set sizes -> thresholded Jaccard."""
     return (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-
-
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2
-) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
-
-    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from distinct
-    shingle sets. All-pairs-with-shared-shingle generation — exact but
-    quadratic in the worst case; see module docstring."""
-    sizes = docs.select(
-        "doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_shingles")
-    )
-    pairs = _shingle_pairs(docs, n)
-    return (
-        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}), "doc_b")
+        pairs.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}), "doc_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}), "doc_b"
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -84,6 +102,27 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from distinct
+    shingle sets via an inverted-index self-join. All-pairs-with-shared-
+    shingle generation — exact but quadratic in the worst case; see module
+    docstring."""
+    ex = shingle_rows(docs, n)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return _pair_jaccard(pairs, sizes, threshold)
 
 
 def minhash_lsh_pairs(
@@ -101,13 +140,17 @@ def minhash_lsh_pairs(
     paired. Returns (doc_a, doc_b, jaccard) for verified candidates."""
     rows_per_band = n_perm // bands
     coeffs = minhash_coefficients(n_perm, seed)
-    sig = docs.select(
-        "doc_id",
-        word_ngrams(F.col("text"), n).alias("shingles"),
-    ).select(
-        "doc_id",
-        "shingles",
-        minhash_signature(F.col("shingles"), coeffs).alias("sig"),
+    ex = shingle_rows(docs, n)
+    # signature as n_perm grouped MINs over the md5-hashed shingle rows —
+    # partial aggregation (map-side combine) instead of per-doc array lambdas
+    hashed = ex.select("doc_id", md5_mod31(F.col("shingle")).alias("hmod"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("hmod") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
     banded = sig.select(
         "doc_id",
@@ -118,7 +161,7 @@ def minhash_lsh_pairs(
                         ":",
                         F.lit(str(bi)),
                         *[
-                            F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
+                            F.col(f"s{bi * rows_per_band + r}")
                             for r in range(rows_per_band)
                         ],
                     )
@@ -134,39 +177,47 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shingle_sets = sig.select("doc_id", "shingles")
-    verified = (
-        candidates.join(
-            shingle_sets.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a"
-        )
-        .join(
-            shingle_sets.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b"
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_shared"),
-            F.size("sh_a").alias("size_a"),
-            F.size("sh_b").alias("size_b"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    # exact verify: shared-shingle counts restricted to the candidate pairs
+    # (a candidate with zero shared shingles drops out of the inner join —
+    # its jaccard would be 0 < threshold in the oracle too)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        candidates.join(ex.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(ex.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return verified
+    return _pair_jaccard(shared, sizes, threshold)
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash per document (map-only)."""
-    return docs.select(
-        "doc_id", simhash16(ws_tokens(F.col("text"))).alias("simhash")
+    """16-bit SimHash per document.
+
+    Exploded-vote formulation: one row per distinct token, md5-hashed once,
+    then 16 conditional SUMs (bit votes) in a single grouped aggregation —
+    partial-agg friendly and codegen'd, vs 16 interpreted array folds that
+    each re-hash every token. Docs with no tokens get simhash 0 (empty
+    vote = all bits unset), as with an empty-array fold."""
+    toked = docs.select(
+        "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok")
+    )
+    hashed = toked.select("doc_id", md5_mod31(F.col("tok")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    acc = F.lit(0)
+    for j in range(16):
+        acc = acc + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    sim = votes.select("doc_id", acc.cast("int").alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(sim, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"))
     )
 
 
@@ -180,22 +231,91 @@ def simhash_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
-def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.95, vec_col: str = "embedding"
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force verify form).
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero to 6 dp (numpy round is half-even)."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
 
-    At scale, pre-bucket with sign-LSH (operators/ann.py) and run this
-    per-bucket; the all-pairs form is the small-data oracle."""
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form).
+
+    Blocked pairwise-similarity: vectors are grouped into ``n_blocks``
+    row-blocks (by vec_id mod), every block pair (upper triangle) becomes
+    one task, and each task computes its cosine sub-matrix in numpy —
+    O(n^2/P) work with n/n_blocks vectors of state per task, no per-pair
+    interpreted array folds. Size n_blocks so two blocks of vectors fit in
+    executor memory; at 100 TB pre-bucket with sign-LSH (operators/ann.py)
+    and run this per bucket.
+
+    The dot/norm accumulation loops dimension-by-dimension so every partial
+    sum matches a sequential left-fold bit-for-bit — the DuckDB oracle
+    (`list_dot_product` over DOUBLE[]) reproduces the result exactly."""
+    grouped = (
+        emb.select(
+            "vec_id",
+            F.col(vec_col).alias("v"),
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
         )
-        .where(F.col("cosine") >= threshold)
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
+    )
+    a = grouped.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = grouped.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"), "inner")
+
+    def _block_cosines(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_a_out: list[np.ndarray] = []
+            ids_b_out: list[np.ndarray] = []
+            cos_out: list[np.ndarray] = []
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a = np.array([r["vec_id"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["vec_id"] for r in rows_b], dtype=np.int64)
+                mat_a = np.array(
+                    [np.asarray(r["v"], dtype=np.float64) for r in rows_a]
+                )
+                mat_b = np.array(
+                    [np.asarray(r["v"], dtype=np.float64) for r in rows_b]
+                )
+                dim = mat_a.shape[1]
+                # dimension-major accumulation == sequential fold per pair
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                for d in range(dim):
+                    dots += mat_a[:, d : d + 1] * mat_b[None, :, d]
+                sq_a = np.zeros(len(ids_a))
+                sq_b = np.zeros(len(ids_b))
+                for d in range(dim):
+                    sq_a += mat_a[:, d] * mat_a[:, d]
+                    sq_b += mat_b[:, d] * mat_b[:, d]
+                cos = _round6_half_up(
+                    dots / (np.sqrt(sq_a)[:, None] * np.sqrt(sq_b)[None, :])
+                )
+                mask = cos >= threshold
+                if blk_a == blk_b:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(mask)
+                pa, pb = ids_a[ii], ids_b[jj]
+                ids_a_out.append(np.minimum(pa, pb))
+                ids_b_out.append(np.maximum(pa, pb))
+                cos_out.append(cos[ii, jj])
+            empty_i = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(ids_a_out or [empty_i]),
+                    "id_b": np.concatenate(ids_b_out or [empty_i]),
+                    "cosine": np.concatenate(cos_out or [np.array([])]),
+                }
+            )
+
+    return block_pairs.mapInPandas(
+        _block_cosines, "id_a long, id_b long, cosine double"
     )
