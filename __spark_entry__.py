@@ -29,6 +29,7 @@ from credit_abs_oltp_to_mart_spark.functions.similarity import (
 )
 from credit_abs_oltp_to_mart_spark.functions.text import STOPWORDS, TOKEN_PATTERN
 from credit_abs_oltp_to_mart_spark.operators import ann, dedup, textops
+from credit_abs_oltp_to_mart_spark import streaming
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -449,6 +450,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming surface (availableNow over the finite corpus ==
+# the batch answer, so the same DuckDB oracles gate correctness)
+# ---------------------------------------------------------------------------
+
+def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = streaming.stream_windowed_agg(streaming.events_stream(spark, sf_dir))
+    return streaming.run_to_memory(plan, "mem_stream_windowed_agg", "complete")
+
+
+def q_stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = streaming.stream_distinct_keys(streaming.events_stream(spark, sf_dir))
+    return streaming.run_to_memory(plan, "mem_stream_distinct_keys", "append")
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = streaming.stream_sessionize(streaming.events_stream(spark, sf_dir))
+    return streaming.run_to_memory(plan, "mem_stream_sessionize", "update")
+
+
+# ---------------------------------------------------------------------------
 # Training-data-pipeline extensions (dedup / ANN / text analysis)
 # ---------------------------------------------------------------------------
 
@@ -786,6 +807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "running_total": q_running_total,
         "sessionize": q_sessionize,
+        # structured-streaming surface
+        "stream_windowed_agg": q_stream_windowed_agg,
+        "stream_distinct_keys": q_stream_distinct_keys,
+        "stream_sessionize": q_stream_sessionize,
         # training-data pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -971,6 +996,33 @@ def oracle_sql() -> dict[str, str]:
             from events
         """,
         "sessionize": """
+            with flagged as (
+              select user_id, event_id, ts,
+                     case when epoch(ts) - epoch(lag(ts) over
+                            (partition by user_id order by ts, event_id)) > 1800
+                          then 1 else 0 end as new_session
+              from events),
+            sessions as (
+              select user_id, event_id, ts,
+                     sum(new_session) over (partition by user_id order by ts, event_id
+                                            rows between unbounded preceding
+                                            and current row) as session_no
+              from flagged)
+            select user_id, session_no, count(*) as n_events,
+                   min(ts) as session_start, max(ts) as session_end
+            from sessions group by 1, 2
+        """,
+        "stream_windowed_agg": """
+            select cast(date_trunc('day', ts) as date) as day, event_type,
+                   count(*) as n_events,
+                   cast(sum(cast(value as decimal(18,2))) as double) as total_value
+            from events group by 1, 2
+        """,
+        "stream_distinct_keys": """
+            select distinct user_id, event_type, cast(ts as date) as day
+            from events
+        """,
+        "stream_sessionize": """
             with flagged as (
               select user_id, event_id, ts,
                      case when epoch(ts) - epoch(lag(ts) over

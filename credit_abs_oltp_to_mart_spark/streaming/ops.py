@@ -1,0 +1,189 @@
+"""Structured Streaming operators over the events feed.
+
+The reference is batch-only (SURVEY.md §2.10; dbt full-refresh models,
+`schedule=None` DAG — `airflows/dags/pg_credit_oltp_synth_dag.py:43`). Its
+daily `arrears_dpd_status` feed is the natural streaming ingestion point,
+so this module provides that ingestion shape as first-class capability:
+
+- watermarked tumbling-window aggregation (`stream_windowed_agg`),
+- streaming key-dedup (`stream_distinct_keys`),
+- a custom stateful sessionizer via ``applyInPandasWithState``
+  (`stream_sessionize`) — the operator Spark's built-ins lack.
+
+Each operator is a plain unbounded streaming plan; ``run_to_memory`` drives
+it with ``trigger(availableNow=True)`` into a memory sink so the finite
+test corpus yields exactly the batch answer and the DuckDB oracles can gate
+correctness. On a cluster the same plans point at a file/Kafka source with
+a processing-time trigger and a real sink; watermarks then bound state.
+
+Scale posture: windowed aggregation and dedup state are partitioned by
+group key / dedup key (RocksDB-backed state store on a real cluster); the
+sessionizer keeps O(1) state per user_id. Nothing below collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 1800
+
+_OUT_SCHEMA = (
+    "user_id bigint, session_no bigint, n_events bigint, "
+    "session_start timestamp, session_end timestamp"
+)
+# state: open session carried across micro-batches (epoch-micros longs)
+_STATE_SCHEMA = (
+    "session_no bigint, start_us bigint, end_us bigint, n_events bigint"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events table.
+
+    Schema comes from a batch footer read (file streams require an explicit
+    schema). events.ts is parquet TIMESTAMP(NANOS) — read as long and
+    truncated to microseconds, exactly as the batch path does.
+    """
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    # the file source lists a DIRECTORY; events.parquet may be a single file
+    # (driver testdata) or a directory (our lake layout)
+    if os.path.isdir(f"{base}/events.parquet"):
+        df = spark.readStream.schema(schema).parquet(f"{base}/events.parquet")
+    else:
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(base)
+        )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Drive a streaming plan to completion over the currently-available
+    data (one availableNow run) and return the memory-sink table."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_windowed_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day windowed aggregation with a 1-hour watermark.
+
+    Window starts are epoch-aligned (UTC session timezone), so
+    ``window.start == date_trunc('day', ts)`` and a plain GROUP BY oracle
+    reproduces the result on finite data (no row is ever late within a
+    single availableNow batch). Run in complete mode so unfinalized windows
+    are emitted too.
+    """
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_distinct_keys(events: DataFrame) -> DataFrame:
+    """Streaming dedup to distinct (user_id, event_type, day) keys.
+
+    Emits key columns only, so the output is deterministic (no arbitrary
+    surviving-row payload). State is one entry per distinct key; on an
+    unbounded stream add ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` to bound it.
+    """
+    return events.select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("day")
+    ).dropDuplicates(["user_id", "event_type", "day"])
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session builder: gap > SESSION_GAP_SECONDS starts a new
+    session. Emits every session it closed this batch plus the still-open
+    session (update semantics — re-emitted, with more events, if the user
+    reappears next batch); only the open session is kept as state."""
+    rows = pd.concat(list(batches))
+    rows = rows.sort_values(["ts", "event_id"])
+    ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+
+    if state.exists:
+        session_no, start_us, end_us, n_events = state.get
+    else:
+        session_no, start_us, end_us, n_events = -1, None, None, 0
+
+    out: list[tuple[int, int, int, int, int]] = []
+    user_id = key[0]
+    for t in ts_us:
+        if start_us is None:
+            session_no, start_us, end_us, n_events = session_no + 1, t, t, 1
+        elif (t - end_us) / 1_000_000 > SESSION_GAP_SECONDS:
+            out.append((user_id, session_no, n_events, start_us, end_us))
+            session_no, start_us, end_us, n_events = session_no + 1, t, t, 1
+        else:
+            end_us, n_events = t, n_events + 1
+    if start_us is not None:
+        out.append((user_id, session_no, n_events, start_us, end_us))
+        state.update((int(session_no), int(start_us), int(end_us), int(n_events)))
+
+    pdf = pd.DataFrame(
+        out,
+        columns=["user_id", "session_no", "n_events", "start_us", "end_us"],
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "session_no": pdf["session_no"],
+            "n_events": pdf["n_events"],
+            "session_start": pd.to_datetime(pdf["start_us"], unit="us"),
+            "session_end": pd.to_datetime(pdf["end_us"], unit="us"),
+        }
+    )
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: sessionization (gap > 30 min) with
+    ``applyInPandasWithState`` — O(1) state per user, Arrow-batched."""
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
