@@ -28,7 +28,7 @@ from credit_abs_oltp_to_mart_spark.functions.similarity import (
     random_hyperplanes,
 )
 from credit_abs_oltp_to_mart_spark.functions.text import STOPWORDS, TOKEN_PATTERN
-from credit_abs_oltp_to_mart_spark.operators import ann, dedup, textops
+from credit_abs_oltp_to_mart_spark.operators import ann, dedup, multimodal, textops
 from credit_abs_oltp_to_mart_spark import streaming
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -41,6 +41,8 @@ MINHASH_BANDS = 2
 MINHASH_SEED = 42
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 5
+IVF_CENTROID_IDS = [10, 20, 30, 40, 50, 60, 70, 80]
+IVF_NPROBE = 2
 LSH_PLANES = 4
 EMB_DIM = 64
 EMB_NEAR_DUP_THRESHOLD = 0.4
@@ -520,6 +522,31 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        IVF_CENTROID_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_blobs(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_meta(media)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_blobs(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_features(media)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_blobs(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
@@ -704,6 +731,112 @@ def _emb_near_dup_oracle() -> str:
     """
 
 
+def _ann_ivf_oracle() -> str:
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    cos = _COSINE.format(a="qv", b="nv")
+    # centroid-assignment cosine is UNROUNDED (matches the Spark plan);
+    # final scores round to 6dp like every similarity output
+    return f"""
+    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    c as (select vec_id as cid, v as cv from e where vec_id in ({cids})),
+    sc as (
+      select vec_id, v, cid,
+             list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+               as ccos
+      from e, c),
+    ranked as (
+      select *, row_number() over (partition by vec_id
+                                   order by ccos desc, cid asc) as crank
+      from sc),
+    assign as (
+      select vec_id as neighbor_id, v as nv, cid as cluster
+      from ranked where crank = 1),
+    probes as (
+      select vec_id as query_id, v as qv, cid as cluster
+      from ranked where crank <= {IVF_NPROBE} and vec_id in ({qids})),
+    scored as (
+      select query_id, neighbor_id, {cos} as cosine
+      from probes join assign using (cluster)
+      where neighbor_id <> query_id),
+    final as (
+      select *, row_number() over (partition by query_id
+                                   order by cosine desc, neighbor_id asc) as rank
+      from scored)
+    select query_id, neighbor_id, cast(rank as int) as rank, cosine
+    from final where rank <= {ANN_K}
+    """
+
+
+# deterministic fake-media CTE — byte-identical to multimodal.synthesize_blobs
+_MEDIA_CTE = """
+    media as (
+      select doc_id,
+             unhex(md5(text)
+               || case when doc_id % 4 >= 1 then md5(text || 'c1') else '' end
+               || case when doc_id % 4 >= 2 then md5(text || 'c2') else '' end
+               || case when doc_id % 4 >= 3 then md5(text || 'c3') else '' end
+             ) as content,
+             case cast(doc_id % 3 as int)
+               when 0 then 'image' when 1 then 'audio' else 'video' end as modality,
+             cast(1 + doc_id % 4 as int) as n_chunks
+      from documents)
+"""
+
+
+def _multimodal_meta_oracle() -> str:
+    return f"""
+    with {_MEDIA_CTE}
+    select doc_id, modality, n_chunks,
+           case modality when 'image' then 'png'
+                         when 'audio' then 'wav' else 'mp4' end as declared_format,
+           cast(octet_length(content) as int) as n_bytes,
+           md5(hex(content)) as checksum,
+           cast(1 + ('0x' || substr(hex(content), 1, 2))::int % 64 as int) as width,
+           cast(1 + ('0x' || substr(hex(content), 3, 2))::int % 64 as int) as height
+    from media
+    """
+
+
+def _multimodal_features_oracle() -> str:
+    hist_cols = ", ".join(
+        f"cast(length(h) - length(replace(h, '{d}', '')) as int) as hist_{d.lower()}"
+        for d in "0123456789ABCDEF"
+    )
+    return f"""
+    with {_MEDIA_CTE}
+    select doc_id, modality, cast(octet_length(content) as int) as n_bytes,
+           {hist_cols}
+    from (select doc_id, modality, content, hex(content) as h from media) z
+    """
+
+
+def _multimodal_frames_oracle() -> str:
+    # frame i covers hex chars [i*16+1, i*16+16] (8 bytes); every 2nd frame
+    return """
+    with media as (
+      select doc_id,
+             upper(md5(text)
+               || case when doc_id % 4 >= 1 then md5(text || 'c1') else '' end
+               || case when doc_id % 4 >= 2 then md5(text || 'c2') else '' end
+               || case when doc_id % 4 >= 3 then md5(text || 'c3') else '' end
+             ) as h
+      from documents where doc_id % 3 = 2),
+    frames as (
+      select doc_id,
+             cast(f - 1 as int) as frame_no,
+             substr(h, (f - 1) * 16 + 1, 16) as frame_hex
+      from media,
+           unnest(generate_series(1, cast(ceil(length(h) / 16.0) as bigint))) as t(f)
+      where (f - 1) % 2 = 0)
+    select doc_id, frame_no,
+           cast(length(frame_hex) / 2 as int) as frame_bytes,
+           md5(frame_hex) as frame_md5
+    from frames
+    """
+
+
 def _lang_id_oracle() -> str:
     langs = sorted(STOPWORDS)
     ratio_exprs = []
@@ -819,6 +952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1050,6 +1187,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _emb_near_dup_oracle(),
         "ann_brute_force": _ann_brute_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
+        "multimodal_meta": _multimodal_meta_oracle(),
+        "multimodal_features": _multimodal_features_oracle(),
+        "multimodal_frames": _multimodal_frames_oracle(),
         "lang_id": _lang_id_oracle(),
         "text_quality": _quality_oracle(),
         "token_counts": _token_counts_oracle(),

@@ -66,6 +66,80 @@ def bucketize(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    centroid_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to the nearest centroid, probe only
+    the ``nprobe`` clusters nearest each query.
+
+    ``centroid_ids`` selects member vectors as the coarse codebook — a
+    deterministic stand-in for a k-means training step (at scale: train
+    k-means offline, broadcast the codebook; the search plan is identical).
+    Work drops from O(Q·N) to O(Q·N·nprobe/C) for C centroids; the
+    assignment pass is one broadcast join, map-only per vector. Ranking
+    tiebreaks (cosine desc, id asc) are total, so results are reproducible
+    and oracle-checkable."""
+    cents = F.broadcast(
+        emb.where(F.col("vec_id").isin(centroid_ids)).select(
+            F.col("vec_id").alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+
+    def _centroid_ranked(vectors: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(cents).select(
+            "vec_id",
+            "v",
+            "cid",
+            cosine_similarity(F.col("v"), F.col("cv")).alias("ccos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return scored.withColumn("crank", F.row_number().over(w))
+
+    vectors = emb.select("vec_id", F.col(vec_col).alias("v"))
+    assign = (
+        _centroid_ranked(vectors)
+        .where(F.col("crank") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.col("cid").alias("cluster"),
+        )
+    )
+    probes = (
+        _centroid_ranked(vectors.where(F.col("vec_id").isin(query_ids)))
+        .where(F.col("crank") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cid").alias("cluster"),
+        )
+    )
+    scored = (
+        probes.join(assign, "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

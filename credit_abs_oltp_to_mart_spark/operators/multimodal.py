@@ -1,0 +1,173 @@
+"""Multimodal (binary-column) operators for the training-data pipeline.
+
+Images / audio / video are opaque ``binary`` columns with typed metadata —
+the lakehouse-native layout for multimodal training data. The reference has
+no binary data at all (SURVEY.md §1.2), so this is pure extension surface:
+
+- ``synthesize_blobs``: deterministic fake media derived from the
+  ``documents`` table (md5-chain bytes + modality tag) — reproducible in
+  any engine, so the downstream operators stay oracle-checkable.
+- ``extract_meta``: JVM-side header/metadata extraction (size, checksum,
+  fake width/height decoded from leading bytes).
+- ``decode_features``: Arrow-batched ``mapInPandas`` decode + featurize.
+  The REAL codec step (PIL / torchaudio / pyav) is stubbed behind an
+  import-try — those libs aren't in this container — with a clearly-marked
+  deterministic fake (bytes == decoded buffer). The Spark-side plumbing
+  (schema, batching, numpy feature math) is real and tested.
+- ``sample_frames``: per-"video" frame splitter + every-kth sampler in
+  ``mapInPandas`` — the batch shape of a frame-extraction pipeline.
+
+Scale posture: all three operators are map-only (no shuffle); blobs never
+leave the executor that read them, and feature/meta outputs are narrow
+projections. At 100 TB the same plans run per-file with predicate pushdown
+on the metadata columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - real codecs absent in this environment
+    from PIL import Image  # noqa: F401
+
+    _HAVE_CODECS = True
+except ImportError:
+    _HAVE_CODECS = False
+
+MODALITIES = ["image", "audio", "video"]
+FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+MAX_EXTRA_CHUNKS = 3  # content = md5(text) + up to 3 salted md5 chunks
+FRAME_BYTES = 8
+FRAME_SAMPLE_EVERY = 2
+HEX_DIGITS = "0123456789ABCDEF"
+
+
+def synthesize_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media blobs from a documents table.
+
+    content = unhex(md5(text) ‖ md5(text||'c1') ‖ … ), 16 bytes per chunk,
+    1 + (doc_id mod 4) chunks; modality cycles image/audio/video by doc_id.
+    Pure column expressions — an identical SQL CTE rebuilds the same bytes
+    in DuckDB, which is what keeps the downstream operators oracle-gated.
+    """
+    k = F.pmod(F.col("doc_id"), F.lit(MAX_EXTRA_CHUNKS + 1))
+    hex_chunks = [F.md5(F.col(text_col))]
+    for i in range(1, MAX_EXTRA_CHUNKS + 1):
+        hex_chunks.append(
+            F.when(k >= i, F.md5(F.concat(F.col(text_col), F.lit(f"c{i}"))))
+            .otherwise(F.lit(""))
+        )
+    modality = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, MODALITIES[0])
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, MODALITIES[1])
+        .otherwise(MODALITIES[2])
+    )
+    declared = (
+        F.when(modality == "image", FORMATS["image"])
+        .when(modality == "audio", FORMATS["audio"])
+        .otherwise(FORMATS["video"])
+    )
+    return docs.select(
+        "doc_id",
+        F.unhex(F.concat(*hex_chunks)).alias("content"),
+        modality.alias("modality"),
+        F.struct(
+            (k + 1).cast("int").alias("n_chunks"),
+            declared.alias("declared_format"),
+        ).alias("meta"),
+    )
+
+
+def _hex_byte(content: Column, pos: int) -> Column:
+    """Byte value at 1-based position ``pos`` via the hex representation."""
+    return F.conv(F.substring(F.hex(content), 2 * pos - 1, 2), 16, 10).cast("int")
+
+
+def extract_meta(media: DataFrame) -> DataFrame:
+    """Header/metadata extraction, JVM-side (no UDF): byte size, portable
+    checksum (md5 of the uppercase hex — DuckDB md5 takes VARCHAR only),
+    and fake width/height decoded from the two leading content bytes."""
+    return media.select(
+        "doc_id",
+        "modality",
+        F.col("meta.n_chunks").alias("n_chunks"),
+        F.col("meta.declared_format").alias("declared_format"),
+        F.length("content").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("checksum"),
+        (1 + F.pmod(_hex_byte(F.col("content"), 1), F.lit(64))).alias("width"),
+        (1 + F.pmod(_hex_byte(F.col("content"), 2), F.lit(64))).alias("height"),
+    )
+
+
+def _decode(content: bytes, declared_format: str) -> np.ndarray:
+    """Decode a media blob to a flat uint8 buffer.
+
+    STUB: with real codecs installed this would be
+    ``np.asarray(Image.open(io.BytesIO(content)))`` (or the audio/video
+    equivalent). In this environment the deterministic fake treats the raw
+    bytes as the decoded buffer, which keeps every downstream feature
+    reproducible in the DuckDB oracle."""
+    if _HAVE_CODECS and declared_format in ("png", "jpg"):
+        raise NotImplementedError(
+            "real codec path intentionally unused in tests"
+        )
+    return np.frombuffer(content, dtype=np.uint8)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Decode + featurize every blob: nibble histogram (16 bins == hex-digit
+    counts of the content) over the decoded buffer, Arrow-batched."""
+    out_schema = "doc_id long, modality string, n_bytes int, " + ", ".join(
+        f"hist_{d.lower()} int" for d in HEX_DIGITS
+    )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, modality, content, meta in zip(
+                pdf["doc_id"], pdf["modality"], pdf["content"], pdf["meta"]
+            ):
+                buf = _decode(bytes(content), meta["declared_format"])
+                counts = (
+                    np.bincount(buf >> 4, minlength=16)
+                    + np.bincount(buf & 0xF, minlength=16)
+                )
+                rows.append((int(doc_id), modality, len(buf), *counts.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "modality", "n_bytes"]
+                + [f"hist_{d.lower()}" for d in HEX_DIGITS],
+            )
+
+    return media.mapInPandas(_featurize, out_schema)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Split each "video" blob into FRAME_BYTES-byte frames, keep every
+    FRAME_SAMPLE_EVERY-th, fingerprint each frame (md5 of its uppercase hex
+    — the engine-portable blob hash)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(content)
+                n_frames = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
+                for fno in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                    frame = raw[fno * FRAME_BYTES : (fno + 1) * FRAME_BYTES]
+                    fp = hashlib.md5(frame.hex().upper().encode()).hexdigest()
+                    rows.append((int(doc_id), fno, len(frame), fp))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_bytes", "frame_md5"]
+            )
+
+    videos = media.where(F.col("modality") == "video").select("doc_id", "content")
+    return videos.mapInPandas(
+        _frames, "doc_id long, frame_no int, frame_bytes int, frame_md5 string"
+    )
