@@ -59,6 +59,35 @@ def _date_between(seed: int, salt: str, lo, hi, *keys) -> F.Column:
     return F.date_add(lo, F.floor(unit(seed, salt, *keys) * span.cast("double")).cast("int"))
 
 
+def _with_smallest_k_flag(
+    df: DataFrame, u: F.Column, k: int, flag_name: str
+) -> DataFrame:
+    """Adds boolean ``flag_name``: row is among the exact-k smallest values
+    of draw ``u``.
+
+    The reference samples an exact k (random.sample, pg_oltp_synth.py:496,
+    :852); a global row_number window would reproduce that but sorts ALL
+    rows in ONE partition. Instead: per-partition top-k merge
+    (TakeOrderedAndProject via orderBy+limit — moves k rows, never the
+    table) yields the kth-smallest threshold, broadcast back as a 1-row
+    join. Hash draws are collision-free in practice, so exactly k rows
+    satisfy u <= threshold, deterministically. For k too large for the
+    driver, swap the threshold computation for an exact distributed
+    quantile.
+    """
+    thresh = (
+        df.select(u.alias("_u"))
+        .orderBy("_u")
+        .limit(k)
+        .agg(F.max("_u").alias("_u_thresh"))
+    )
+    return (
+        df.crossJoin(F.broadcast(thresh))
+        .withColumn(flag_name, F.coalesce(u <= F.col("_u_thresh"), F.lit(False)))
+        .drop("_u_thresh")
+    )
+
+
 def _end_date(cfg: OLTPSynthConfig) -> F.Column:
     return (
         F.lit(cfg.start_date_max).cast("date")
@@ -342,7 +371,6 @@ def _loan_sim_attrs(loans: DataFrame, cfg: OLTPSynthConfig) -> DataFrame:
     """
     s = cfg.seed
     k_default = max(1, int(cfg.n_loans * cfg.p_default))
-    w = Window.orderBy(unit(s, "sim.default_pick", F.col("loan_id")), "loan_id")
     first_due = F.add_months(
         F.col("origination_date"), F.lit(1) + F.col("grace_period_months")
     )
@@ -357,11 +385,14 @@ def _loan_sim_attrs(loans: DataFrame, cfg: OLTPSynthConfig) -> DataFrame:
         F.add_months(first_due, default_line - 1),
         randint(s, "sim.default_delay", 60, 150, F.col("loan_id")),
     )  # :557
-    return loans.select(
+    picked = _with_smallest_k_flag(
+        loans, unit(s, "sim.default_pick", F.col("loan_id")), k_default, "in_default"
+    )
+    return picked.select(
         "loan_id",
         "borrower_id",
         "origination_date",
-        (F.row_number().over(w) <= k_default).alias("in_default"),
+        "in_default",
         default_at.alias("_default_at_raw"),
         bernoulli(s, "sim.dd", cfg.p_direct_debit, F.col("loan_id")).alias("has_mandate"),
     ).select(
@@ -665,11 +696,14 @@ def gen_forbearance(loans: DataFrame, cfg: OLTPSynthConfig) -> DataFrame:
     s = cfg.seed
     k = F.col("loan_id")
     n_pick = int(cfg.n_loans * cfg.p_forbearance)  # :852 exact sample size
-    w = Window.orderBy(unit(s, "forb.pick", k), "loan_id")
     return (
-        loans.select("loan_id", "origination_date")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_pick)
+        _with_smallest_k_flag(
+            loans.select("loan_id", "origination_date"),
+            unit(s, "forb.pick", k),
+            n_pick,
+            "_picked",
+        )
+        .where(F.col("_picked"))
         .select(
             "loan_id",
             F.date_add(

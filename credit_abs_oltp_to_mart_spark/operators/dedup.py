@@ -113,7 +113,9 @@ def ngram_jaccard_pairs(
     shingle sets via an inverted-index self-join. All-pairs-with-shared-
     shingle generation — exact but quadratic in the worst case; see module
     docstring."""
-    ex = shingle_rows(docs, n)
+    # the shingle index feeds both join sides AND the size table — persist
+    # so tokenize+distinct runs once, not three times
+    ex = shingle_rows(docs, n).persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pairs = (
         ex.alias("a")
@@ -140,7 +142,9 @@ def minhash_lsh_pairs(
     paired. Returns (doc_a, doc_b, jaccard) for verified candidates."""
     rows_per_band = n_perm // bands
     coeffs = minhash_coefficients(n_perm, seed)
-    ex = shingle_rows(docs, n)
+    # feeds signatures, sizes, and both verify joins — persist (see
+    # ngram_jaccard_pairs)
+    ex = shingle_rows(docs, n).persist()
     # signature as n_perm grouped MINs over the md5-hashed shingle rows —
     # partial aggregation (map-side combine) instead of per-doc array lambdas
     hashed = ex.select("doc_id", md5_mod31(F.col("shingle")).alias("hmod"))
