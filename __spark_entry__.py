@@ -182,7 +182,11 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _month_end_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1+F1: last event per user per month (the month-end-snapshot CTE of
     fct_roll_rate/cure/vintage), with a total deterministic ordering."""
-    e = _t(spark, sf_dir, "events")
+    # hash-partition by user_id ONCE: HashPartitioning(user_id) satisfies
+    # the clustered distribution of BOTH the (user_id, month) row_number
+    # window and the downstream (user_id) lag window, so the whole
+    # snapshot->transition pipeline runs on a single shuffle
+    e = _t(spark, sf_dir, "events").repartition("user_id")
     w = Window.partitionBy("user_id", F.trunc("ts", "month")).orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
