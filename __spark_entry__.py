@@ -460,6 +460,33 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the batch answer, so the same DuckDB oracles gate correctness)
 # ---------------------------------------------------------------------------
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over a hot low-cardinality key
+    (event_type): each hot key spreads over 64 reducers in stage 1, partials
+    merge in stage 2. Same result as a plain groupBy — the point is the
+    shuffle shape at scale."""
+    from credit_abs_oltp_to_mart_spark.functions.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    agg = salted_agg(
+        e,
+        keys=["event_type"],
+        sum_cols={"total_value": F.col("value").cast(_D182)},
+        count_alias="n_events",
+        min_cols={"first_ts": F.col("ts")},
+        max_cols={"last_ts": F.col("ts")},
+        n_salt=64,
+        salt_on=F.col("event_id"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_events",
+        "first_ts",
+        "last_ts",
+    )
+
+
 def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = streaming.stream_windowed_agg(streaming.events_stream(spark, sf_dir))
     return streaming.run_to_memory(plan, "mem_stream_windowed_agg", "complete")
@@ -944,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "running_total": q_running_total,
         "sessionize": q_sessionize,
+        "skew_salted_agg": q_skew_salted_agg,
         # structured-streaming surface
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_distinct_keys": q_stream_distinct_keys,
@@ -1152,6 +1180,13 @@ def oracle_sql() -> dict[str, str]:
             select user_id, session_no, count(*) as n_events,
                    min(ts) as session_start, max(ts) as session_end
             from sessions group by 1, 2
+        """,
+        "skew_salted_agg": """
+            select event_type,
+                   cast(sum(cast(value as decimal(18,2))) as double) as total_value,
+                   count(*) as n_events,
+                   min(ts) as first_ts, max(ts) as last_ts
+            from events group by 1
         """,
         "stream_windowed_agg": """
             select cast(date_trunc('day', ts) as date) as day, event_type,
