@@ -50,3 +50,32 @@ def write_oltp_tables(
         if key:
             df = df.dropDuplicates(key)
         df.write.mode(mode).parquet(f"{out_dir.rstrip('/')}/{name}.parquet")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize as a BUCKETED managed table (co-located join layout).
+
+    Bucketing pre-shuffles the table ONCE at write time: every later
+    equi-join or aggregation on ``bucket_cols`` between tables bucketed the
+    same way runs with zero exchanges (Spark trusts HashPartitioning from
+    the bucket spec). This is the 100 TB answer for the recurring
+    ``arrears_dpd_status ⋈ loan_contract`` / payments joins: bucket both
+    sides by ``loan_id`` at ingestion, and every mart build afterwards
+    skips the dominant-table shuffle. ``sort_cols`` additionally pre-sorts
+    within buckets so window functions over (bucket_col, sort_col) skip
+    their sort.
+
+    Requires a session with a warehouse (``saveAsTable``); plain
+    directory-parquet cannot carry the bucket spec.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
