@@ -594,6 +594,10 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (DuckDB dialect = ANSI + list lambdas)
 # ---------------------------------------------------------------------------
@@ -992,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1234,4 +1239,28 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_oracle(),
         "token_counts": _token_counts_oracle(),
         "fingerprints": _fingerprint_oracle(),
+        "text_repetition": """
+            with nz as (
+              select doc_id, string_split_regex(trim(text), ' +') as tk
+              from documents where trim(text) <> ''),
+            t as (select doc_id, unnest(tk) as tok from nz),
+            ts as (select doc_id, count(*) as n_tokens,
+                          count(distinct tok) as n_distinct
+                   from t group by 1),
+            g as (select doc_id, tk[i] || ' ' || tk[i+1] as gram
+                  from nz, unnest(generate_series(1, len(tk) - 1)) as s(i)
+                  where len(tk) >= 2),
+            gc as (select doc_id, gram, count(*) as c from g group by 1, 2),
+            gs as (select doc_id, max(c) as max_c, sum(c) as total_grams
+                   from gc group by 1)
+            select d.doc_id,
+                   coalesce(ts.n_tokens, 0) as n_tokens,
+                   round(ts.n_distinct::double / ts.n_tokens, 6)
+                     as distinct_token_ratio,
+                   round(gs.max_c::double / gs.total_grams, 6)
+                     as top_bigram_share
+            from documents d
+            left join ts using (doc_id)
+            left join gs using (doc_id)
+        """,
     }

@@ -1,10 +1,11 @@
 """Document text-analysis operators: language ID, quality scoring, token
-counting, fingerprinting. All map-only column expressions — at 100 TB these
-run at scan speed inside whole-stage codegen, no shuffle."""
+counting, fingerprinting, repetition stats. Mostly map-only column
+expressions — at 100 TB these run at scan speed inside whole-stage codegen;
+repetition_stats shuffles by doc_id only."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.functions.text import (
@@ -14,6 +15,7 @@ from credit_abs_oltp_to_mart_spark.functions.text import (
     stopword_ratio,
     token_rolling_hash,
     ws_token_count,
+    ws_tokens,
 )
 
 
@@ -59,4 +61,54 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", token_rolling_hash(F.col(text_col)).alias("fingerprint")
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (Gopher-style filters):
+
+    - ``distinct_token_ratio`` — |distinct tokens| / |tokens|; low values
+      flag boilerplate/spam.
+    - ``top_bigram_share`` — frequency share of the most common bigram; high
+      values flag template repetition.
+
+    Exploded-token formulation (posexplode + lead window, one doc_id
+    shuffle) — same plan shape as dedup.shingle_rows, codegen-friendly.
+    Empty docs keep n_tokens=0 with null ratios."""
+    toks = ws_tokens(F.col(text_col))
+    posed = docs.where(F.size(toks) > 0).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    tok_stats = posed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
+    grams = (
+        posed.select("doc_id", "tok", nxt.alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("gram"))
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("total_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(tok_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("distinct_token_ratio"),
+            F.round(
+                F.col("max_c").cast("double") / F.col("total_grams").cast("double"), 6
+            ).alias("top_bigram_share"),
+        )
     )
