@@ -460,6 +460,63 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the batch answer, so the same DuckDB oracles gate correctness)
 # ---------------------------------------------------------------------------
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's most recent
+    prior-or-simultaneous click (backward-inclusive, per-user timeline)."""
+    from credit_abs_oltp_to_mart_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").cast("double").alias("click_value"),
+    )
+    return asof_join(
+        purchases, clicks, keys=["user_id"], ts_col="ts", right_order="click_id"
+    ).select("user_id", "purchase_id", "click_id", "click_value")
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: revenue at (region, nation), (region), and grand-total
+    levels in one pass (partial-agg friendly)."""
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").cast(_D182).alias("price"),
+        )
+    )
+    return base.rollup("region", "nation").agg(
+        F.sum("price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: monthly value totals with one column per event type (fixed
+    pivot values => no extra distinct-discovery job)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.trunc("ts", "month").alias("month"))
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.sum(F.col("value").cast(_D182)).cast("double"))
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage aggregation over a hot low-cardinality key
     (event_type): each hot key spreads over 64 reducers in stage 1, partials
@@ -975,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "running_total": q_running_total,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_monthly": q_pivot_monthly,
         "skew_salted_agg": q_skew_salted_agg,
         # structured-streaming surface
         "stream_windowed_agg": q_stream_windowed_agg,
@@ -1185,6 +1245,42 @@ def oracle_sql() -> dict[str, str]:
             select user_id, session_no, count(*) as n_events,
                    min(ts) as session_start, max(ts) as session_end
             from sessions group by 1, 2
+        """,
+        "asof_join": """
+            with p as (select user_id, event_id as purchase_id, ts
+                       from events where event_type = 'purchase'),
+            c as (select user_id, ts, event_id as click_id, value::double as click_value
+                  from events where event_type = 'click'),
+            j as (select p.user_id, p.purchase_id, c.click_id, c.click_value,
+                         row_number() over (partition by p.purchase_id
+                                            order by c.ts desc, c.click_id desc) as rn
+                  from p left join c on c.user_id = p.user_id and c.ts <= p.ts)
+            select user_id, purchase_id, click_id, click_value
+            from j where rn = 1
+        """,
+        "rollup_revenue": """
+            select r_name as region, n_name as nation,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue,
+                   count(*) as n_orders
+            from orders
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by rollup(r_name, n_name)
+        """,
+        "pivot_monthly": """
+            select cast(date_trunc('month', ts) as date) as month,
+                   cast(sum(case when event_type = 'click'
+                                 then cast(value as decimal(18,2)) end) as double) as click,
+                   cast(sum(case when event_type = 'error'
+                                 then cast(value as decimal(18,2)) end) as double) as error,
+                   cast(sum(case when event_type = 'purchase'
+                                 then cast(value as decimal(18,2)) end) as double) as purchase,
+                   cast(sum(case when event_type = 'signup'
+                                 then cast(value as decimal(18,2)) end) as double) as signup,
+                   cast(sum(case when event_type = 'view'
+                                 then cast(value as decimal(18,2)) end) as double) as view
+            from events group by 1
         """,
         "skew_salted_agg": """
             select event_type,
