@@ -460,6 +460,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the batch answer, so the same DuckDB oracles gate correctness)
 # ---------------------------------------------------------------------------
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON props column, extract
+    a typed field, aggregate on it (JVM-side json path, no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-7-day event-value sum (event-
+    time range frame over epoch seconds, not row counts)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(_D182)).over(w).cast("double").alias("trailing_7d_value"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers with orders INTERSECT positive-balance set,
+    EXCEPT customers with a 'F'-status order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("custkey"))
+    positive = c.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    finished = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return with_orders.intersect(positive).exceptAll(finished.distinct())
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event picks up the user's most recent
     prior-or-simultaneous click (backward-inclusive, per-user timeline)."""
@@ -1032,6 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "running_total": q_running_total,
         "sessionize": q_sessionize,
+        "json_extract": q_json_extract,
+        "range_window": q_range_window,
+        "set_ops": q_set_ops,
         "asof_join": q_asof_join,
         "rollup_revenue": q_rollup_revenue,
         "pivot_monthly": q_pivot_monthly,
@@ -1245,6 +1296,29 @@ def oracle_sql() -> dict[str, str]:
             select user_id, session_no, count(*) as n_events,
                    min(ts) as session_start, max(ts) as session_end
             from sessions group by 1, 2
+        """,
+        "json_extract": """
+            select event_type,
+                   count(k) as n_with_k, sum(k)::bigint as k_total,
+                   min(k) as k_min, max(k) as k_max
+            from (select event_type, json_extract(props, '$.k')::int as k
+                  from events) z
+            group by 1
+        """,
+        "range_window": """
+            select user_id, event_id,
+                   cast(sum(cast(value as decimal(18,2))) over (
+                          partition by user_id order by floor(epoch(ts))::bigint
+                          range between 604800 preceding and current row)
+                        as double) as trailing_7d_value
+            from events
+        """,
+        "set_ops": """
+            select o_custkey as custkey from orders
+            intersect
+            select c_custkey as custkey from customer where c_acctbal > 0
+            except all
+            select distinct o_custkey as custkey from orders where o_orderstatus = 'F'
         """,
         "asof_join": """
             with p as (select user_id, event_id as purchase_id, ts
