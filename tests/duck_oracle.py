@@ -109,7 +109,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(list(out.columns), na_position="last").reset_index(drop=True)
 
 
-def assert_frames_match(spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9) -> None:
+def assert_frames_match(
+    spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9, atol: float = 1e-12
+) -> None:
+    """rtol=0, atol=0 asserts BIT-EXACT float equality — the driver's
+    value-hash gate standard (all contract queries are designed to meet
+    it: exact decimal accumulation, deterministic double conversions,
+    portable rounding)."""
     a = normalize(spark_df.toPandas())
     b = normalize(duck_df)
     assert list(a.columns) == list(b.columns), f"columns differ: {list(a.columns)} vs {list(b.columns)}"
@@ -120,7 +126,10 @@ def assert_frames_match(spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9) -> 
             av = av.astype("float64")
             bv = bv.astype("float64")
             both_nan = av.isna() & bv.isna()
-            ok = both_nan | np.isclose(av, bv, rtol=rtol, atol=1e-12, equal_nan=True)
+            if rtol == 0 and atol == 0:
+                ok = both_nan | (av.values == bv.values)
+            else:
+                ok = both_nan | np.isclose(av, bv, rtol=rtol, atol=atol, equal_nan=True)
             assert ok.all(), f"column {c} differs:\n{a[~ok].head()}\n{b[~ok].head()}"
         else:
             ok = (av == bv) | (av.isna() & bv.isna())

@@ -48,7 +48,8 @@ def test_query_matches_oracle(spark, duck, name):
         df = q(spark, SF_DIR)
         assert df.count() >= 0  # rows-only check, like the driver's
         return
-    assert_frames_match(q(spark, SF_DIR), duck.execute(sql).df())
+    # rtol=atol=0: bit-exact, matching the driver's value-hash gate
+    assert_frames_match(q(spark, SF_DIR), duck.execute(sql).df(), rtol=0, atol=0)
 
 
 def test_entry_smoke(spark):
