@@ -29,8 +29,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # warm-up: JIT/codegen + parquet footer caches, not measured
-    _materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
+    # warm-up: JIT/codegen + parquet footer/page caches for EVERY table, not
+    # measured — per-query timings then reflect plan cost, not first-touch IO
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _materialize(spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1000))
 
     timings: dict[str, float] = {}
     for name, q in entry_mod.queries().items():
