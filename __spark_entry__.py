@@ -460,6 +460,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the batch answer, so the same DuckDB oracles gate correctness)
 # ---------------------------------------------------------------------------
 
+def q_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-user ordered scan counting
+    strictly-increasing consecutive value steps — the escape hatch for
+    per-group imperative logic Spark expressions can't state. Integer-exact
+    output keeps it oracle-gated."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        inc = (pdf["value"].diff() > 0).sum()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_increasing": [int(inc)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        _stats, "user_id long, n_events long, n_increasing long"
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: parse the JSON props column, extract
     a typed field, aggregate on it (JVM-side json path, no UDF)."""
@@ -1080,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "running_total": q_running_total,
         "sessionize": q_sessionize,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
         "json_extract": q_json_extract,
         "range_window": q_range_window,
         "set_ops": q_set_ops,
@@ -1296,6 +1322,16 @@ def oracle_sql() -> dict[str, str]:
             select user_id, session_no, count(*) as n_events,
                    min(ts) as session_start, max(ts) as session_end
             from sessions group by 1, 2
+        """,
+        "grouped_pandas_stats": """
+            with ordered as (
+              select user_id, value,
+                     lag(value) over (partition by user_id
+                                      order by ts, event_id) as prev_value
+              from events)
+            select user_id, count(*) as n_events,
+                   count(*) filter (where value > prev_value) as n_increasing
+            from ordered group by 1
         """,
         "json_extract": """
             select event_type,
