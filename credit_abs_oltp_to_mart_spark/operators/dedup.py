@@ -82,26 +82,27 @@ def shingle_rows(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     return grams.union(short).distinct()
 
 
-def _pair_jaccard(pairs: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
-    """(doc_a, doc_b, n_shared) + per-doc set sizes -> thresholded Jaccard."""
-    return (
-        pairs.join(
-            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}), "doc_a"
-        )
-        .join(
-            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}), "doc_b"
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+def _shingle_index(docs: DataFrame, n: int) -> DataFrame:
+    """Persisted shingle index with the per-doc set size carried on every
+    row (window count) — downstream pair aggregations then group the sizes
+    along with the pair keys instead of re-joining a size table."""
+    w = Window.partitionBy("doc_id")
+    return shingle_rows(docs, n).withColumn(
+        "n_shingles", F.count(F.lit(1)).over(w)
+    ).persist()
+
+
+def _thresholded_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, size_a, size_b, n_shared) -> thresholded Jaccard."""
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -113,18 +114,20 @@ def ngram_jaccard_pairs(
     shingle sets via an inverted-index self-join. All-pairs-with-shared-
     shingle generation — exact but quadratic in the worst case; see module
     docstring."""
-    # the shingle index feeds both join sides AND the size table — persist
-    # so tokenize+distinct runs once, not three times
-    ex = shingle_rows(docs, n).persist()
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ex = _shingle_index(docs, n)
     pairs = (
         ex.alias("a")
         .join(ex.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("size_a"),
+            F.col("b.n_shingles").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return _pair_jaccard(pairs, sizes, threshold)
+    return _thresholded_jaccard(pairs, threshold)
 
 
 def minhash_lsh_pairs(
@@ -142,9 +145,8 @@ def minhash_lsh_pairs(
     paired. Returns (doc_a, doc_b, jaccard) for verified candidates."""
     rows_per_band = n_perm // bands
     coeffs = minhash_coefficients(n_perm, seed)
-    # feeds signatures, sizes, and both verify joins — persist (see
-    # ngram_jaccard_pairs)
-    ex = shingle_rows(docs, n).persist()
+    # feeds signatures AND both verify joins — persisted, sizes inline
+    ex = _shingle_index(docs, n)
     # signature as n_perm grouped MINs over the md5-hashed shingle rows —
     # partial aggregation (map-side combine) instead of per-doc array lambdas
     hashed = ex.select("doc_id", md5_mod31(F.col("shingle")).alias("hmod"))
@@ -184,14 +186,27 @@ def minhash_lsh_pairs(
     # exact verify: shared-shingle counts restricted to the candidate pairs
     # (a candidate with zero shared shingles drops out of the inner join —
     # its jaccard would be 0 < threshold in the oracle too)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     shared = (
-        candidates.join(ex.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
-        .join(ex.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        candidates.join(
+            ex.select(
+                F.col("doc_id").alias("doc_a"),
+                "shingle",
+                F.col("n_shingles").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            ex.select(
+                F.col("doc_id").alias("doc_b"),
+                "shingle",
+                F.col("n_shingles").alias("size_b"),
+            ),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return _pair_jaccard(shared, sizes, threshold)
+    return _thresholded_jaccard(shared, threshold)
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
