@@ -71,19 +71,39 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    df: DataFrame, name: str, output_mode: str
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a streaming plan to completion over the currently-available
-    data (one availableNow run) and return the memory-sink table."""
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return df.sparkSession.table(name)
+    data (one availableNow run) and return the memory-sink table.
+
+    ``state_partitions`` pins the stateful-operator partition count for
+    this query (restoring the session conf afterwards). Streaming state
+    partitioning is a deploy-time decision — it is FROZEN into the
+    checkpoint at first start and every micro-batch pays a state-store
+    open/commit per partition, so size it to expected state volume, not to
+    the session's batch shuffle setting (per-batch overhead scales with
+    partition count; 8 suits the test corpus, thousands suit a real
+    cluster). ``None`` keeps the session default.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_windowed_agg(events: DataFrame) -> DataFrame:
