@@ -1,0 +1,60 @@
+"""Physical-plan quality gates: the scale claims (pushdown, broadcast,
+bounded shuffles, no stray cartesian products) asserted as tests so a
+refactor can't silently regress the plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_scan_pushes_predicates_and_prunes(spark):
+    p = _plan(spark, "filter_scan")
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in p
+    # projection pruning: only the 3 selected + 2 filter columns are read
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_discount"):
+        assert col in read
+    assert "l_extendedprice" not in read and "l_comment" not in read
+
+
+@pytest.mark.parametrize("name", ["join_dim_agg", "region_revenue", "vintage_mob"])
+def test_dim_joins_broadcast(spark, name):
+    p = _plan(spark, name)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_roll_rate_single_window_shuffle(spark):
+    # user_id pre-partitioning: both windows share one exchange; plus the
+    # final aggregation exchange -> at most 2 (AQE may list reused ones)
+    p = _plan(spark, "roll_rate")
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"roll_rate plan has {n_exchanges} hash exchanges"
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # block-pair cross joins (embedding near-dup) and the 1-row threshold
+    # broadcast are BroadcastNestedLoopJoin by design; true CartesianProduct
+    # (shuffled all-pairs) must never appear
+    for name in entry_mod.queries():
+        if name.startswith("stream_"):
+            continue  # streaming plans materialize through their own runner
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, f"{name} plan degraded to CartesianProduct"
+
+
+def test_codegen_present_in_hot_aggregations(spark):
+    for name in ("pricing_summary", "bucket_case"):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        df.collect()  # finalize the adaptive plan
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "WholeStageCodegen" in p, f"{name} lost whole-stage codegen"
