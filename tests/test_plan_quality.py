@@ -57,4 +57,5 @@ def test_codegen_present_in_hot_aggregations(spark):
         df = entry_mod.queries()[name](spark, SF_DIR)
         df.collect()  # finalize the adaptive plan
         p = df._jdf.queryExecution().executedPlan().toString()
-        assert "WholeStageCodegen" in p, f"{name} lost whole-stage codegen"
+        # codegen stages print as "*(n) Operator" in the compact plan form
+        assert "*(" in p, f"{name} lost whole-stage codegen"
