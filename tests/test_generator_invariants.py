@@ -184,3 +184,50 @@ def test_checks_detect_violations(spark, staging):
     assert checks.not_null(nulled, "loan_id") == 1
     orphan = spark.createDataFrame([(999999999,)], "loan_id long")
     assert checks.relationships(orphan, "loan_id", loan, "loan_id") == 1
+
+
+def test_behavior_distributions_match_reference_probabilities(oltp):
+    """Statistical parity (SURVEY.md §2.11): simulated behavior frequencies
+    track the reference's configured probabilities. Tolerances are ~4 sigma
+    for the generated volumes, so the test is deterministic for the pinned
+    seed yet detects broken draw plumbing."""
+    sched = oltp["repayment_schedule"]
+    pays = oltp["repayment_payment"]
+    n_inst = sched.count()
+
+    # late fraction among paid installments: p_late (0.18) plus the small
+    # near-default forced-late contribution -> band around it
+    sched_k = sched.select(
+        F.col("loan_id").alias("s_loan_id"),
+        F.col("installment_no").alias("inst"),
+        "due_date",
+    )
+    late = (
+        pays.join(
+            sched_k,
+            (pays.loan_id == F.col("s_loan_id"))
+            & ((pays.payment_id % 1000) == F.col("inst")),
+            "inner",
+        )
+        .where(F.col("payment_date") > F.col("due_date"))
+        .count()
+    )
+    frac_late = late / pays.count()
+    assert 0.12 <= frac_late <= 0.28, frac_late
+
+    # direct-debit mandate rate: p_direct_debit = 0.55 over n_loans=150
+    n_dd = oltp["direct_debit_mandate"].select("loan_id").distinct().count()
+    frac_dd = n_dd / TEST_CFG.n_loans
+    assert 0.40 <= frac_dd <= 0.70, frac_dd
+
+    # principal uniform(500, 50000): mean within 4 sigma of midpoint
+    mean_p = float(
+        oltp["loan_contract"].agg(F.avg("principal_original")).first()[0]
+    )
+    sigma = (50000 - 500) / (12 ** 0.5) / (TEST_CFG.n_loans ** 0.5)
+    assert abs(mean_p - 25250) < 4 * sigma, mean_p
+
+    # forbearance sample: exactly int(n*p) rows
+    assert oltp["forbearance_restructure_event"].count() == int(
+        TEST_CFG.n_loans * TEST_CFG.p_forbearance
+    )
