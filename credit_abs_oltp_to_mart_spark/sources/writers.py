@@ -52,6 +52,27 @@ def write_oltp_tables(
         df.write.mode(mode).parquet(f"{out_dir.rstrip('/')}/{name}.parquet")
 
 
+def write_jdbc(
+    df: DataFrame,
+    jdbc_url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 5000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """True-Postgres sink mode — the reference's actual write path
+    (paged ``execute_values`` INSERTs, 1000-5000 rows/statement,
+    pg_oltp_synth.py:118-139). Spark's JDBC writer batches per executor
+    (``batchsize`` mirrors the reference's page size) and writes all
+    partitions in parallel; ``num_partitions`` caps the connection count
+    so a 1000-executor job doesn't open 1000 sessions against one
+    Postgres."""
+    props = {"batchsize": str(batchsize), **(properties or {})}
+    out = df.repartition(num_partitions) if num_partitions else df
+    out.write.mode(mode).jdbc(jdbc_url, table, properties=props)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
