@@ -38,11 +38,20 @@ def main() -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         _materialize(spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1000))
 
+    # two passes per query, keep the min: single-run numbers swing +-2x
+    # from JVM/GC noise at this scale; min-of-2 reports steady-state plan
+    # cost (first pass also pays codegen compilation)
     timings: dict[str, float] = {}
     for name, q in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        _materialize(q(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(q(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            # drop persisted intermediates so the next pass re-pays the full
+            # plan (cold cache, warm codegen) instead of reading its own cache
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
