@@ -28,7 +28,13 @@ from credit_abs_oltp_to_mart_spark.functions.similarity import (
     random_hyperplanes,
 )
 from credit_abs_oltp_to_mart_spark.functions.text import STOPWORDS, TOKEN_PATTERN
-from credit_abs_oltp_to_mart_spark.operators import ann, dedup, multimodal, textops
+from credit_abs_oltp_to_mart_spark.operators import (
+    ann,
+    curation,
+    dedup,
+    multimodal,
+    textops,
+)
 from credit_abs_oltp_to_mart_spark import streaming
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -728,6 +734,30 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.split_assign(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.pii_scan(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (DuckDB dialect = ANSI + list lambdas)
 # ---------------------------------------------------------------------------
@@ -1074,6 +1104,144 @@ def _fingerprint_oracle() -> str:
     """
 
 
+def _split_bucket_sql(salt: str) -> str:
+    """DuckDB twin of curation.split_bucket (md5_long % 100)."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || doc_id::varchar), 1, 15))::bigint"
+        f" % {curation.SPLIT_BUCKETS})::int"
+    )
+
+
+def _split_assign_oracle() -> str:
+    t, v = curation.TRAIN_PCT, curation.TRAIN_PCT + curation.VAL_PCT
+    return f"""
+    with b as (
+      select doc_id, lang, {_split_bucket_sql("split:")} as bucket from documents)
+    select doc_id, lang, bucket,
+           case when bucket < {t} then 'train'
+                when bucket < {v} then 'val' else 'test' end as split
+    from b
+    """
+
+
+def _stratified_sample_oracle() -> str:
+    cases = " ".join(
+        f"when lang = '{lang}' then {pct}"
+        for lang, pct in sorted(curation.SAMPLE_RATES.items())
+    )
+    return f"""
+    with b as (
+      select doc_id, lang, {_split_bucket_sql("sample:")} as bucket from documents)
+    select doc_id, lang, bucket from b
+    where bucket < (case {cases} else {curation.SAMPLE_DEFAULT_PCT} end)
+    """
+
+
+def _doc_chunks_oracle() -> str:
+    c = curation.CHUNK_TOKENS
+    return f"""
+    with toks as (
+      select doc_id, string_split_regex(trim(text), ' +') as tk
+      from documents where trim(text) <> ''),
+    ch as (
+      select doc_id, tk,
+             unnest(generate_series(0, ((len(tk) + {c - 1}) // {c}) - 1)) as chunk_idx
+      from toks)
+    select doc_id, chunk_idx::int as chunk_idx,
+           least({c}, len(tk) - chunk_idx * {c})::int as n_tokens,
+           array_to_string(tk[chunk_idx * {c} + 1 : chunk_idx * {c} + {c}], ' ')
+             as chunk_text
+    from ch
+    """
+
+
+def _ngram_cte(n: int) -> str:
+    """Parameterized twin of functions.text.word_ngrams (distinct n-grams,
+    whole-doc fallback for short docs) — generalizes _SHINGLES_CTE."""
+    terms = " || ' ' || ".join(["tk[i]"] + [f"tk[i+{j}]" for j in range(1, n)])
+    return f"""
+    ntoks as (
+      select doc_id, string_split_regex(trim(text), ' +') as tk from documents
+    ),
+    ngr as (
+      select doc_id,
+             case when len(tk) < {n}
+                  then [array_to_string(tk, ' ')]
+                  else list_distinct(list_transform(
+                         generate_series(1, len(tk) - {n - 1}), i -> {terms}))
+             end as grams
+      from ntoks
+    )
+    """
+
+
+def _decontaminate_oracle() -> str:
+    t = curation.TRAIN_PCT
+    return f"""
+    with {_ngram_cte(curation.DECONTAM_N)},
+    splits as (
+      select doc_id,
+             case when {_split_bucket_sql("split:")} < {t} then 'train'
+                  else 'eval' end as is_train,
+             case when {_split_bucket_sql("split:")} < {t} then 'train'
+                  when {_split_bucket_sql("split:")} < {t + curation.VAL_PCT}
+                  then 'val' else 'test' end as split
+      from documents),
+    g as (
+      select ngr.doc_id, split, is_train, unnest(grams) as gram
+      from ngr join splits using (doc_id)),
+    tg as (select distinct gram from g where is_train = 'train'),
+    ev as (select doc_id, split, gram from g where is_train <> 'train'),
+    hits as (select doc_id, count(*) as c from ev join tg using (gram) group by 1),
+    tot as (select doc_id, split, count(*) as n from ev group by 1, 2)
+    select tot.doc_id, tot.split, n::int as n_grams,
+           coalesce(c, 0)::int as n_contaminated,
+           round(coalesce(c, 0)::double / n, 6) as contamination
+    from tot left join hits on hits.doc_id = tot.doc_id
+    """
+
+
+def _tfidf_oracle() -> str:
+    return """
+    with toks as (
+      select doc_id, unnest(string_split_regex(trim(text), ' +')) as term
+      from documents where trim(text) <> ''),
+    tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+    dfq as (select term, count(*) as df from tf group by 1),
+    scored as (
+      select doc_id, term, tf,
+             (tf * (select count(*) from documents))::double / df as score_raw
+      from tf join dfq using (term)),
+    ranked as (
+      select *, row_number() over (
+               partition by doc_id order by score_raw desc, term asc) as rnk
+      from scored)
+    select doc_id, term, tf::int as tf, round(score_raw, 6) as tfidf,
+           rnk::int as "rank"
+    from ranked where rnk <= 5
+    """
+
+
+def _pii_oracle() -> str:
+    return f"""
+    select doc_id,
+           len(regexp_extract_all(text, '{curation.EMAIL_PATTERN}'))::int as n_emails,
+           len(regexp_extract_all(text, '{curation.URL_PATTERN}'))::int as n_urls,
+           len(regexp_extract_all(text, '{curation.DIGIT_RUN_PATTERN}'))::int
+             as n_digit_runs,
+           (len(regexp_extract_all(text, '{curation.EMAIL_PATTERN}'))
+            + len(regexp_extract_all(text, '{curation.URL_PATTERN}'))
+            + len(regexp_extract_all(text, '{curation.DIGIT_RUN_PATTERN}'))) > 0
+             as has_pii,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+                    '{curation.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                    '{curation.URL_PATTERN}', '<URL>', 'g'),
+                    '{curation.DIGIT_RUN_PATTERN}', '<NUM>', 'g'))::int
+             as redacted_len
+    from documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1134,6 +1302,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "text_repetition": q_text_repetition,
+        # corpus curation (split / sample / chunk / decontaminate / tf-idf / pii)
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "decontaminate": q_decontaminate,
+        "tfidf_topk": q_tfidf_topk,
+        "pii_scan": q_pii_scan,
     }
 
 
@@ -1469,4 +1644,10 @@ def oracle_sql() -> dict[str, str]:
             left join ts using (doc_id)
             left join gs using (doc_id)
         """,
+        "split_assign": _split_assign_oracle(),
+        "stratified_sample": _stratified_sample_oracle(),
+        "doc_chunks": _doc_chunks_oracle(),
+        "decontaminate": _decontaminate_oracle(),
+        "tfidf_topk": _tfidf_oracle(),
+        "pii_scan": _pii_oracle(),
     }

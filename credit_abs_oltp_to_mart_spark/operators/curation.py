@@ -1,0 +1,246 @@
+"""Corpus-curation operators for LLM training-data pipelines: deterministic
+train/val/test splits, stratified sampling, token-window chunking,
+cross-split n-gram decontamination, TF-IDF salient terms, and PII scanning.
+
+These extend the reference's surface (it has no corpus tooling; cf. its
+generator-only data path, ``airflows/generator/pg_oltp_synth.py``) with the
+operations a 100 TB pretraining pipeline runs between "raw crawl" and
+"training shards".
+
+Scale design:
+- ``split_assign`` / ``stratified_sample`` / ``chunk_documents`` / ``pii_scan``
+  are map-only (zero shuffles): hash-bucket arithmetic and array ops run at
+  scan speed inside whole-stage codegen, so they cost one pass over the data
+  regardless of cluster size.
+- ``decontaminate`` shuffles the big (train) side once by n-gram; the eval
+  gram set is tiny by construction (held-out split), so it is broadcast to
+  the train scan — no shuffle of the 100 TB side beyond the one semi-join.
+- ``tfidf_topk`` is two hash aggregations (doc-term, then term) plus one
+  per-doc top-k window; partial aggregation halves shuffle volume before the
+  exchange.
+
+All hashing is md5-based (engine-portable) so every operator is gated by a
+bit-exact DuckDB oracle — see ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
+from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
+
+SPLIT_BUCKETS = 100
+TRAIN_PCT = 80  # buckets [0, 80) -> train
+VAL_PCT = 10  # buckets [80, 90) -> val; [90, 100) -> test
+
+# per-language keep-rate (percent) for the stratified sample: downsample the
+# dominant language, keep the long tail intact
+SAMPLE_RATES = {"en": 40, "de": 70, "es": 70, "fr": 70}
+SAMPLE_DEFAULT_PCT = 100
+
+CHUNK_TOKENS = 64
+DECONTAM_N = 5  # n-gram width for cross-split overlap
+
+
+def split_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS): md5 of salt||key.
+
+    Salted so independent decisions (split vs sample) decorrelate; md5-based
+    so the DuckDB oracle reproduces it exactly (see md5_long)."""
+    return F.pmod(
+        md5_long(F.concat(F.lit(salt), key.cast("string"))), F.lit(SPLIT_BUCKETS)
+    ).cast("int")
+
+
+def split_expr() -> Column:
+    """The split label as a pure column expression over doc_id — usable
+    inline anywhere without joining back to an assignment table."""
+    b = split_bucket(F.col("doc_id"), "split:")
+    return (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_assign(docs: DataFrame) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by doc_id hash.
+
+    Map-only: membership is a pure function of doc_id, so re-runs, backfills
+    and late-arriving shards land in the same split without any global state.
+    """
+    b = split_bucket(F.col("doc_id"), "split:")
+    return docs.select(
+        "doc_id", "lang", b.alias("bucket"), split_expr().alias("split")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Per-language deterministic downsampling (language-balancing pass).
+
+    Keep a doc iff its sample-bucket < the language's keep-rate percent.
+    Hash-threshold sampling (not .sample()) so the choice is reproducible
+    across runs and engines, and composable with incremental refresh."""
+    rates = SAMPLE_RATES if rates is None else rates
+    rate = F.lit(SAMPLE_DEFAULT_PCT)
+    for lang, pct in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    b = split_bucket(F.col("doc_id"), "sample:")
+    return (
+        docs.select("doc_id", "lang", b.alias("bucket"), rate.alias("keep_pct"))
+        .where(F.col("bucket") < F.col("keep_pct"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
+    """Split each document into fixed-width token windows (training shards).
+
+    Map-side only: tokens -> sequence of chunk starts -> slice+join, exploded.
+    No shuffle; output order is (doc_id, chunk_idx) within each input row, so
+    a downstream partitioned write needs no extra sort."""
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = ((n + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    return (
+        docs.where(n > 0)
+        .select(
+            "doc_id",
+            n.alias("doc_tokens"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("doc_tokens") - F.col("chunk_idx") * chunk_tokens,
+            )
+            .cast("int")
+            .alias("n_tokens"),
+            "chunk_text",
+        )
+    )
+
+
+def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """Eval-set contamination check: for each val/test doc, the share of its
+    word n-grams that also occur anywhere in the train split.
+
+    Plan: the gram index is built ONCE (codegen-friendly posexplode+lead
+    shingling, see dedup.shingle_rows) and persisted — it feeds the train
+    side, the eval side and the totals. The eval gram set (held-out 20%,
+    distinct grams only) is broadcast against the train gram scan, so the
+    train side is never shuffled on the gram key at scale — the
+    contaminated-gram set comes back small and is broadcast again onto the
+    per-doc eval counts. split is a pure doc_id expression, computed inline
+    (a join back to an assignment table would shuffle the corpus twice)."""
+    from credit_abs_oltp_to_mart_spark.operators.dedup import shingle_rows
+
+    grams = (
+        shingle_rows(docs, n)
+        .withColumnRenamed("shingle", "gram")
+        .withColumn("split", split_expr())
+    )
+    grams.persist()
+    ev = grams.where(F.col("split") != "train")
+    ev_gram_set = ev.select("gram").distinct()
+    # grams that exist in train AND matter to some eval doc (small set)
+    contaminated = (
+        grams.where(F.col("split") == "train")
+        .join(F.broadcast(ev_gram_set), "gram", "left_semi")
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        ev.join(F.broadcast(contaminated), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = ev.groupBy("doc_id", "split").agg(F.count(F.lit(1)).alias("n_grams"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("int").alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("contamination"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k salient terms per document by tf * N / df.
+
+    The idf is the rational form N/df (no transcendental functions) so the
+    score is a deterministic IEEE double in any engine. Ranking uses the
+    unrounded score with term as tiebreak; the emitted score is rounded to
+    6 dp for the oracle compare."""
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast(
+        "double"
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_raw"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_raw", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.round(F.col("score_raw"), 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+# explicit ASCII classes: Java regex (Spark) and RE2 (DuckDB) agree on these
+EMAIL_PATTERN = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+URL_PATTERN = "https?://[A-Za-z0-9./_-]+"
+DIGIT_RUN_PATTERN = "[0-9]{6,}"
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-doc PII signal counts (emails, URLs, long digit runs) plus the
+    length of the text after redacting them — map-only, codegen-friendly."""
+    t = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0)))
+    n_digit_runs = F.size(
+        F.regexp_extract_all(t, F.lit(DIGIT_RUN_PATTERN), F.lit(0))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"
+        ),
+        DIGIT_RUN_PATTERN,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_urls.cast("int").alias("n_urls"),
+        n_digit_runs.cast("int").alias("n_digit_runs"),
+        ((n_emails + n_urls + n_digit_runs) > 0).alias("has_pii"),
+        F.length(redacted).cast("int").alias("redacted_len"),
+    )

@@ -1,0 +1,120 @@
+"""Operator-level invariants for the corpus-curation module (the contract
+test already gates each query bit-exactly vs DuckDB; these check the
+semantic properties a pipeline relies on)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.operators import curation
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_split_is_total_and_deterministic(docs):
+    assigned = curation.split_assign(docs)
+    n_docs = docs.count()
+    assert assigned.count() == n_docs  # every doc assigned exactly once
+    counts = {r["split"]: r["count"] for r in assigned.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n_docs
+    # hash buckets are uniform-ish: train should dominate, test/val minority
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+    # pure function of doc_id: a second evaluation is identical
+    again = curation.split_assign(docs)
+    assert assigned.exceptAll(again).count() == 0
+
+
+def test_stratified_sample_is_subset_with_lower_en_rate(docs):
+    sampled = curation.stratified_sample(docs)
+    assert sampled.join(docs, "doc_id", "left_anti").count() == 0
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept = {r["lang"]: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    # en is downsampled hardest (40%); rate ordering should show up even at
+    # small n because buckets are uniform md5 hashes
+    en_rate = kept.get("en", 0) / base["en"]
+    assert en_rate < 0.65
+
+
+def test_chunks_reassemble_to_normalized_text(docs):
+    chunks = curation.chunk_documents(docs)
+    glued = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("glued")
+        )
+    )
+    orig = docs.select(
+        "doc_id",
+        F.array_join(
+            F.split(F.trim(F.col("text")), "[ ]+"), " "
+        ).alias("norm"),
+    ).where(F.trim(F.col("text")) != "")
+    bad = glued.join(orig, "doc_id").where(F.col("glued") != F.col("norm"))
+    assert bad.count() == 0
+
+
+def test_chunk_sizes(docs):
+    chunks = curation.chunk_documents(docs).cache()
+    assert chunks.where(F.col("n_tokens") > curation.CHUNK_TOKENS).count() == 0
+    assert chunks.where(F.col("n_tokens") <= 0).count() == 0
+    # every chunk except a doc's last is exactly CHUNK_TOKENS wide
+    last = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last_idx"))
+    non_last = chunks.join(last, "doc_id").where(
+        F.col("chunk_idx") < F.col("last_idx")
+    )
+    assert non_last.where(F.col("n_tokens") != curation.CHUNK_TOKENS).count() == 0
+    chunks.unpersist()
+
+
+def test_decontaminate_covers_eval_only(docs):
+    out = curation.decontaminate(docs).cache()
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"val", "test"}
+    assert out.where(
+        (F.col("contamination") < 0) | (F.col("contamination") > 1)
+    ).count() == 0
+    assert out.where(F.col("n_contaminated") > F.col("n_grams")).count() == 0
+    # every val/test doc appears exactly once
+    n_eval = curation.split_assign(docs).where(F.col("split") != "train").count()
+    assert out.count() == n_eval
+    out.unpersist()
+
+
+def test_tfidf_ranks_are_dense_topk(docs):
+    out = curation.tfidf_topk(docs, k=5).cache()
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+    )
+    assert per_doc.where(F.col("n") > 5).count() == 0
+    assert per_doc.where((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+    out.unpersist()
+
+
+def test_pii_scan_counts_injected_signals(spark):
+    rows = [
+        (1, "contact me at bob@example.com or visit https://example.com/x today"),
+        (2, "card 1234567890 and backup 999999 plus a@b.c"),
+        (3, "clean text with no signals at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in curation.pii_scan(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
+    assert out[1]["has_pii"] is True
+    assert out[2]["n_digit_runs"] == 2 and out[2]["n_emails"] == 1
+    assert out[3]["has_pii"] is False
+    # redaction replaces, never grows unboundedly: doc 3 untouched
+    assert out[3]["redacted_len"] == len(rows[2][1])
