@@ -638,6 +638,13 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_memory(plan, "mem_stream_sessionize", "update")
 
 
+def q_stream_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = streaming.stream_enriched_agg(
+        streaming.events_stream(spark, sf_dir), _t(spark, sf_dir, "customer")
+    )
+    return streaming.run_to_memory(plan, "mem_stream_enriched_agg", "complete")
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline extensions (dedup / ANN / text analysis)
 # ---------------------------------------------------------------------------
@@ -1285,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg": q_stream_windowed_agg,
         "stream_distinct_keys": q_stream_distinct_keys,
         "stream_sessionize": q_stream_sessionize,
+        "stream_enriched_agg": q_stream_enriched_agg,
         # training-data pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1583,6 +1591,14 @@ def oracle_sql() -> dict[str, str]:
         "stream_distinct_keys": """
             select distinct user_id, event_type, cast(ts as date) as day
             from events
+        """,
+        "stream_enriched_agg": """
+            select cast(date_trunc('day', ts) as date) as day,
+                   c_mktsegment as mktsegment,
+                   count(*) as n_events,
+                   cast(sum(cast(value as decimal(18,2))) as double) as total_value
+            from events e join customer c on e.user_id = c.c_custkey
+            group by 1, 2
         """,
         "stream_sessionize": """
             with flagged as (

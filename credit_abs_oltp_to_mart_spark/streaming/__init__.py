@@ -4,6 +4,7 @@ from credit_abs_oltp_to_mart_spark.streaming.ops import (  # noqa: F401
     events_stream,
     run_to_memory,
     stream_distinct_keys,
+    stream_enriched_agg,
     stream_sessionize,
     stream_windowed_agg,
 )

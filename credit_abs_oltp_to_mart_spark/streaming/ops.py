@@ -133,6 +133,40 @@ def stream_windowed_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_enriched_agg(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join enrichment: the event stream joined to the static
+    customer dimension, then watermarked daily aggregation per segment.
+
+    The dim side is broadcast — the canonical streaming-enrichment shape:
+    no stream-side shuffle for the join, each micro-batch probes the
+    broadcast hash table at scan speed, and only the post-join aggregation
+    shuffles (on the day/segment key). On a cluster, a slowly-changing dim
+    would be re-broadcast per batch via a snapshot view; semantics are
+    identical."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_distinct_keys(events: DataFrame) -> DataFrame:
     """Streaming dedup to distinct (user_id, event_type, day) keys.
 
