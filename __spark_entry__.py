@@ -582,6 +582,56 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based aggregate).
+
+    ``percentile()`` is the exact linear-interpolation quantile — the same
+    arithmetic as DuckDB ``quantile_cont``, hence bit-exact. At 100 TB swap
+    in ``approx_percentile`` (t-digest, mergeable partial agg): the exact
+    form needs each group's full value set on one reducer."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+def q_window_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions (ntile / percent_rank / cume_dist) under
+    a total deterministic ordering (acctbal with custkey tiebreak) — one
+    shuffle on the partition key feeds all three."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + grouping_id: all four aggregation levels of
+    (returnflag, linestatus) in one pass; map-side partial aggregation
+    applies to every grouping set before the single shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").cast(_D182).alias("price"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.sum("price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1286,7 +1336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
         "pivot_monthly": q_pivot_monthly,
+        "value_percentiles": q_value_percentiles,
+        "window_variety": q_window_variety,
         "skew_salted_agg": q_skew_salted_agg,
         # structured-streaming surface
         "stream_windowed_agg": q_stream_windowed_agg,
@@ -1560,6 +1613,31 @@ def oracle_sql() -> dict[str, str]:
             join nation on c_nationkey = n_nationkey
             join region on n_regionkey = r_regionkey
             group by rollup(r_name, n_name)
+        """,
+        "cube_revenue": """
+            select l_returnflag, l_linestatus,
+                   grouping(l_returnflag, l_linestatus) as gid,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+                     as revenue,
+                   count(*) as n_rows
+            from lineitem
+            group by cube (l_returnflag, l_linestatus)
+        """,
+        "value_percentiles": """
+            select event_type, count(*) as n,
+                   quantile_cont(value, 0.5) as p50,
+                   quantile_cont(value, 0.9) as p90,
+                   quantile_cont(value, 0.99) as p99
+            from events group by 1
+        """,
+        "window_variety": """
+            select c_custkey, c_mktsegment as segment,
+                   ntile(4) over w as quartile,
+                   percent_rank() over w as pct_rank,
+                   cume_dist() over w as cum_dist
+            from customer
+            window w as (partition by c_mktsegment
+                         order by c_acctbal asc, c_custkey asc)
         """,
         "pivot_monthly": """
             select cast(date_trunc('month', ts) as date) as month,
