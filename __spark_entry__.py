@@ -815,6 +815,10 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pii_scan(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.pack_chunks(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (DuckDB dialect = ANSI + list lambdas)
 # ---------------------------------------------------------------------------
@@ -1279,6 +1283,35 @@ def _tfidf_oracle() -> str:
     """
 
 
+def _pack_chunks_oracle() -> str:
+    c = curation.CHUNK_TOKENS
+    return f"""
+    with toks as (
+      select doc_id, string_split_regex(trim(text), ' +') as tk
+      from documents where trim(text) <> ''),
+    ch as (
+      select doc_id, tk,
+             unnest(generate_series(0, ((len(tk) + {c - 1}) // {c}) - 1)) as chunk_idx
+      from toks),
+    sized as (
+      select doc_id, chunk_idx::int as chunk_idx,
+             least({c}, len(tk) - chunk_idx * {c})::int as n_tokens,
+             (('0x' || substr(md5('shard:' || doc_id::varchar), 1, 15))::bigint
+              % {curation.PACK_SHARDS})::int as shard
+      from ch),
+    packed as (
+      select shard, doc_id, chunk_idx, n_tokens,
+             coalesce(sum(n_tokens) over (
+               partition by shard order by doc_id, chunk_idx
+               rows between unbounded preceding and 1 preceding), 0)::bigint
+               as start_tok
+      from sized)
+    select shard, doc_id, chunk_idx, n_tokens, start_tok,
+           start_tok // {curation.PACK_BIN_TOKENS} as bin
+    from packed
+    """
+
+
 def _pii_oracle() -> str:
     return f"""
     select doc_id,
@@ -1370,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "tfidf_topk": q_tfidf_topk,
         "pii_scan": q_pii_scan,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -1744,4 +1778,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
+        "pack_chunks": _pack_chunks_oracle(),
     }

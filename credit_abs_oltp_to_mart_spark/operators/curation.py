@@ -214,6 +214,50 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+PACK_BIN_TOKENS = 256
+PACK_SHARDS = 8
+
+
+def pack_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    bin_tokens: int = PACK_BIN_TOKENS,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Sequence packing (concat-then-cut): route chunks to shards by doc
+    hash, lay them end-to-end per shard in (doc_id, chunk_idx) order, and
+    assign each chunk to the fixed-width token bin its start offset lands
+    in — the layout LLM trainers consume.
+
+    One shuffle (the shard key) and one window pass per shard. Shard count
+    is the parallelism knob: 8 here, thousands on a cluster — packing
+    stays deterministic because shard routing is an md5 hash of doc_id,
+    not a physical partition id."""
+    ch = chunk_documents(docs, chunk_tokens)
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(shards),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ch.withColumn("shard", shard.cast("int"))
+        .select(
+            "shard",
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            .cast("long")
+            .alias("start_tok"),
+        )
+        .withColumn("bin", F.expr(f"start_tok div {bin_tokens}"))
+    )
+
+
 # explicit ASCII classes: Java regex (Spark) and RE2 (DuckDB) agree on these
 EMAIL_PATTERN = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
 URL_PATTERN = "https?://[A-Za-z0-9./_-]+"

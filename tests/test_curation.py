@@ -104,6 +104,35 @@ def test_tfidf_ranks_are_dense_topk(docs):
     out.unpersist()
 
 
+def test_pack_chunks_is_gapless_concatenation(docs):
+    from pyspark.sql import Window
+
+    packed = curation.pack_chunks(docs).cache()
+    w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    gaps = (
+        packed.withColumn(
+            "expected",
+            F.coalesce(
+                F.lag(F.col("start_tok") + F.col("n_tokens")).over(w), F.lit(0)
+            ),
+        )
+        .where(F.col("start_tok") != F.col("expected"))
+        .count()
+    )
+    assert gaps == 0  # chunks tile each shard with no gaps or overlaps
+    # same chunk inventory as chunk_documents, just routed and offset
+    assert packed.count() == curation.chunk_documents(docs).count()
+    # deterministic shard routing: all chunks of a doc share one shard
+    assert (
+        packed.groupBy("doc_id")
+        .agg(F.countDistinct("shard").alias("s"))
+        .where(F.col("s") != 1)
+        .count()
+        == 0
+    )
+    packed.unpersist()
+
+
 def test_pii_scan_counts_injected_signals(spark):
     rows = [
         (1, "contact me at bob@example.com or visit https://example.com/x today"),

@@ -52,6 +52,34 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in p, f"{name} plan degraded to CartesianProduct"
 
 
+@pytest.mark.parametrize(
+    "name", ["split_assign", "stratified_sample", "doc_chunks", "pii_scan"]
+)
+def test_map_only_curation_ops_never_shuffle(spark, name):
+    # these ops are pure per-row functions of the input: any Exchange in the
+    # plan means someone added an accidental aggregation/join
+    p = _plan(spark, name)
+    assert "Exchange" not in p, f"{name} claims map-only but shuffles:\n{p}"
+
+
+def test_decontaminate_broadcasts_the_eval_gram_set(spark):
+    # the train side must never shuffle on the gram key: both gram joins are
+    # broadcast semi-joins, and the only hash exchanges are the distinct /
+    # per-doc aggregations
+    p = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tfidf_broadcasts_corpus_count_only(spark):
+    # N (1 row) joins via broadcast nested loop; the term-df join stays a
+    # shuffle join ON PURPOSE (vocabulary is unbounded at 100 TB) — but it
+    # must not degrade to a cartesian product
+    p = _plan(spark, "tfidf_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_codegen_present_in_hot_aggregations(spark):
     for name in ("pricing_summary", "bucket_case"):
         df = entry_mod.queries()[name](spark, SF_DIR)
