@@ -37,6 +37,60 @@ def read_oltp_table(
     return spark.read.parquet(f"{base_dir.rstrip('/')}/{table}.parquet")
 
 
+def _landing_schema(table: str):
+    """Table DDL plus a ``_corrupt_record`` capture column for quarantine."""
+    import pyspark.sql.types as T
+
+    schema = schemas.ALL_OLTP_TABLES[table]
+    return T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+
+
+def read_landing_csv(
+    spark: SparkSession, path: str, table: str, header: bool = True
+) -> DataFrame:
+    """CSV landing-zone ingestion (S1 ext): explicit DDL, never inferSchema
+    (inference is a second full scan at 100 TB), PERMISSIVE mode with
+    malformed rows captured in ``_corrupt_record`` so bad data quarantines
+    instead of failing the job. Splittable: uncompressed/bzip2 CSV reads in
+    parallel per HDFS block."""
+    return (
+        spark.read.schema(_landing_schema(table))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def read_landing_json(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """JSON-lines landing ingestion with the same explicit-schema +
+    quarantine posture as the CSV path."""
+    return (
+        spark.read.schema(_landing_schema(table))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows, quarantined_rows) from a landing read — clean rows drop
+    the capture column; quarantined rows keep only it (for replay).
+
+    The parsed scan is persisted first: Spark disallows queries that touch
+    only the corrupt-record column of a raw file scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the split
+    reads the parse twice anyway."""
+    from pyspark.sql import functions as F
+
+    df = df.persist()
+    clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, bad
+
+
 def read_sources(
     spark: SparkSession, base_dir: str, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:
