@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas-UDF type hints must resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -488,6 +490,40 @@ def q_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return e.groupBy("user_id").applyInPandas(
         _stats, "user_id long, n_events long, n_increasing long"
+    )
+
+
+def q_grouped_pandas_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (vectorized UDAF — completes the pandas
+    UDF taxonomy next to the grouped-map and map variants): exposure-weighted
+    mean discount per returnflag.
+
+    All arithmetic inside the UDF is int64 (cents / basis points), so the
+    result is independent of row order within the group — float accumulation
+    there would be shuffle-order-dependent and break the oracle. Magnitude
+    headroom: |price_cents * disc_bp| < 2^63 up to ~1e8 rows per group; at
+    larger scale switch the partial sums to Python ints (arbitrary
+    precision) or a decimal aggregation."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price_cents: pd.Series, disc_bp: pd.Series) -> float:
+        den = int(price_cents.sum())
+        if den == 0:
+            return None
+        num = int((price_cents * disc_bp).sum())
+        return float(num) / float(den)
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast(_D182) * 100)
+        .cast("long")
+        .alias("price_cents"),
+        (F.col("l_discount").cast(_D184) * 10000).cast("long").alias("disc_bp"),
+    )
+    return base.groupBy("l_returnflag").agg(
+        wavg("price_cents", "disc_bp").alias("wavg_discount_bp")
     )
 
 
@@ -1364,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "sessionize": q_sessionize,
         "grouped_pandas_stats": q_grouped_pandas_stats,
+        "grouped_pandas_wavg": q_grouped_pandas_wavg,
         "json_extract": q_json_extract,
         "range_window": q_range_window,
         "set_ops": q_set_ops,
@@ -1602,6 +1639,21 @@ def oracle_sql() -> dict[str, str]:
             select user_id, count(*) as n_events,
                    count(*) filter (where value > prev_value) as n_increasing
             from ordered group by 1
+        """,
+        "grouped_pandas_wavg": """
+            with b as (
+              select l_returnflag,
+                     cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+                       as price_cents,
+                     cast(cast(l_discount as decimal(18,4)) * 10000 as bigint)
+                       as disc_bp
+              from lineitem)
+            select l_returnflag,
+                   case when sum(price_cents) = 0 then null
+                        else cast(sum(price_cents * disc_bp) as double)
+                             / cast(sum(price_cents) as double) end
+                     as wavg_discount_bp
+            from b group by 1
         """,
         "json_extract": """
             select event_type,
