@@ -527,6 +527,35 @@ def q_grouped_pandas_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reconcile_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED-map pandas UDF (cogroup().applyInPandas — completes the
+    pandas-UDF taxonomy): per-key FIFO reconciliation of two tables, the
+    batch form of the reference generator's payment-allocation walk. Here
+    the customer's orders are the "schedule" and their events the
+    "payments"; all arithmetic is int64 cents (order-independent)."""
+    from credit_abs_oltp_to_mart_spark.operators.reconcile import (
+        reconcile_payments,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("cust_id"), "value"
+    )
+    return reconcile_payments(
+        o,
+        e,
+        key="cust_id",
+        due="o_totalprice",
+        sched_order=("o_orderdate", "o_orderkey"),
+        recv="value",
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: parse the JSON props column, extract
     a typed field, aggregate on it (JVM-side json path, no UDF)."""
@@ -1401,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "grouped_pandas_stats": q_grouped_pandas_stats,
         "grouped_pandas_wavg": q_grouped_pandas_wavg,
+        "reconcile_waterfall": q_reconcile_waterfall,
         "json_extract": q_json_extract,
         "range_window": q_range_window,
         "set_ops": q_set_ops,
@@ -1654,6 +1684,41 @@ def oracle_sql() -> dict[str, str]:
                              / cast(sum(price_cents) as double) end
                      as wavg_discount_bp
             from b group by 1
+        """,
+        "reconcile_waterfall": """
+            with s as (
+              select o_custkey as cust_id, count(*)::int as n_installments,
+                     sum(cast(round(o_totalprice * 100) as bigint))
+                       as scheduled_cents
+              from orders group by 1),
+            p as (
+              select user_id as cust_id, count(*)::int as n_payments,
+                     sum(cast(round(value * 100) as bigint)) as received_cents
+              from events group by 1),
+            cum as (
+              select o_custkey as cust_id,
+                     sum(cast(round(o_totalprice * 100) as bigint)) over (
+                       partition by o_custkey
+                       order by o_orderdate, o_orderkey
+                       rows between unbounded preceding and current row)
+                       as cum_due
+              from orders),
+            pif as (
+              select cum.cust_id, count(*)::int as paid_in_full_cnt
+              from cum join p using (cust_id)
+              where cum.cum_due <= p.received_cents
+              group by 1)
+            select cust_id,
+                   coalesce(s.n_installments, 0) as n_installments,
+                   coalesce(p.n_payments, 0) as n_payments,
+                   coalesce(s.scheduled_cents, 0) as scheduled_cents,
+                   coalesce(p.received_cents, 0) as received_cents,
+                   coalesce(pif.paid_in_full_cnt, 0) as paid_in_full_cnt,
+                   coalesce(p.received_cents, 0)
+                     - coalesce(s.scheduled_cents, 0) as residual_cents
+            from s
+            full outer join p using (cust_id)
+            left join pif using (cust_id)
         """,
         "json_extract": """
             select event_type,
