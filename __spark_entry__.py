@@ -785,6 +785,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components (iterative
+    min-label propagation + pointer jumping) over the exact-Jaccard pair
+    graph; component id = min doc_id, plus cluster size."""
+    from credit_abs_oltp_to_mart_spark.operators.components import (
+        dedup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+    return dedup_clusters(docs, pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1450,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_force": q_ann_brute_force,
@@ -1853,6 +1869,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_clusters": f"""
+            with recursive {_SHINGLES_CTE},
+            ex as (select doc_id, unnest(shingles) as shingle from sh),
+            sizes as (select doc_id, len(shingles) as n from sh),
+            cpairs as (
+              select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+              from ex a join ex b using (shingle)
+              where a.doc_id < b.doc_id
+              group by 1, 2),
+            jpairs as (
+              select doc_a, doc_b from (
+                select doc_a, doc_b,
+                       round(n_shared::double / (sa.n + sb.n - n_shared), 6)
+                         as jaccard
+                from cpairs
+                join sizes sa on sa.doc_id = doc_a
+                join sizes sb on sb.doc_id = doc_b) z
+              where jaccard >= {JACCARD_THRESHOLD}),
+            e as (
+              select doc_a as src, doc_b as dst from jpairs
+              union all
+              select doc_b, doc_a from jpairs),
+            reach(v, s) as (
+              select doc_id, doc_id from documents
+              union
+              select e.dst, r.s
+              from reach r join e on r.v = e.src
+              where r.s < e.dst),
+            comp as (
+              select v as doc_id, min(s) as component_id from reach group by 1)
+            select doc_id, component_id,
+                   count(*) over (partition by component_id) as cluster_size
+            from comp
+        """,
         "simhash": _simhash_oracle(),
         "dedup_embedding": _emb_near_dup_oracle(),
         "ann_brute_force": _ann_brute_oracle(),
