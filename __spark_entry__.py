@@ -1413,6 +1413,156 @@ def _pii_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Temporal operators / sketches / profiling (operators/temporal.py etc.)
+# ---------------------------------------------------------------------------
+
+INTERVAL_JOIN_WINDOW_S = 900
+KMV_K = 64
+_KMV_M_INT = 16**15  # 2^60: hash domain of the 15-hex-digit md5 prefix
+
+
+def q_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi key (time-bucketed): every purchase opens a
+    15-minute attribution window; count/sum the clicks of ANY user that
+    land in it. Empty windows are kept (left join back to the intervals)."""
+    from credit_abs_oltp_to_mart_spark.operators.temporal import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("buyer_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 900 SECONDS")).alias("end"),
+    )
+    pts = e.where(F.col("event_type") == "click").select(
+        F.col("ts"), F.col("value")
+    )
+    matched = (
+        interval_join(
+            pts, iv, point_ts="ts", start="start", end="end",
+            bucket_seconds=INTERVAL_JOIN_WINDOW_S,
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("value").cast(_D182)).alias("sum_dec"),
+        )
+    )
+    return (
+        iv.select("purchase_id", "buyer_id")
+        .join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "buyer_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("sum_dec").cast("double"), F.lit(0.0)).alias(
+                "sum_click_value"
+            ),
+        )
+    )
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate (hour -> day -> week), each
+    level built from the previous level's partials; raw scanned once."""
+    from credit_abs_oltp_to_mart_spark.operators.temporal import (
+        hypertable_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return hypertable_rollup(
+        e, ts_col="ts", dims=("event_type",), measure="value"
+    ).select(
+        "resolution_s",
+        F.floor(F.unix_timestamp("bucket_start")).cast("long").alias("bucket_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_scd2_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension from the event change log: collapse each user's
+    consecutive same-event_type runs into validity intervals."""
+    from credit_abs_oltp_to_mart_spark.operators.temporal import (
+        scd2_from_changelog,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        e, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("version").cast("long").alias("version"),
+        "n_changes",
+        "is_current",
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event_type (estimate is a pure
+    function of md5 order statistics, so the oracle reproduces it)."""
+    from credit_abs_oltp_to_mart_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        group_cols=("event_type",),
+        k=KMV_K,
+    )
+
+
+# lineitem dtypes for the profile oracle (driver testdata schema)
+_LINEITEM_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ANALYZE-style profile of lineitem (nulls, exact
+    distincts, min/max) unpivoted to one row per column."""
+    from credit_abs_oltp_to_mart_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"))
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _LINEITEM_PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"min({c})::double", f"max({c})::double"
+            ms, xs = "null::varchar", "null::varchar"
+        elif kind == "ts":
+            mn = f"floor(epoch(min({c})))::double"
+            mx = f"floor(epoch(max({c})))::double"
+            ms, xs = "null::varchar", "null::varchar"
+        else:
+            mn, mx = "null::double", "null::double"
+            ms, xs = f"min({c})", f"max({c})"
+        parts.append(
+            f"""select '{c}' as column_name, count(*) as n_rows,
+                count(*) - count({c}) as n_nulls,
+                count(distinct {c}) as n_distinct,
+                {mn} as min_num, {mx} as max_num,
+                {ms} as min_str, {xs} as max_str from lineitem"""
+        )
+    return "\nunion all\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1487,6 +1637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "pii_scan": q_pii_scan,
         "pack_chunks": q_pack_chunks,
+        "interval_join_agg": q_interval_join_agg,
+        "hypertable_rollup": q_hypertable_rollup,
+        "scd2_changelog": q_scd2_changelog,
+        "kmv_distinct": q_kmv_distinct,
+        "profile_stats": q_profile_stats,
     }
 
 
@@ -1946,4 +2101,77 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
+        "interval_join_agg": f"""
+            with p as (select event_id as purchase_id, user_id as buyer_id,
+                              ts as s,
+                              ts + interval {INTERVAL_JOIN_WINDOW_S} second as e
+                       from events where event_type = 'purchase'),
+            c as (select ts, value from events where event_type = 'click')
+            select purchase_id, buyer_id,
+                   count(c.ts) as n_clicks,
+                   cast(coalesce(sum(cast(value as decimal(18,2))), 0)
+                        as double) as sum_click_value
+            from p left join c on c.ts >= p.s and c.ts < p.e
+            group by purchase_id, buyer_id
+        """,
+        "hypertable_rollup": """
+            with e as (select floor(epoch(ts))::bigint as sec, event_type,
+                              cast(value as decimal(18,2)) as v from events),
+            r1 as (select (sec // 3600) * 3600 as b, event_type,
+                          count(*) as n, sum(v) as s from e group by 1, 2),
+            r2 as (select (b // 86400) * 86400 as b, event_type,
+                          sum(n)::bigint as n, sum(s) as s from r1 group by 1, 2),
+            r3 as (select (b // 604800) * 604800 as b, event_type,
+                          sum(n)::bigint as n, sum(s) as s from r2 group by 1, 2)
+            select 3600 as resolution_s, b as bucket_s, event_type,
+                   n as n_events, cast(s as double) as sum_value from r1
+            union all
+            select 86400, b, event_type, n, cast(s as double) from r2
+            union all
+            select 604800, b, event_type, n, cast(s as double) from r3
+        """,
+        "scd2_changelog": """
+            with f as (
+              select user_id, event_type, ts, event_id,
+                     case when lag(event_type) over w is null
+                            or lag(event_type) over w <> event_type
+                          then 1 else 0 end as flag
+              from events
+              window w as (partition by user_id order by ts, event_id)),
+            i as (
+              select user_id, event_type, ts,
+                     sum(flag) over (partition by user_id
+                                     order by ts, event_id)::bigint as island
+              from f),
+            runs as (
+              select user_id, event_type, island,
+                     min(ts) as valid_from, count(*) as n_changes
+              from i group by 1, 2, 3)
+            select user_id, event_type,
+                   epoch_us(valid_from) as valid_from_us,
+                   epoch_us(lead(valid_from) over wk) as valid_to_us,
+                   island as version, n_changes,
+                   (lead(valid_from) over wk is null) as is_current
+            from runs
+            window wk as (partition by user_id order by island)
+        """,
+        "kmv_distinct": f"""
+            with h as (select distinct event_type,
+                         ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint
+                           as h
+                       from events),
+            r as (select event_type, h,
+                         row_number() over (partition by event_type
+                                            order by h) as rn
+                  from h),
+            t as (select event_type, count(*) as n_hashes, max(h) as hk
+                  from r where rn <= {KMV_K} group by 1)
+            select event_type, n_hashes,
+                   case when n_hashes < {KMV_K} then n_hashes::double
+                        else floor(({KMV_K - 1} * {float(_KMV_M_INT)!r} / hk)
+                                   * 1e6 + 0.5) / 1e6
+                   end as est_distinct
+            from t
+        """,
+        "profile_stats": _profile_oracle(),
     }
