@@ -760,6 +760,49 @@ def q_stream_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_memory(plan, "mem_stream_enriched_agg", "complete")
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (click -> purchase within 15 min, same
+    user) with watermark-bounded join state; append output."""
+    plan = streaming.stream_stream_join(streaming.events_stream(spark, sf_dir))
+    return streaming.run_to_memory(plan, "mem_stream_stream_join", "append")
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on a snapshot: a deterministic I/U/D change
+    feed derived from orders applied to the customer dimension via
+    broadcast anti-join + union (target never shuffles)."""
+    from credit_abs_oltp_to_mart_spark.operators.cdc import apply_cdc
+
+    cust = _t(spark, sf_dir, "customer")
+    fsum = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_D182)).alias("__bal"))
+    )
+    upd = fsum.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("__bal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 19 == 0, "D").otherwise("U").alias("op"),
+    )
+    ins = fsum.where(F.col("o_custkey") % 23 == 0).select(
+        (F.col("o_custkey") + 10_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("o_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.col("__bal").cast("double").alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    return apply_cdc(cust, upd.unionByName(ins), key="c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline extensions (dedup / ANN / text analysis)
 # ---------------------------------------------------------------------------
@@ -1611,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_keys": q_stream_distinct_keys,
         "stream_sessionize": q_stream_sessionize,
         "stream_enriched_agg": q_stream_enriched_agg,
+        "stream_stream_join": q_stream_stream_join,
+        "cdc_upsert": q_cdc_upsert,
         # training-data pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2174,4 +2219,37 @@ def oracle_sql() -> dict[str, str]:
             from t
         """,
         "profile_stats": _profile_oracle(),
+        "stream_stream_join": """
+            select c.user_id, c.event_id as click_id, p.event_id as purchase_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) as gap_us
+            from events c
+            join events p
+              on p.user_id = c.user_id
+             and p.ts >= c.ts
+             and p.ts < c.ts + interval 15 minute
+            where c.event_type = 'click' and p.event_type = 'purchase'
+        """,
+        "cdc_upsert": """
+            with fsum as (
+              select o_custkey as k,
+                     cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                       as bal
+              from orders where o_orderstatus = 'F' group by 1),
+            kept as (
+              select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+              from customer c
+              where not exists (select 1 from fsum where k = c.c_custkey)),
+            upd as (
+              select c_custkey, c_name, c_nationkey, bal as c_acctbal,
+                     c_mktsegment
+              from customer join fsum on k = c_custkey
+              where c_custkey % 19 <> 0),
+            ins as (
+              select k + 10000000 as c_custkey, 'NEW#' || k as c_name,
+                     0 as c_nationkey, bal as c_acctbal, 'CDC' as c_mktsegment
+              from fsum where k % 23 = 0)
+            select * from kept
+            union all select * from upd
+            union all select * from ins
+        """,
     }

@@ -6,5 +6,6 @@ from credit_abs_oltp_to_mart_spark.streaming.ops import (  # noqa: F401
     stream_distinct_keys,
     stream_enriched_agg,
     stream_sessionize,
+    stream_stream_join,
     stream_windowed_agg,
 )

@@ -241,3 +241,46 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound: each click
+    joined to the same user's purchases in the following 15 minutes.
+
+    Both sides carry watermarks and the join condition bounds purchase time
+    relative to click time, so Spark can size the join state: a click is
+    held only until the purchase-side watermark passes click_ts + 15 min,
+    then evicted — state is O(events in the watermark horizon), not O(all
+    history). Append-only output (the one mode stream-stream inner joins
+    support). Self-joining one source stream is fine — Spark treats the
+    two branches as independent streams with independent state.
+    """
+    clicks = (
+        events.withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        events.withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )

@@ -88,3 +88,57 @@ def test_stream_sessionize_multibatch(spark, tmp_path):
     assert _collect_sorted(w_last, cols) == _collect_sorted(exp, cols)
     # and some session must have been re-emitted across batches (state reuse)
     assert out.count() > w_last.count()
+
+
+def test_stream_stream_join_multibatch(spark, tmp_path):
+    """Click->purchase join pairs must survive micro-batch boundaries:
+    time-sliced files, one per trigger, vs the batch range join."""
+    import time
+
+    from __spark_entry__ import _t
+
+    e = _t(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    thirds = e.select(
+        F.percentile_approx(F.col("ts").cast("double"), [1 / 3, 2 / 3], 10000)
+    ).first()[0]
+    src = tmp_path / "ss_events"
+    slices = [
+        e.where(F.col("ts").cast("double") <= thirds[0]),
+        e.where(
+            (F.col("ts").cast("double") > thirds[0])
+            & (F.col("ts").cast("double") <= thirds[1])
+        ),
+        e.where(F.col("ts").cast("double") > thirds[1]),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(slices[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "slice=*"))
+    )
+    got = streaming.run_to_memory(
+        streaming.stream_stream_join(stream), "mem_test_ssj", "append"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    exp = c.join(p, "user_id").where(
+        (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 15 MINUTES"))
+    ).select(
+        "user_id", "click_id", "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    cols = ["user_id", "click_id", "purchase_id", "gap_us"]
+    assert _collect_sorted(got, cols) == _collect_sorted(exp, cols)
+    assert got.count() > 0
