@@ -1606,6 +1606,112 @@ def _profile_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Iterative algorithms: PageRank (fixed point), k-means (fixed point)
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 8
+KMEANS_ITERS = 3
+KMEANS_INIT_IDS = IVF_CENTROID_IDS
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 power iterations over a deterministic 2-regular permutation graph
+    on customers; bigint fixed-point arithmetic makes the trajectory
+    bit-identical to the oracle's unrolled recursion."""
+    from credit_abs_oltp_to_mart_spark.operators.pagerank import pagerank
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    n = cust.count()
+    edges = cust.select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        cust.select(
+            F.col("id").alias("src"), ((F.col("id") * 13 + 5) % n).alias("dst")
+        )
+    )
+    return pagerank(edges, cust, iterations=PAGERANK_ITERS)
+
+
+def _pagerank_oracle(iters: int = PAGERANK_ITERS) -> str:
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+            c{i} as (select ed.dst as id, sum(r.r // ed.deg) as s
+                     from r{i} r join ed on r.id = ed.src group by 1),
+            r{i + 1} as (select v.id,
+                           (150000000000 + (85 * coalesce(c{i}.s, 0)) // 100)::bigint as r
+                         from v left join c{i} on v.id = c{i}.id)""")
+        # NB: // floors, but every operand here is non-negative, so it
+        # agrees with Spark's truncating `div`
+    return (
+        """
+        with v as (select c_custkey as id from customer),
+        nn as (select count(*) as n from customer),
+        e as (select id as src, (id * 7 + 3) % n as dst from v, nn
+              union all
+              select id, (id * 13 + 5) % n from v, nn),
+        deg as (select src, count(*) as deg from e group by 1),
+        ed as (select e.src, e.dst, deg.deg from e join deg using (src)),
+        r0 as (select id, 1000000000000::bigint as r from v),"""
+        + ",".join(steps)
+        + f" select id, r as rank_fp from r{iters}"
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd rounds over the embeddings (integer fixed point; init =
+    the IVF codebook member vectors); returns the final assignment."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(
+        _t(spark, sf_dir, "embeddings"),
+        init_ids=KMEANS_INIT_IDS,
+        iterations=KMEANS_ITERS,
+    )
+
+
+def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
+    ids = ", ".join(str(i) for i in KMEANS_INIT_IDS)
+    parts = [
+        f"""
+        with v as (select vec_id as vid,
+                     list_transform(embedding, x -> cast(case when x >= 0
+                       then floor(x::double * 1000000 + 0.5)
+                       else -floor(-x::double * 1000000 + 0.5) end
+                       as bigint)) as a
+                   from embeddings),
+        u as (select vid, g.d, a[g.d] as val
+              from v, generate_series(1, 64) g(d)),
+        c0 as (select vid as cid, d, val as c from u where vid in ({ids}))"""
+    ]
+    for i in range(iters):
+        parts.append(f"""
+            ac{i} as (select u.vid, c{i}.cid,
+                             sum(u.val * c{i}.c)::bigint as ac,
+                             sum(c{i}.c * c{i}.c)::bigint as cc
+                      from u join c{i} using (d) group by 1, 2),
+            a{i + 1} as (select vid, cid as cluster from (
+                           select vid, cid,
+                                  row_number() over (partition by vid
+                                    order by cc - 2 * ac, cid) as rn
+                           from ac{i}) z where rn = 1)""")
+        if i < iters - 1:
+            parts.append(f"""
+                m{i + 1} as (select a{i + 1}.cluster as cid, u.d,
+                               cast(trunc(sum(u.val)::double / count(*))
+                                    as bigint) as c
+                             from u join a{i + 1} using (vid) group by 1, 2),
+                c{i + 1} as (select prev.cid, prev.d,
+                               coalesce(mm.c, prev.c) as c
+                             from c{i} prev
+                             left join m{i + 1} mm
+                               on mm.cid = prev.cid and mm.d = prev.d)""")
+    return ",".join(parts) + f" select vid as vec_id, cluster from a{iters}"
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1656,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_agg": q_stream_enriched_agg,
         "stream_stream_join": q_stream_stream_join,
         "cdc_upsert": q_cdc_upsert,
+        "pagerank": q_pagerank,
+        "kmeans": q_kmeans,
         # training-data pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2252,4 +2360,6 @@ def oracle_sql() -> dict[str, str]:
             union all select * from upd
             union all select * from ins
         """,
+        "pagerank": _pagerank_oracle(),
+        "kmeans": _kmeans_oracle(),
     }

@@ -1,0 +1,121 @@
+"""Lloyd's k-means over an embedding column, in exact fixed point.
+
+Closes the loop left open by ``ann.py::ivf_topk``, whose codebook is "a
+deterministic stand-in for a k-means training step": this IS that training
+step. Cluster-assign is also a curation primitive in its own right
+(diversity sampling, cluster-balanced mixing, semantic dedup).
+
+Reproducibility: float k-means is engine-unstable twice over — centroid
+means depend on summation order, and assignment ties flip with rounding.
+Here every quantity is integer fixed point (coordinates scaled by 10^6 and
+half-away-from-zero rounded once on ingest):
+
+    dot products   : bigint products, bigint sums (exact, any order)
+    argmin         : min over (cc - 2*ac, centroid_id) pairs — total order
+    centroid update: trunc(sum / count) — sums stay well inside double's
+                     2^53 exact-integer range, so the IEEE division and
+                     trunc are bit-identical in Spark and DuckDB
+
+so a fixed iteration count gives bit-identical assignments in any engine.
+
+Scale shape (the canonical Lloyd-on-Spark loop): the codebook is k*dim
+numbers — it lives on the driver and ships to executors as literals, so
+ASSIGNMENT IS MAP-ONLY (whole-stage-codegen fold per centroid, no join, no
+shuffle). The update step shuffles (cluster, dim, partial-sum) rows — with
+map-side combine that is O(k * dim * partitions) wire traffic, independent
+of row count. Vectors are fixed-pointed once and localCheckpoint'd;
+iterations never re-read or re-scale the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FP_SCALE = 10**6
+
+
+def _to_fp(col: str, scale: int) -> Column:
+    # half-away-from-zero at fixed scale; identical expression shape to the
+    # DuckDB oracle (no sign(): its return type differs across engines)
+    return F.expr(
+        f"transform({col}, x -> cast(case when x >= 0"
+        f" then floor(cast(x as double) * {scale} + 0.5)"
+        f" else -floor(-cast(x as double) * {scale} + 0.5) end as bigint))"
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    *,
+    init_ids: list[int],
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """(vec_id, cluster) after ``iterations`` assignment rounds.
+
+    Clusters are labelled by the init vector's id (stable labels). Between
+    assignment rounds, centroids move to the truncated mean of their
+    members; a cluster that loses all members keeps its previous centroid.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), _to_fp(vec_col, fp_scale).alias("a")
+    ).localCheckpoint(eager=True)
+    cents: dict[int, list[int]] = {
+        r["vid"]: list(r["a"])
+        for r in v.where(F.col("vid").isin(init_ids)).collect()
+    }
+    if len(cents) != len(init_ids):
+        missing = set(init_ids) - set(cents)
+        raise ValueError(f"init ids not found in input: {sorted(missing)}")
+
+    assign = None
+    for it in range(iterations):
+        choices = []
+        for cid in sorted(cents):
+            c = cents[cid]
+            cc = sum(x * x for x in c)  # exact python int, fits bigint
+            lits = ", ".join(str(x) + "L" for x in c)
+            dot = (
+                f"aggregate(zip_with(a, array({lits}), (x, y) -> x * y),"
+                f" 0L, (acc, x) -> acc + x)"
+            )
+            choices.append(
+                F.struct(
+                    F.expr(f"{cc}L - 2L * ({dot})").alias("score"),
+                    F.lit(cid).cast("bigint").alias("cid"),
+                )
+            )
+        assign = v.select(
+            "vid", "a", F.array_min(F.array(*choices))["cid"].alias("cluster")
+        )
+        if it < iterations - 1:
+            sums = (
+                assign.select(
+                    "cluster", F.posexplode("a").alias("d", "val")
+                )
+                .groupBy("cluster", "d")
+                .agg(
+                    F.sum("val").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .select(
+                    "cluster",
+                    "d",
+                    # Spark's double->bigint cast truncates toward zero —
+                    # same as the oracle's trunc() (DuckDB's own
+                    # double->bigint cast would ROUND instead)
+                    F.expr("cast(cast(s as double) / n as bigint)").alias("c"),
+                )
+                .collect()
+            )
+            dim = len(next(iter(cents.values())))
+            new: dict[int, list[int]] = {}
+            for r in sums:
+                new.setdefault(r["cluster"], [0] * dim)
+                new[r["cluster"]][r["d"]] = r["c"]
+            # empty clusters keep their previous centroid
+            cents = {cid: new.get(cid, cents[cid]) for cid in cents}
+    return assign.select(F.col("vid").alias(id_col), "cluster")
