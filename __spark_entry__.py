@@ -1606,6 +1606,87 @@ def _profile_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Gap fill / full outer / fuzzy match
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DISTANCE = 8
+
+
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily series: zero-filled counts + LOCF value sums
+    over each user's own [first, last] active-day range."""
+    from credit_abs_oltp_to_mart_spark.operators.gapfill import gap_fill_locf
+
+    return gap_fill_locf(
+        _t(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        value_col="value", bucket_seconds=86400,
+    )
+
+
+def q_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation: open-order vs finished-order revenue
+    per customer, with a side indicator for one-sided keys (completes the
+    §2.4 join-type matrix: inner/left/semi/anti/cross/asof/full)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def rev(status: str, name: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderstatus") == status)
+            .groupBy(F.col("o_custkey").alias(f"{name}_key"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast(_D182))
+                .cast("double")
+                .alias(f"{name}_revenue")
+            )
+        )
+
+    a, b = rev("O", "open"), rev("F", "fin")
+    return a.join(
+        b, F.col("open_key") == F.col("fin_key"), "full_outer"
+    ).select(
+        F.coalesce("open_key", "fin_key").alias("custkey"),
+        F.coalesce("open_revenue", F.lit(0.0)).alias("open_revenue"),
+        F.coalesce("fin_revenue", F.lit(0.0)).alias("fin_revenue"),
+        F.when(F.col("open_key").isNull(), "FIN_ONLY")
+        .when(F.col("fin_key").isNull(), "OPEN_ONLY")
+        .otherwise("BOTH")
+        .alias("side"),
+    )
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution: customers re-keyed with a corrupted name
+    (digit tail reversed) matched back by Levenshtein within nation
+    blocks; argmin with a total tiebreak."""
+    from credit_abs_oltp_to_mart_spark.operators.fuzzy import fuzzy_match
+
+    cust = _t(spark, sf_dir, "customer")
+    probes = cust.where(F.col("c_custkey") % 101 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.substring("c_name", 1, 10),
+            F.reverse(F.expr("substring(c_name, 11)")),
+        ).alias("probe_name"),
+        "c_nationkey",
+    )
+    cands = cust.select(
+        F.col("c_custkey").alias("cand_id"),
+        F.col("c_name").alias("cand_name"),
+        "c_nationkey",
+    )
+    return fuzzy_match(
+        probes,
+        cands,
+        probe_id="probe_id",
+        probe_col="probe_name",
+        cand_id="cand_id",
+        cand_col="cand_name",
+        block_cols=["c_nationkey"],
+        max_distance=FUZZY_MAX_DISTANCE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Iterative algorithms: PageRank (fixed point), k-means (fixed point)
 # ---------------------------------------------------------------------------
 
@@ -1764,6 +1845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_upsert": q_cdc_upsert,
         "pagerank": q_pagerank,
         "kmeans": q_kmeans,
+        "gap_fill_daily": q_gap_fill_daily,
+        "full_outer_recon": q_full_outer_recon,
+        "fuzzy_name_match": q_fuzzy_name_match,
         # training-data pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2362,4 +2446,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(),
         "kmeans": _kmeans_oracle(),
+        "gap_fill_daily": """
+            with d as (select user_id,
+                              floor(epoch(ts))::bigint // 86400 as bucket,
+                              count(*) as n,
+                              sum(cast(value as decimal(18,2))) as s
+                       from events group by 1, 2),
+            b as (select user_id, min(bucket) as mn, max(bucket) as mx
+                  from d group by 1),
+            spine as (select user_id, unnest(generate_series(mn, mx)) as bucket
+                      from b)
+            select spine.user_id, spine.bucket,
+                   coalesce(d.n, 0) as n_events,
+                   cast(last_value(d.s ignore nulls) over (
+                          partition by spine.user_id order by spine.bucket
+                          rows between unbounded preceding and current row)
+                        as double) as locf_value,
+                   d.n is null as is_gap
+            from spine left join d
+              on d.user_id = spine.user_id and d.bucket = spine.bucket
+        """,
+        "full_outer_recon": """
+            with a as (select o_custkey as open_key,
+                              cast(sum(cast(o_totalprice as decimal(18,2)))
+                                   as double) as open_revenue
+                       from orders where o_orderstatus = 'O' group by 1),
+            b as (select o_custkey as fin_key,
+                         cast(sum(cast(o_totalprice as decimal(18,2)))
+                              as double) as fin_revenue
+                  from orders where o_orderstatus = 'F' group by 1)
+            select coalesce(open_key, fin_key) as custkey,
+                   coalesce(open_revenue, 0.0) as open_revenue,
+                   coalesce(fin_revenue, 0.0) as fin_revenue,
+                   case when open_key is null then 'FIN_ONLY'
+                        when fin_key is null then 'OPEN_ONLY'
+                        else 'BOTH' end as side
+            from a full outer join b on open_key = fin_key
+        """,
+        "fuzzy_name_match": f"""
+            with probes as (
+              select c_custkey as probe_id,
+                     substring(c_name, 1, 10)
+                       || reverse(substring(c_name, 11)) as probe_name,
+                     c_nationkey
+              from customer where c_custkey % 101 = 0),
+            scored as (
+              select p.probe_id, c.c_custkey as cand_id,
+                     levenshtein(p.probe_name, c.c_name) as distance
+              from probes p join customer c using (c_nationkey)
+              where levenshtein(p.probe_name, c.c_name)
+                      <= {FUZZY_MAX_DISTANCE})
+            select probe_id, cand_id, distance from (
+              select probe_id, cand_id, distance,
+                     row_number() over (partition by probe_id
+                                        order by distance, cand_id) as rn
+              from scored) z
+            where rn = 1
+        """,
     }
