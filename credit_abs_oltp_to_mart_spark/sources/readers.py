@@ -23,18 +23,23 @@ def read_oltp_table(
     table: str,
     jdbc_url: str | None = None,
     jdbc_properties: dict[str, str] | None = None,
+    file_format: str = "parquet",
 ) -> DataFrame:
     """Scan one OLTP table (S1). Parquet by default; JDBC when a url is given.
 
     Parquet path: Catalyst pushes filters/pruning into the scan. JDBC path:
     partitioned reads should pass ``partitionColumn=loan_id`` bounds via
-    ``jdbc_properties`` for parallelism on big tables.
+    ``jdbc_properties`` for parallelism on big tables. ``file_format`` may
+    be any registered columnar source ("parquet", "orc" — both ship with
+    Spark and both support predicate pushdown + column pruning); table
+    directories carry the format as their extension.
     """
     if jdbc_url is not None:
         return spark.read.jdbc(
             jdbc_url, f"credit_oltp.{table}", properties=jdbc_properties or {}
         )
-    return spark.read.parquet(f"{base_dir.rstrip('/')}/{table}.parquet")
+    path = f"{base_dir.rstrip('/')}/{table}.{file_format}"
+    return spark.read.format(file_format).load(path)
 
 
 def _landing_schema(table: str):

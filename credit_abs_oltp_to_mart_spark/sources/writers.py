@@ -31,17 +31,28 @@ _NATURAL_KEYS = {
 }
 
 
-def write_mart(df: DataFrame, out_dir: str, name: str, mode: str = "overwrite") -> None:
+def write_mart(
+    df: DataFrame,
+    out_dir: str,
+    name: str,
+    mode: str = "overwrite",
+    file_format: str = "parquet",
+) -> None:
     """Materialize one model (S3), partitioned when the grain allows."""
     writer = df.write.mode(mode)
     keys = _MART_PARTITION_KEYS.get(name)
     if keys:
         writer = writer.partitionBy(*keys)
-    writer.parquet(f"{out_dir.rstrip('/')}/{name}.parquet")
+    writer.format(file_format).save(
+        f"{out_dir.rstrip('/')}/{name}.{file_format}"
+    )
 
 
 def write_oltp_tables(
-    tables: dict[str, DataFrame], out_dir: str, mode: str = "overwrite"
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    mode: str = "overwrite",
+    file_format: str = "parquet",
 ) -> None:
     """Persist generated OLTP tables (S4). Natural-key dedup replaces the
     reference's ON CONFLICT DO NOTHING (S7)."""
@@ -49,7 +60,9 @@ def write_oltp_tables(
         key = _NATURAL_KEYS.get(name)
         if key:
             df = df.dropDuplicates(key)
-        df.write.mode(mode).parquet(f"{out_dir.rstrip('/')}/{name}.parquet")
+        df.write.mode(mode).format(file_format).save(
+            f"{out_dir.rstrip('/')}/{name}.{file_format}"
+        )
 
 
 def write_jdbc(

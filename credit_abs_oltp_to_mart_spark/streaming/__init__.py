@@ -7,5 +7,6 @@ from credit_abs_oltp_to_mart_spark.streaming.ops import (  # noqa: F401
     stream_enriched_agg,
     stream_sessionize,
     stream_stream_join,
+    stream_upsert_snapshot,
     stream_windowed_agg,
 )

@@ -142,3 +142,41 @@ def test_stream_stream_join_multibatch(spark, tmp_path):
     cols = ["user_id", "click_id", "purchase_id", "gap_us"]
     assert _collect_sorted(got, cols) == _collect_sorted(exp, cols)
     assert got.count() > 0
+
+
+def test_stream_upsert_snapshot_foreachbatch(spark, tmp_path):
+    """foreachBatch incremental mart maintenance: per-batch deltas folded
+    into a keyed snapshot must equal the batch aggregate regardless of
+    micro-batch boundaries (decimal accumulation is associative)."""
+    import time
+
+    from __spark_entry__ import _t
+
+    e = _t(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    half = e.select(
+        F.percentile_approx(F.col("ts").cast("double"), [0.5], 10000)
+    ).first()[0][0]
+    src = tmp_path / "ub_events"
+    slices = [
+        e.where(F.col("ts").cast("double") <= half),
+        e.where(F.col("ts").cast("double") > half),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"slice={i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(slices[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "slice=*"))
+    )
+    snap_dir = str(tmp_path / "snapshot")
+    streaming.stream_upsert_snapshot(stream, snap_dir)
+    got = spark.read.parquet(snap_dir).select(
+        "user_id", "n_events", F.col("total_value").cast("double").alias("tv")
+    )
+    exp = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+    )
+    cols = ["user_id", "n_events", "tv"]
+    assert _collect_sorted(got, cols) == _collect_sorted(exp, cols)
