@@ -1606,6 +1606,48 @@ def _profile_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Graph metrics / UDTF
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangles on a deterministic band+chord graph over
+    customers (degree-oriented wedge join — no hub blowup)."""
+    from credit_abs_oltp_to_mart_spark.operators.graph_metrics import (
+        triangle_count,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    n = cust.count()
+    edges = None
+    for expr in ("id + 1", "id + 2", "id * 7 + 3"):
+        e = cust.select(
+            F.col("id").alias("src"), (F.expr(expr) % n).alias("dst")
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return triangle_count(edges, cust)
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: per-document sentence expansion
+    (map-only — each partition expands independently)."""
+    from credit_abs_oltp_to_mart_spark.operators.udtf_ops import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        select d.doc_id, s.sentence_no, s.sentence, s.n_chars
+        from __udtf_docs d, lateral split_sentences(d.text) s
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gap fill / full outer / fuzzy match
 # ---------------------------------------------------------------------------
 
@@ -1848,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_daily": q_gap_fill_daily,
         "full_outer_recon": q_full_outer_recon,
         "fuzzy_name_match": q_fuzzy_name_match,
+        "triangle_count": q_triangle_count,
+        "udtf_sentences": q_udtf_sentences,
         # training-data pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2482,6 +2526,45 @@ def oracle_sql() -> dict[str, str]:
                         when fin_key is null then 'OPEN_ONLY'
                         else 'BOTH' end as side
             from a full outer join b on open_key = fin_key
+        """,
+        "triangle_count": """
+            with v as (select c_custkey as id from customer),
+            nn as (select count(*) as n from customer),
+            raw as (select id as s, (id + 1) % n as d from v, nn
+                    union all select id, (id + 2) % n from v, nn
+                    union all select id, (id * 7 + 3) % n from v, nn),
+            und as (select distinct least(s, d) as u, greatest(s, d) as v2
+                    from raw where s <> d),
+            deg as (select id, (count(*) * 1000000000 + id)::bigint as rank
+                    from (select u as id from und
+                          union all select v2 from und) z
+                    group by id),
+            o as (select case when du.rank < dv.rank then u else v2 end as a,
+                         case when du.rank < dv.rank then v2 else u end as b,
+                         greatest(du.rank, dv.rank) as rb
+                  from und
+                  join deg du on du.id = u
+                  join deg dv on dv.id = v2),
+            w as (select o1.a, o1.b as m, o2.b as w
+                  from o o1 join o o2 on o1.a = o2.a
+                  where o1.rb < o2.rb),
+            t as (select w.a, w.m, w.w
+                  from w join o on o.a = w.m and o.b = w.w),
+            x as (select unnest([a, m, w]) as id from t),
+            c as (select id, count(*) as n from x group by 1)
+            select v.id, coalesce(c.n, 0) as n_triangles
+            from v left join c using (id)
+        """,
+        "udtf_sentences": """
+            with parts as (select doc_id, string_split(text, '. ') as l
+                           from documents),
+            expl as (select doc_id,
+                            unnest(range(1, len(l) + 1))::int as sentence_no,
+                            unnest(l) as sentence
+                     from parts)
+            select doc_id, sentence_no, sentence,
+                   length(sentence)::int as n_chars
+            from expl where length(sentence) > 0
         """,
         "fuzzy_name_match": f"""
             with probes as (

@@ -113,3 +113,30 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 32,
+    file_format: str = "parquet",
+) -> None:
+    """Range-partitioned, within-file-sorted layout for data skipping.
+
+    ``repartitionByRange`` samples the sort column and assigns disjoint
+    value ranges to output files; ``sortWithinPartitions`` orders rows
+    inside each. The result: every file's footer min/max for ``sort_col``
+    is a tight disjoint range, so a point or range predicate prunes to
+    the one file (and row groups within it) that can match — the poor
+    man's Z-order for single-column access paths, free at read time (scan
+    skipping uses the stats that parquet/ORC already write). Typical
+    target: ``as_of_date`` on the daily-arrears fact, event time on
+    telemetry."""
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .format(file_format)
+        .save(path)
+    )
