@@ -760,6 +760,15 @@ def q_stream_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_memory(plan, "mem_stream_enriched_agg", "complete")
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (30-min gap) — the built-in
+    counterpart of the custom stateful sessionizer."""
+    plan = streaming.stream_session_window_agg(
+        streaming.events_stream(spark, sf_dir)
+    )
+    return streaming.run_to_memory(plan, "mem_stream_session_window", "complete")
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (click -> purchase within 15 min, same
     user) with watermark-bounded join state; append output."""
@@ -1883,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_keys": q_stream_distinct_keys,
         "stream_sessionize": q_stream_sessionize,
         "stream_enriched_agg": q_stream_enriched_agg,
+        "stream_session_window": q_stream_session_window,
         "stream_stream_join": q_stream_stream_join,
         "cdc_upsert": q_cdc_upsert,
         "pagerank": q_pagerank,
@@ -2455,6 +2465,29 @@ def oracle_sql() -> dict[str, str]:
             from t
         """,
         "profile_stats": _profile_oracle(),
+        "stream_session_window": """
+            with f as (
+              select user_id, ts, event_id,
+                     case when lag(ts) over w is null
+                            or epoch_us(ts) - epoch_us(lag(ts) over w)
+                               >= 1800000000
+                          then 1 else 0 end as flag
+              from events
+              window w as (partition by user_id order by ts, event_id)),
+            i as (
+              select user_id, ts,
+                     sum(flag) over (partition by user_id
+                                     order by ts, event_id) as island
+              from f),
+            sess as (
+              select user_id, island, min(ts) as s, max(ts) as e,
+                     count(*) as n from i group by 1, 2)
+            select user_id,
+                   epoch_us(s) as session_start_us,
+                   epoch_us(e) + 1800000000 as session_end_us,
+                   n as n_events
+            from sess
+        """,
         "stream_stream_join": """
             select c.user_id, c.event_id as click_id, p.event_id as purchase_id,
                    epoch_us(p.ts) - epoch_us(c.ts) as gap_us

@@ -5,6 +5,7 @@ from credit_abs_oltp_to_mart_spark.streaming.ops import (  # noqa: F401
     run_to_memory,
     stream_distinct_keys,
     stream_enriched_agg,
+    stream_session_window_agg,
     stream_sessionize,
     stream_stream_join,
     stream_upsert_snapshot,

@@ -362,3 +362,27 @@ def stream_upsert_snapshot(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stream_session_window_agg(events: DataFrame) -> DataFrame:
+    """Native event-time session windows (30-min gap) per user.
+
+    Complements the custom ``applyInPandasWithState`` sessionizer with the
+    built-in operator: ``session_window`` merges events whose windows
+    overlap (next.ts < prev.ts + gap) and the state store handles session
+    growth/merge across micro-batches. Window end is last-event + gap by
+    definition. Complete mode so sessions still inside the watermark
+    horizon are emitted in the finite availableNow run.
+    """
+    w = F.session_window("ts", "30 minutes")
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(w.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
