@@ -87,3 +87,23 @@ def test_codegen_present_in_hot_aggregations(spark):
         p = df._jdf.queryExecution().executedPlan().toString()
         # codegen stages print as "*(n) Operator" in the compact plan form
         assert "*(" in p, f"{name} lost whole-stage codegen"
+
+
+def test_cdc_upsert_target_side_broadcast_anti(spark):
+    # the snapshot side must reach the anti join by broadcast probe, not a
+    # sort-merge shuffle of the full target
+    p = _plan(spark, "cdc_upsert")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "SortMergeJoin LeftAnti" not in p, p
+
+
+def test_interval_join_is_equi_hash_join(spark):
+    # the time-bucket replication must surface as an equi hash join on the
+    # bucket key — a nested-loop range join here means bucketing regressed
+    p = _plan(spark, "interval_join_agg")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_fuzzy_match_blocks_via_equi_join(spark):
+    p = _plan(spark, "fuzzy_name_match")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
