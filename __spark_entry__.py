@@ -856,6 +856,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucketed candidates + exact hamming
+    verify (bit_count(xor)), full recall for hamming <= 1 by pigeonhole."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups(
         _t(spark, sf_dir, "embeddings"), threshold=EMB_NEAR_DUP_THRESHOLD
@@ -1908,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -2350,6 +2357,21 @@ def oracle_sql() -> dict[str, str]:
             from comp
         """,
         "simhash": _simhash_oracle(),
+        "simhash_pairs": f"""
+            with fp as ({_simhash_oracle()}),
+            banded as (
+              select doc_id, simhash, t.b,
+                     (simhash >> (8 * t.b)) & 255 as band
+              from fp, (values (0), (1)) t(b)),
+            cand as (
+              select distinct a.doc_id as doc_a, b2.doc_id as doc_b,
+                     a.simhash as sa, b2.simhash as sb
+              from banded a
+              join banded b2 on a.b = b2.b and a.band = b2.band
+              where a.doc_id < b2.doc_id)
+            select doc_a, doc_b, bit_count(xor(sa, sb)) as hamming
+            from cand where bit_count(xor(sa, sb)) <= 1
+        """,
         "dedup_embedding": _emb_near_dup_oracle(),
         "ann_brute_force": _ann_brute_oracle(),
         "ann_lsh": _ann_lsh_oracle(),

@@ -240,6 +240,62 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 1, n_bands: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Band-bucketed candidate generation (same shape as MinHash LSH): the
+    16-bit fingerprint splits into ``n_bands`` equal bands; docs sharing
+    any band collide into a candidate pair; the exact hamming distance
+    (bit_count of xor — one instruction, identical in DuckDB) verifies.
+    Pigeonhole guarantees full recall while max_hamming < n_bands: a pair
+    within distance n_bands-1 must agree exactly on >= 1 band. Candidate
+    volume is bounded by bucket occupancy (16/n_bands-bit buckets), not
+    all pairs."""
+    assert max_hamming < n_bands, "recall guarantee needs max_hamming < n_bands"
+    width = 16 // n_bands
+    mask = (1 << width) - 1
+    fp = simhash_fingerprints(docs)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright(F.col("simhash"), width * b)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(
+            F.col("sa").bitwiseXOR(F.col("sb"))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def simhash_clusters(docs: DataFrame) -> DataFrame:
     """Groups of documents sharing an identical SimHash."""
     return (
