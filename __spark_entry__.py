@@ -475,7 +475,15 @@ def q_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     output keeps it oracle-gated."""
     import pandas as pd
 
-    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    # explicit hash repartition: AQE's byte-based coalesce would fold the
+    # tiny shuffle into ~2 partitions, serializing ~1.5k pandas group calls
+    # into 2 Python workers (3.1s -> 0.95s at sf0.1). Python cost scales
+    # with groups, not bytes — pin the stage to the core count.
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+    )
 
     def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import ensure_parallelism
 from credit_abs_oltp_to_mart_spark.functions.similarity import (
     MERSENNE_31,
     md5_mod31,
@@ -49,37 +50,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingle_rows(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """Distinct (doc_id, shingle) rows — the exploded word-n-gram index.
 
-    Window-lead formulation: tokenize ONCE per doc (posexplode), then build
-    each n-gram from `lead(tok, j)` over (doc_id, pos). Array-lambda
-    shingling (`transform` + `element_at`) re-evaluates the tokenizing
-    regex per element in interpreted mode — ~3n splits/doc; this form is
-    whole-stage-codegen friendly and shuffles only (doc_id, pos, tok).
+    Regex-lookahead formulation: after collapsing space runs, every
+    overlapping n-gram is captured in ONE regex scan per document — a
+    zero-width match anchored at each token start whose lookahead group
+    grabs the next n tokens. MAP-ONLY until the final distinct: no token
+    explode, no window shuffle+sort over the token stream (the previous
+    lead()-over-window form shuffled ~tokens rows and ran 6x slower at
+    sf0.1). `[^ ]` (not `\\S`) keeps tokens bit-identical to ws_tokens'
+    space-only split when text contains tabs/newlines.
 
     Docs with < n tokens contribute their whole space-normalized text as a
     single shingle (same as DuckDB `array_to_string(tk, ' ')`)."""
+    docs = ensure_parallelism(docs)
+    norm = F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " ")
+    pat = "(?:^|(?<= ))(?=(" + " ".join(["[^ ]+"] * n) + "))"
     toks = ws_tokens(F.col(text_col))
-    short = docs.where(F.size(toks) < n).select(
-        "doc_id", F.array_join(toks, " ").alias("shingle")
-    )
-    posed = docs.where(F.size(toks) >= n).select(
-        "doc_id",
-        F.size(toks).alias("n_toks"),
-        F.posexplode(toks).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        posed.select(
-            "doc_id",
-            "pos",
-            "n_toks",
-            F.concat_ws(
-                " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, n)]
-            ).alias("shingle"),
-        )
-        .where(F.col("pos") <= F.col("n_toks") - n)
-        .select("doc_id", "shingle")
-    )
-    return grams.union(short).distinct()
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    sh = F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(grams)
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def _shingle_index(docs: DataFrame, n: int) -> DataFrame:
@@ -217,6 +207,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     partial-agg friendly and codegen'd, vs 16 interpreted array folds that
     each re-hash every token. Docs with no tokens get simhash 0 (empty
     vote = all bits unset), as with an empty-array fold."""
+    docs = ensure_parallelism(docs)
     toked = docs.select(
         "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok")
     )

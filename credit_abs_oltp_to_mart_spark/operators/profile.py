@@ -41,6 +41,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import ensure_parallelism
+
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
@@ -58,6 +60,10 @@ def profile_table(
     """
     dtypes = dict(df.dtypes)
     cols = list(columns) if columns is not None else list(df.columns)
+    # row-group count caps scan parallelism on small files; both passes
+    # (the ~4N-aggregate wide fold and the xN melt explode) are CPU-bound,
+    # so spread them over cores (no-op at scale — see ensure_parallelism).
+    df = ensure_parallelism(df)
 
     def num(c: str) -> Column | None:
         t = dtypes[c]
