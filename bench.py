@@ -52,6 +52,12 @@ def main() -> None:
             # plan (cold cache, warm codegen) instead of reading its own cache
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        # memory-sink tables from streaming queries pin every result row in
+        # the driver; across 70+ queries that heap pressure inflates late
+        # queries' timings — drop them once measured
+        for view in spark.catalog.listTables():
+            if view.isTemporary:
+                spark.catalog.dropTempView(view.name)
 
     total = round(sum(timings.values()), 3)
     print(
