@@ -70,8 +70,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _normalize_ntz(spark, df)
+    return _normalize_ntz(spark, spark.read.parquet(path))
+
+
+def _normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
+    # Naive parquet timestamps may surface as TIMESTAMP_NTZ depending on the
+    # session's inferTimestampNTZ setting. DuckDB treats them as plain (UTC)
+    # instants, so pin the session to UTC and cast — unix_micros / window /
+    # date_trunc then agree between both engines.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -1560,8 +1573,8 @@ def q_scd2_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         "event_type",
-        F.unix_micros("valid_from").alias("valid_from_us"),
-        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
         F.col("version").cast("long").alias("version"),
         "n_changes",
         "is_current",
@@ -1862,9 +1875,11 @@ def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the month-end-snapshot + lag-transition roll-rate pattern
-    (the reference's analytical heart) over the sf0.001 events table."""
-    return q_roll_rate(spark, SF_SMOKE)
+    """Flagship: the month-end-snapshot pattern (W1+F1 — the reference's
+    analytical heart; every roll/cure/vintage mart starts here) over the
+    sf0.001 events table. (sf0.001 spans a single month, so the lag-based
+    roll-rate variant would be legitimately empty; this stage returns rows.)"""
+    return q_month_end_snapshot(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -67,6 +67,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # naive parquet timestamp surfaced as NTZ (session-dependent): pin
+        # UTC and cast so watermarks/windows see plain TIMESTAMP instants
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
