@@ -1618,6 +1618,134 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(_t(spark, sf_dir, "lineitem"))
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via fixed-width bitmaps
+    (bitmap_construct_agg): the shuffle carries 4 KB bitmaps per
+    (group, bucket) instead of every distinct key — the 100 TB shape for
+    exact COUNT(DISTINCT)."""
+    from credit_abs_oltp_to_mart_spark.operators.sketches import (
+        bitmap_exact_distinct,
+    )
+
+    return bitmap_exact_distinct(
+        _t(spark, sf_dir, "events"), key="user_id", group_cols=("event_type",)
+    )
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube): the
+    four levels of (priority, status) chosen individually, one shuffle,
+    map-side partials for every set."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(_D182).alias("price"),
+    )
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.sum("price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window family: first/last/nth_value with explicit ROWS
+    frames, multi-offset lag/lead, and a 4-row moving sum — one shuffle,
+    one sort, all functions share the (priority, date) ordering."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    grow = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    trail = base.rowsBetween(-3, Window.currentRow)
+    price = F.col("o_totalprice").cast(_D182)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.first("o_totalprice").over(grow).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(grow).alias("third_price"),
+        F.lag("o_totalprice", 2, -1.0).over(base).alias("prev2_price"),
+        F.lead("o_totalprice", 1).over(base).alias("next_price"),
+        F.sum(price).over(trail).cast("double").alias("trailing4_sum"),
+    )
+
+
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() and deterministic mode() aggregates per return flag (ties
+    in mode resolve to the lowest value so any engine reproduces it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median(F.col("l_quantity").cast("int")).alias("median_qty"),
+        F.mode(F.col("l_linestatus"), True).alias("mode_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-line measures to long (measure, value)
+    rows — map-only, no shuffle; the layout step before per-measure
+    profiling at scale."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "disc", "tax"],
+        "measure",
+        "value",
+    )
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: transform /
+    filter / aggregate run inside codegen — no UDF, no explode-shuffle.
+    The sum of squares is int64-exact (elements quantized at 1e-7 with the
+    floor(x+0.5) half-up trick) so any engine reproduces it bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    quant = "cast(floor(cast(x as double) * 1e7 + 0.5d) as bigint)"
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.expr("size(filter(embedding, x -> x > 0f))").alias("n_pos"),
+        F.expr(
+            "aggregate(embedding, cast(0 as bigint),"
+            f" (acc, x) -> acc + {quant} * {quant})"
+        ).alias("sum_sq_q"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+    )
+
+
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): per-key aggregates joined so the
+    NULL bucket (nullif-suppressed flag) pairs up instead of dropping —
+    one-sided nulls appear on neither side's output."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.groupBy(
+        F.nullif("l_returnflag", F.lit("A")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    b = li.groupBy(
+        F.nullif("l_returnflag", F.lit("R")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    return a.join(b, a["k"].eqNullSafe(b["k"]), "inner").select(
+        a["k"].alias("flag_a"), b["k"].alias("flag_b"), "n_a", "n_b"
+    )
+
+
 def _profile_oracle() -> str:
     parts = []
     for c, kind in _LINEITEM_PROFILE_COLS:
@@ -1963,6 +2091,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_changelog": q_scd2_changelog,
         "kmv_distinct": q_kmv_distinct,
         "profile_stats": q_profile_stats,
+        "bitmap_distinct": q_bitmap_distinct,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "window_frames": q_window_frames,
+        "median_mode": q_median_mode,
+        "unpivot_measures": q_unpivot_measures,
+        "array_hof": q_array_hof,
+        "nullsafe_join": q_nullsafe_join,
     }
 
 
@@ -2510,6 +2645,89 @@ def oracle_sql() -> dict[str, str]:
             from t
         """,
         "profile_stats": _profile_oracle(),
+        "bitmap_distinct": """
+            select event_type, count(distinct user_id) as n_distinct
+            from events group by 1
+        """,
+        "grouping_sets_revenue": """
+            select o_orderpriority, o_orderstatus,
+                   grouping(o_orderpriority, o_orderstatus) as gid,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue,
+                   count(*) as n_orders
+            from orders
+            group by grouping sets ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), (o_orderstatus), ())
+        """,
+        "window_frames": """
+            select o_orderkey, o_orderpriority as priority,
+                   first_value(o_totalprice) over wgrow as first_price,
+                   last_value(o_totalprice) over wfull as last_price,
+                   nth_value(o_totalprice, 3) over wgrow as third_price,
+                   coalesce(lag(o_totalprice, 2) over wbase, -1.0)
+                     as prev2_price,
+                   lead(o_totalprice, 1) over wbase as next_price,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) over wtrail
+                        as double) as trailing4_sum
+            from orders
+            window
+              wbase as (partition by o_orderpriority
+                        order by o_orderdate asc, o_orderkey asc),
+              wgrow as (partition by o_orderpriority
+                        order by o_orderdate asc, o_orderkey asc
+                        rows between unbounded preceding and current row),
+              wfull as (partition by o_orderpriority
+                        order by o_orderdate asc, o_orderkey asc
+                        rows between unbounded preceding
+                                 and unbounded following),
+              wtrail as (partition by o_orderpriority
+                         order by o_orderdate asc, o_orderkey asc
+                         rows between 3 preceding and current row)
+        """,
+        "median_mode": """
+            with med as (
+              select l_returnflag,
+                     median(cast(l_quantity as int)) as median_qty,
+                     count(*) as n_rows
+              from lineitem group by 1),
+            mo as (
+              select l_returnflag, min(s) as mode_status from (
+                select l_returnflag, l_linestatus as s,
+                       rank() over (partition by l_returnflag
+                                    order by count(*) desc) as r
+                from lineitem group by 1, 2) z
+              where r = 1 group by 1)
+            select med.l_returnflag, median_qty, mode_status, n_rows
+            from med join mo using (l_returnflag)
+        """,
+        "unpivot_measures": """
+            select l_orderkey, l_linenumber, m.measure,
+                   case m.measure
+                     when 'qty' then l_quantity
+                     when 'price' then l_extendedprice
+                     when 'disc' then l_discount
+                     else l_tax end as value
+            from lineitem
+            cross join (values ('qty'), ('price'), ('disc'), ('tax'))
+                       as m(measure)
+        """,
+        "array_hof": """
+            select vec_id, len(embedding) as dim,
+                   len(list_filter(embedding, x -> x > 0)) as n_pos,
+                   list_sum(list_transform(embedding,
+                     x -> cast(floor(cast(x as double) * 1e7 + 0.5) as bigint)
+                          * cast(floor(cast(x as double) * 1e7 + 0.5)
+                                 as bigint)))::bigint as sum_sq_q,
+                   cast(list_max(embedding) as double) as max_component
+            from embeddings
+        """,
+        "nullsafe_join": """
+            select a.k as flag_a, b.k as flag_b, n_a, n_b
+            from (select nullif(l_returnflag, 'A') as k, count(*) as n_a
+                  from lineitem group by 1) a
+            join (select nullif(l_returnflag, 'R') as k, count(*) as n_b
+                  from lineitem group by 1) b
+              on a.k is not distinct from b.k
+        """,
         "stream_session_window": """
             with f as (
               select user_id, ts, event_id,

@@ -38,6 +38,34 @@ from pyspark.sql import functions as F
 _M = float(16**15)
 
 
+def bitmap_exact_distinct(
+    df: DataFrame,
+    *,
+    key: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT distinct ``key`` count per group via fixed-width bitmaps.
+
+    The scalable alternative to ``COUNT(DISTINCT key)`` when the sketch
+    estimate (``kmv_distinct``) isn't acceptable: keys are mapped to
+    (bucket, bit) pairs — 32768 bits per bucket — and each
+    (group, bucket) partition ORs its bits into one bitmap with map-side
+    partial aggregation. The shuffle then carries at most one 4 KB bitmap
+    per (group, bucket, map task) instead of every distinct key, and the
+    final count is the sum of disjoint buckets' popcounts. Requires a
+    non-negative integral key (ids here satisfy that).
+    """
+    g = list(group_cols)
+    per_bucket = (
+        df.select(*g, F.col(key).alias("__k"))
+        .groupBy(*g, F.bitmap_bucket_number("__k").alias("__bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("__k")).alias("__bm"))
+    )
+    return per_bucket.groupBy(*g).agg(
+        F.sum(F.bitmap_count("__bm")).alias("n_distinct")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     *,
