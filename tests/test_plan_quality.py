@@ -107,3 +107,41 @@ def test_interval_join_is_equi_hash_join(spark):
 def test_fuzzy_match_blocks_via_equi_join(spark):
     p = _plan(spark, "fuzzy_name_match")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", ["unpivot_measures", "array_hof"])
+def test_map_only_layout_ops_never_shuffle(spark, name):
+    # unpivot (Expand) and higher-order array functions are per-row: any
+    # Exchange means an accidental aggregation crept in
+    p = _plan(spark, name)
+    assert "Exchange" not in p, f"{name} claims map-only but shuffles:\n{p}"
+
+
+def test_window_frames_share_one_sort_shuffle(spark):
+    # every frame variant shares (priority, date, key) ordering: one
+    # exchange, one sort, all functions in the same Window stage
+    p = _plan(spark, "window_frames")
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert p.count("Window") <= 2, p  # WindowExec (+WindowGroupLimit never)
+
+
+def test_grouping_sets_single_shuffle(spark):
+    # Expand feeds one hash aggregate: partials per grouping set before the
+    # single exchange, same as rollup/cube
+    p = _plan(spark, "grouping_sets_revenue")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_bitmap_distinct_two_bounded_shuffles(spark):
+    # exchange 1 carries (group, bucket, bitmap) — bounded by buckets, not
+    # distinct keys; exchange 2 carries one popcount row per bucket
+    p = _plan(spark, "bitmap_distinct")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "bitmap_construct_agg" in p
+
+
+def test_nullsafe_join_stays_hash_join(spark):
+    # <=> is an equi predicate: must plan as hash join, not nested loop
+    p = _plan(spark, "nullsafe_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
