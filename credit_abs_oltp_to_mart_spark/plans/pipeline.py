@@ -65,15 +65,38 @@ def build_marts(
 
 
 def run_pipeline(
-    spark: SparkSession, src_dir: str, out_dir: str | None = None
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str | None = None,
+    collect_metrics: dict[str, dict[str, float]] | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end: read OLTP sources -> staging -> marts (-> optional write).
 
     The Spark analogue of ``dbt run`` against the project
-    (dbt/credit_mart/models/)."""
+    (dbt/credit_mart/models/). Pass a dict as ``collect_metrics`` to
+    receive per-mart in-flight quality metrics (row counts, key nulls) —
+    ``df.observe`` accumulates them DURING the write, so monitoring costs
+    zero extra passes over 100 TB."""
     staging = build_staging(read_sources(spark, src_dir))
     mart_dfs = build_marts(staging)
     if out_dir:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        observations: dict[str, Observation] = {}
         for name, df in mart_dfs.items():
+            if collect_metrics is not None:
+                obs = Observation(name)
+                first_col = df.columns[0]
+                df = df.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(
+                        F.col(first_col).isNull().cast("int")
+                    ).alias("first_col_nulls"),
+                )
+                observations[name] = obs
             write_mart(df, out_dir, name)
+        for name, obs in observations.items():
+            collect_metrics[name] = dict(obs.get)
     return {**staging, **mart_dfs}

@@ -14,7 +14,10 @@ natural key before write.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # marts whose grain includes a month column -> partition column
 _MART_PARTITION_KEYS = {
@@ -136,6 +139,66 @@ def write_range_partitioned(
     (
         df.repartitionByRange(n_files, sort_col)
         .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .format(file_format)
+        .save(path)
+    )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 16,
+    file_format: str = "parquet",
+) -> None:
+    """Z-order (bit-interleaved) multi-column layout for data skipping.
+
+    ``write_range_partitioned`` gives tight per-file min/max on ONE
+    column; a second column's stats stay global-width, so only one access
+    path prunes. Z-ordering interleaves the bits of each column's rank so
+    files are clustered in ALL listed dimensions at once: a predicate on
+    any single column still skips ~(1 - 1/2^(bits_used/n_cols)) of files.
+
+    Each column scales to a ``bits``-bit integer via one global min/max
+    aggregation (a cheap partial-aggregated pass; no global sort, no
+    single-partition window — this must work on a 100 TB write). Uniform
+    scaling is distribution-sensitive: heavy skew wastes high bits, which
+    degrades pruning but never correctness; swap in approxQuantile
+    boundaries per column if a production table needs rank scaling. The
+    z-value itself is a pure column expression (shiftleft/or folds) — no
+    UDF on the write path.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx{i}") for i, c in enumerate(cols)],
+    ).first()
+    zdf = df
+    rank_cols = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * (1 << bits)
+            ).cast("long"),
+            F.lit((1 << bits) - 1),
+        )
+        rank_cols.append(f"__r{i}")
+        zdf = zdf.withColumn(f"__r{i}", F.greatest(q, F.lit(0)))
+    # interleave: bit b of rank i lands at position b*n_cols + i
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i in range(n):
+            bit = F.shiftright(F.col(f"__r{i}"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    zdf = zdf.withColumn("__z", z)
+    (
+        zdf.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *rank_cols)
         .write.mode("overwrite")
         .format(file_format)
         .save(path)

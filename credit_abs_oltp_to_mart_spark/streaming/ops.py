@@ -185,6 +185,26 @@ def stream_distinct_keys(events: DataFrame) -> DataFrame:
     ).dropDuplicates(["user_id", "event_type", "day"])
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``.
+
+    ``dropDuplicates`` keeps every key seen forever — unbounded state on an
+    unbounded stream. The watermark variant evicts key state once the
+    event-time watermark passes it, so state is O(keys per watermark
+    window): the only shape that survives an unbounded 100 TB/day feed.
+    Duplicates are suppressed only while their first occurrence is within
+    the watermark — exactly the guarantee an at-least-once upstream
+    (Kafka redelivery) needs.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 def _sessionize_fn(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],

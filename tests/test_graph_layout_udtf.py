@@ -82,3 +82,51 @@ def test_udtf_lateral_is_shuffle_free(spark):
     assert rows == {(1, 1): "a b", (1, 2): "c d"}  # trailing empty skipped
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from credit_abs_oltp_to_mart_spark.sources.writers import write_zorder
+
+    path = str(tmp_path / "zordered.parquet")
+    n, files = 40_000, 16
+    # two independent uniform dimensions — the worst case for single-column
+    # range layout (sorting by x leaves y stats at full width)
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 10_000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 10_000).alias("y"),
+        F.col("id"),
+    )
+    write_zorder(df, path, ["x", "y"], n_files=files, bits=8)
+
+    def file_ranges(col):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    full_span = 20_000  # values in [-10000, 10000)
+    for col in ("x", "y"):
+        ranges = file_ranges(col)
+        assert len(ranges) == files
+        # a uniform random point prunes a file iff it falls outside that
+        # file's [min,max]; z-order must keep BOTH columns' expected file
+        # width well under the full span (random layout would be ~full)
+        avg_width = sum(hi - lo for lo, hi in ranges) / files
+        assert avg_width < 0.6 * full_span, (col, avg_width)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.columns == ["x", "y", "id"]

@@ -174,3 +174,22 @@ def test_months_on_book_edge_dates(spark):
             [month, orig, month, orig],
         ).fetchone()[0]
         assert got[(orig, month)] == expected, (orig, month, got[(orig, month)], expected)
+
+
+def test_pipeline_observe_metrics(spark, oltp_dir, tmp_path):
+    """df.observe metrics accumulate during the mart writes (no extra
+    pass): row counts match the written tables, key nulls are zero."""
+    from credit_abs_oltp_to_mart_spark.plans.pipeline import run_pipeline
+
+    metrics: dict[str, dict[str, float]] = {}
+    out = str(tmp_path / "marts_obs")
+    run_pipeline(spark, oltp_dir, out_dir=out, collect_metrics=metrics)
+    assert set(metrics) == {
+        "fct_dpd_daily", "fct_npl_monthly", "fct_roll_rate_monthly",
+        "fct_cure_rate_monthly", "fct_vintage_mob",
+        "fct_collections_monthly", "fct_writeoff_recovery_monthly",
+    }
+    for name, m in metrics.items():
+        written = spark.read.parquet(f"{out}/{name}.parquet").count()
+        assert m["n_rows"] == written, (name, m, written)
+        assert m["first_col_nulls"] == 0, (name, m)

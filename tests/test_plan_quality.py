@@ -145,3 +145,30 @@ def test_nullsafe_join_stays_hash_join(spark):
     # <=> is an equi predicate: must plan as hash join, not nested loop
     p = _plan(spark, "nullsafe_join")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_dynamic_partition_pruning_on_partitioned_mart(spark, marts, tmp_path):
+    # monthly marts are written partitioned by month so a dim-filtered join
+    # prunes partitions at runtime (DPP): the fact scan must carry a
+    # dynamicpruning subquery on the partition key, not read every month
+    from pyspark.sql import functions as F
+
+    from credit_abs_oltp_to_mart_spark.sources.writers import write_mart
+
+    out = str(tmp_path / "dpp_marts")
+    write_mart(marts["fct_npl_monthly"], out, "fct_npl_monthly")
+    fact = spark.read.parquet(f"{out}/fct_npl_monthly.parquet")
+    # a month-dimension with a SELECTIVE predicate (DPP requires a filter
+    # on the build side — a bare limit/distinct doesn't qualify) and the
+    # same key type as the hive-partition column
+    months = fact.select("month").distinct()
+    dim_path = str(tmp_path / "dpp_dim.parquet")
+    months.withColumn(
+        "tag", F.when(F.year("month") % 4 == 0, "keep").otherwise("drop")
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
+    joined = fact.join(dim, "month").groupBy("tag").agg(
+        F.sum("total_exposure").alias("exposure")
+    )
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower(), p

@@ -180,3 +180,55 @@ def test_stream_upsert_snapshot_foreachbatch(spark, tmp_path):
     )
     cols = ["user_id", "n_events", "tv"]
     assert _collect_sorted(got, cols) == _collect_sorted(exp, cols)
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark are
+    suppressed; once the watermark passes a key's event time its state is
+    evicted, so a later re-send of the same id is emitted again (bounded
+    state, at-least-once upstream semantics)."""
+    import time
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes):
+        return (
+            eid,
+            datetime(2026, 1, 1, 12, 0, 0).replace(
+                hour=12 + minutes // 60, minute=minutes % 60
+            ),
+            eid * 10,
+            "click",
+        )
+
+    batches = [
+        [ev(1, 0), ev(2, 1)],    # first sight of 1, 2
+        [ev(1, 10), ev(3, 200)], # dup 1 suppressed; 3 advances wm to +140m
+        [ev(4, 206)],            # end-of-batch cleanup evicts 1's state
+                                 # (expiry +70m < wm +140m; eviction runs
+                                 # after input, so a same-batch re-send
+                                 # would still be suppressed)
+        [ev(1, 210)],            # state gone => re-emitted
+    ]
+    src = tmp_path / "dedup_stream"
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b={i}")
+        )
+        time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "b=*"))
+    )
+    out = streaming.run_to_memory(
+        streaming.stream_dedup_within_watermark(stream, "1 hour"),
+        "mem_test_dedup_wm",
+        "append",
+    )
+    emitted = sorted(r["event_id"] for r in out.collect())
+    assert emitted == [1, 1, 2, 3, 4], emitted
