@@ -1730,6 +1730,91 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each stage's
+    first-qualifying timestamp is a windowed conditional min over the SAME
+    user partition, so all three stages resolve in one shuffle + one
+    window stage — no per-stage self-joins."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("tv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("tc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("tp", tp)
+    per_user = staged.select("user_id", "tv", "tc", "tp").distinct()
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("tv").alias("n_viewed"),
+        F.count("tc").alias("n_clicked_after_view"),
+        F.count("tp").alias("n_purchased_after_click"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    distinct-user counts per (cohort, day offset). Two aggregations and a
+    window min — the user shuffle is shared by the window and the dedup."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    cohorts = ud.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        cohorts.groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type (bin = floor(value/25)): the
+    binning is a map-side expression, so the only shuffle carries one row
+    per (type, bin) partial."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_D182)).cast("double").alias("bin_value"),
+        )
+    )
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing (alpha=0.5) of event values — the recursive
+    per-key kernel via Arrow grouped-map (see temporal.ewma_smooth)."""
+    from credit_abs_oltp_to_mart_spark.operators.temporal import ewma_smooth
+
+    e = _t(spark, sf_dir, "events")
+    return ewma_smooth(
+        e, key="user_id", ts_col="ts", value_col="value",
+        alpha=0.5, tiebreak="event_id",
+    ).select("user_id", "event_id", "ts", "value", "ewma")
+
+
 def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (<=>): per-key aggregates joined so the
     NULL bucket (nullif-suppressed flag) pairs up instead of dropping —
@@ -2098,6 +2183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": q_unpivot_measures,
         "array_hof": q_array_hof,
         "nullsafe_join": q_nullsafe_join,
+        "funnel_stages": q_funnel_stages,
+        "retention_cohorts": q_retention_cohorts,
+        "value_histogram": q_value_histogram,
+        "ewma": q_ewma,
     }
 
 
@@ -2727,6 +2816,63 @@ def oracle_sql() -> dict[str, str]:
             join (select nullif(l_returnflag, 'R') as k, count(*) as n_b
                   from lineitem group by 1) b
               on a.k is not distinct from b.k
+        """,
+        "funnel_stages": """
+            with e1 as (
+              select user_id, event_type, ts,
+                     min(case when event_type = 'view' then ts end)
+                       over (partition by user_id) as tv
+              from events),
+            e2 as (
+              select *, min(case when event_type = 'click' and ts >= tv
+                                 then ts end)
+                          over (partition by user_id) as tc
+              from e1),
+            e3 as (
+              select *, min(case when event_type = 'purchase' and ts >= tc
+                                 then ts end)
+                          over (partition by user_id) as tp
+              from e2),
+            u as (select distinct user_id, tv, tc, tp from e3)
+            select count(*) as n_users, count(tv) as n_viewed,
+                   count(tc) as n_clicked_after_view,
+                   count(tp) as n_purchased_after_click
+            from u
+        """,
+        "retention_cohorts": """
+            with ud as (
+              select distinct user_id, cast(ts as date) as day from events),
+            c as (
+              select user_id, day,
+                     min(day) over (partition by user_id) as cohort_day
+              from ud)
+            select cohort_day, cast(day - cohort_day as int) as day_offset,
+                   count(*) as n_users
+            from c group by 1, 2
+        """,
+        "value_histogram": """
+            select event_type,
+                   cast(floor(value / 25.0) as bigint) as bin,
+                   count(*) as n_events,
+                   cast(sum(cast(value as decimal(18,2))) as double)
+                     as bin_value
+            from events group by 1, 2
+        """,
+        "ewma": """
+            with recursive base as (
+              select user_id, event_id, ts, value,
+                     row_number() over (partition by user_id
+                                        order by ts, event_id) as rn
+              from events),
+            rec as (
+              select user_id, event_id, ts, value, rn, value as ewma
+              from base where rn = 1
+              union all
+              select b.user_id, b.event_id, b.ts, b.value, b.rn,
+                     0.5 * r.ewma + 0.5 * b.value
+              from rec r
+              join base b on b.user_id = r.user_id and b.rn = r.rn + 1)
+            select user_id, event_id, ts, value, ewma from rec
         """,
         "stream_session_window": """
             with f as (

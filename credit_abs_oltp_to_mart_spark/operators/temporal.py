@@ -191,3 +191,44 @@ def scd2_from_changelog(
         "n_changes",
         F.lead("valid_from").over(wk).isNull().alias("is_current"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (recursive smoothing).
+
+    s_0 = x_0; s_i = (1-alpha)*s_{i-1} + alpha*x_i over rows ordered by
+    (``ts_col``, ``tiebreak``). The recurrence is inherently sequential per
+    key, which built-in window frames cannot express for unbounded series —
+    this is exactly the grouped-map escape hatch: ``applyInPandas`` ships
+    each key's rows to one Arrow batch and pandas' ``ewm`` kernel runs the
+    recurrence vectorized. One shuffle on the key; state is O(rows per
+    key), the same bound any per-key sequential scan has. The arithmetic
+    is plain IEEE double in deterministic order, so an engine that can
+    recurse (e.g. SQL WITH RECURSIVE) reproduces it bit-for-bit.
+    """
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(key, *order, value_col).schema.fields
+    ) + ", ewma double"
+
+    def _smooth(pdf):
+        pdf = pdf.sort_values(order)
+        pdf["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return (
+        df.select(key, *order, value_col)
+        .groupBy(key)
+        .applyInPandas(_smooth, out_schema)
+    )

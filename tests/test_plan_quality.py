@@ -172,3 +172,26 @@ def test_dynamic_partition_pruning_on_partitioned_mart(spark, marts, tmp_path):
     )
     p = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_funnel_single_user_shuffle(spark):
+    # all three stage-min windows share the user_id partition: one
+    # exchange feeds them; the final global agg adds at most single-
+    # partition exchanges, never another hash repartition of the events
+    p = _plan(spark, "funnel_stages")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_ewma_one_shuffle_arrow_batched(spark):
+    # grouped-map kernel: exactly the key shuffle, executed via Arrow
+    # (FlatMapGroupsInPandas), never row-at-a-time python UDFs
+    p = _plan(spark, "ewma")
+    assert "FlatMapGroupsInPandas" in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_value_histogram_partial_aggregates(spark):
+    # binning is map-side; the shuffle carries (type, bin) partials only
+    p = _plan(spark, "value_histogram")
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "partial" in p.lower(), p
