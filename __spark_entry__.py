@@ -1815,6 +1815,49 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value", "ewma")
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day. COUNT(DISTINCT) over a
+    sliding frame isn't a window function Spark (or anyone) can stream, so
+    each (user, day) replicates into the 7 day-slots it influences —
+    map-side explode, one shuffle of (slot, user) pairs, exact distinct
+    per slot. A semi join against observed days trims phantom tail slots."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    slots = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("day"),
+    )
+    return (
+        slots.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+    )
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: documents race with length-
+    proportional tickets (1-8 per doc); integer hash priorities make the
+    winning set engine-reproducible."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tickets = F.least(
+        F.lit(8),
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 256).cast("int")),
+    )
+    return weighted_sample(
+        d, id_col="doc_id", weight=tickets, k=WEIGHTED_SAMPLE_K
+    )
+
+
 def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (<=>): per-key aggregates joined so the
     NULL bucket (nullif-suppressed flag) pairs up instead of dropping —
@@ -2187,6 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "value_histogram": q_value_histogram,
         "ewma": q_ewma,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2857,6 +2902,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value as decimal(18,2))) as double)
                      as bin_value
             from events group by 1, 2
+        """,
+        "rolling_distinct_users": """
+            with ud as (
+              select distinct user_id, cast(ts as date) as day from events),
+            days as (select distinct day from ud)
+            select d.day, count(distinct u.user_id) as n_users_7d
+            from days d
+            join ud u on u.day between d.day - 6 and d.day
+            group by 1
+        """,
+        "weighted_sample": f"""
+            with rep as (
+              select doc_id, unnest(generate_series(1, w)) as i
+              from (select doc_id,
+                           least(8, greatest(1,
+                             cast(floor(n_chars / 256) as int))) as w
+                    from documents) d),
+            race as (
+              select doc_id,
+                     min(('0x' || substr(md5(doc_id::varchar || ':' ||
+                                         i::varchar), 1, 15))::bigint)
+                       as priority
+              from rep group by 1)
+            select doc_id, priority from race
+            order by priority limit {WEIGHTED_SAMPLE_K}
         """,
         "ewma": """
             with recursive base as (

@@ -38,13 +38,13 @@ def main() -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         _materialize(spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1000))
 
-    # two passes per query, keep the min: single-run numbers swing +-2x
-    # from JVM/GC noise at this scale; min-of-2 reports steady-state plan
-    # cost (first pass also pays codegen compilation)
+    # three passes per query, keep the min: single-run numbers swing +-2x
+    # from JVM/GC and host-contention noise at this scale; min-of-3 reports
+    # steady-state plan cost (first pass also pays codegen compilation)
     timings: dict[str, float] = {}
     for name, q in entry_mod.queries().items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _materialize(q(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -58,6 +58,9 @@ def main() -> None:
         for view in spark.catalog.listTables():
             if view.isTemporary:
                 spark.catalog.dropTempView(view.name)
+        # settle GC debt now so the NEXT query's first pass doesn't pay
+        # this query's collection pauses
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

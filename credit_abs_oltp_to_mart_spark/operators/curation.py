@@ -288,3 +288,43 @@ def pii_scan(docs: DataFrame) -> DataFrame:
         ((n_emails + n_urls + n_digit_runs) > 0).alias("has_pii"),
         F.length(redacted).cast("int").alias("redacted_len"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight: Column | str = "weight",
+    k: int = 100,
+) -> DataFrame:
+    """Weighted sampling without replacement via integer-replica hash race.
+
+    Each row enters the race with ``weight`` (small positive int) lottery
+    tickets — one md5 draw per (id, replica) — and its priority is its best
+    (minimum) draw; the k best priorities win. A row with twice the tickets
+    has (asymptotically) twice the win odds, which is the discrete version
+    of the exponential-race A-ES sampler, but with NO libm (exp/ln/pow) on
+    the comparison path: priorities are integer hashes, so any engine
+    reproduces the exact same sample — floating-point samplers diverge in
+    the last ulp and flip selections near the k-th boundary.
+
+    Scale shape: replication is a map-side explode bounded by max weight
+    (clamp weights to a small range — tickets, not magnitudes); the race
+    is one partial-aggregated min per id; the final top-k is
+    TakeOrdered (per-partition heads + driver merge of k rows, never a
+    global sort).
+    """
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("int")
+    rep = (
+        docs.select(F.col(id_col), w.alias("__w"))
+        .where(F.col("__w") >= 1)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("__w"))).alias("__i"),
+        )
+    )
+    draw = md5_long(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col("__i").cast("string"))
+    )
+    race = rep.groupBy(id_col).agg(F.min(draw).alias("priority"))
+    return race.orderBy("priority").limit(k)

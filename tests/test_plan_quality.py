@@ -195,3 +195,20 @@ def test_value_histogram_partial_aggregates(spark):
     p = _plan(spark, "value_histogram")
     assert p.count("Exchange hashpartitioning") <= 1, p
     assert "partial" in p.lower(), p
+
+
+def test_weighted_sample_topk_not_global_sort(spark):
+    # orderBy().limit(k) must compile to TakeOrdered (per-partition heads,
+    # driver merge of k rows) — a rangepartitioning Exchange means someone
+    # materialized a global sort for a 100-row result
+    p = _plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p, p
+
+
+def test_rolling_distinct_slots_bounded_shuffles(spark):
+    # slot replication is map-side; shuffles: user-day dedup, the day spine
+    # dedup (broadcast-joined back), and the per-slot distinct count
+    p = _plan(spark, "rolling_distinct_users")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "CartesianProduct" not in p
