@@ -27,7 +27,8 @@ _MART_PARTITION_KEYS = {
     "fct_collections_monthly": ["month"],
     "fct_writeoff_recovery_monthly": ["month"],
     "fct_vintage_mob": ["cohort_q"],
-    # fct_dpd_daily is loan x day and dominant: partition by month of as_of_date
+    # dominant loan x day fact: partitioned by derived month (see write_mart)
+    "fct_dpd_daily": ["as_of_month"],
 }
 _NATURAL_KEYS = {
     "arrears_dpd_status": ["loan_id", "as_of_date"],  # pg_oltp_synth.py:791
@@ -42,6 +43,10 @@ def write_mart(
     file_format: str = "parquet",
 ) -> None:
     """Materialize one model (S3), partitioned when the grain allows."""
+    if name == "fct_dpd_daily":
+        # the dominant loan x day fact: derive a month partition key so
+        # time-bounded reads prune directories (and DPP fires on joins)
+        df = df.withColumn("as_of_month", F.trunc("as_of_date", "month"))
     writer = df.write.mode(mode)
     keys = _MART_PARTITION_KEYS.get(name)
     if keys:
