@@ -1815,6 +1815,65 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value", "ewma")
 
 
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL-string API (every other
+    entry uses the DataFrame DSL; this proves the SQL surface): orders
+    priced above their customer's average. Catalyst decorrelates to an
+    aggregate + join — no per-row re-execution."""
+    path = f"{sf_dir.rstrip('/')}/orders.parquet"
+    return spark.sql(f"""
+        select o.o_orderkey, o.o_custkey,
+               cast(o.o_totalprice as double) as price
+        from parquet.`{path}` o
+        where cast(o.o_totalprice as decimal(18,2)) * (
+                select count(*) from parquet.`{path}` c
+                where c.o_custkey = o.o_custkey)
+              > (
+                select sum(cast(i.o_totalprice as decimal(18,2)))
+                from parquet.`{path}` i
+                where i.o_custkey = o.o_custkey)
+    """)
+    # price*n > sum(price) === price > avg(price), but in exact decimal
+    # arithmetic — an avg() comparison sits on a float boundary that two
+    # engines can round differently
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-key predicate (decorrelates to a semi
+    join on the key + pushed filter): orders containing any high-quantity
+    line."""
+    o_path = f"{sf_dir.rstrip('/')}/orders.parquet"
+    l_path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    return spark.sql(f"""
+        select o.o_orderkey, o.o_orderstatus,
+               cast(o.o_totalprice as double) as price
+        from parquet.`{o_path}` o
+        where exists (
+          select 1 from parquet.`{l_path}` l
+          where l.l_orderkey = o.o_orderkey and l.l_quantity > 45)
+    """)
+
+
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value IGNORE NULLS as a growing-frame window — the LOCF
+    (last-observation-carried-forward) pattern over a sparse column: each
+    event carries the most recent purchase amount seen for its user."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
 def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day. COUNT(DISTINCT) over a
     sliding frame isn't a window function Spark (or anyone) can stream, so
@@ -2232,6 +2291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "rolling_distinct_users": q_rolling_distinct_users,
         "weighted_sample": q_weighted_sample,
+        "correlated_subquery": q_correlated_subquery,
+        "exists_subquery": q_exists_subquery,
+        "window_ignore_nulls": q_window_ignore_nulls,
     }
 
 
@@ -2902,6 +2964,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value as decimal(18,2))) as double)
                      as bin_value
             from events group by 1, 2
+        """,
+        "correlated_subquery": """
+            select o.o_orderkey, o.o_custkey,
+                   cast(o.o_totalprice as double) as price
+            from orders o
+            where cast(o.o_totalprice as decimal(18,2)) * (
+                    select count(*) from orders c
+                    where c.o_custkey = o.o_custkey)
+                  > (
+                    select sum(cast(i.o_totalprice as decimal(18,2)))
+                    from orders i
+                    where i.o_custkey = o.o_custkey)
+        """,
+        "exists_subquery": """
+            select o.o_orderkey, o.o_orderstatus,
+                   cast(o.o_totalprice as double) as price
+            from orders o
+            where exists (
+              select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey and l.l_quantity > 45)
+        """,
+        "window_ignore_nulls": """
+            select user_id, event_id,
+                   last_value(case when event_type = 'purchase'
+                                   then value end ignore nulls)
+                     over (partition by user_id
+                           order by ts asc, event_id asc
+                           rows between unbounded preceding and current row)
+                     as last_purchase_value
+            from events
         """,
         "rolling_distinct_users": """
             with ud as (

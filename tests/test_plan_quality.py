@@ -212,3 +212,12 @@ def test_rolling_distinct_slots_bounded_shuffles(spark):
     p = _plan(spark, "rolling_distinct_users")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    # Catalyst must rewrite both correlated scalars to aggregate+join —
+    # a SubqueryExec per input row would be a different engine entirely
+    for name in ("correlated_subquery", "exists_subquery"):
+        p = _plan(spark, name)
+        assert "Join" in p, p
+        assert "CartesianProduct" not in p, p
