@@ -1815,6 +1815,31 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value", "ewma")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-class scalar quantization of the embedding column (4-8x scan
+    reduction for ANN at scale); emits integer code statistics per vector
+    so the oracle checks the exact codes without array-compare semantics."""
+    from credit_abs_oltp_to_mart_spark.operators.ann import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale_min",
+        "scale_max",
+        F.size("codes").alias("dim"),
+        F.expr(
+            "aggregate(codes, cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("code_sum"),
+        F.expr(
+            "aggregate(codes, cast(0 as bigint), (a, x) -> a + x * x)"
+        ).alias("code_sumsq"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    )
+
+
 def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery through the SQL-string API (every other
     entry uses the DataFrame DSL; this proves the SQL surface): orders
@@ -2294,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
         "window_ignore_nulls": q_window_ignore_nulls,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -2964,6 +2990,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value as decimal(18,2))) as double)
                      as bin_value
             from events group by 1, 2
+        """,
+        "embedding_quantize": """
+            with s as (
+              select vec_id,
+                     cast(list_min(embedding) as double) as mn,
+                     case when list_max(embedding) <> list_min(embedding)
+                          then cast(list_max(embedding) as double)
+                               - cast(list_min(embedding) as double)
+                          else 1.0 end as span,
+                     embedding
+              from embeddings),
+            q as (
+              select vec_id, mn, span,
+                     list_transform(embedding,
+                       x -> cast(floor((cast(x as double) - mn) / span
+                                       * 255.0 + 0.5) as bigint)) as codes
+              from s)
+            select vec_id, mn as scale_min, mn + span as scale_max,
+                   len(codes) as dim,
+                   list_sum(codes)::bigint as code_sum,
+                   list_sum(list_transform(codes, c -> c * c))::bigint
+                     as code_sumsq,
+                   list_min(codes) as code_min, list_max(codes) as code_max
+            from q
         """,
         "correlated_subquery": """
             select o.o_orderkey, o.o_custkey,

@@ -40,6 +40,9 @@ def get_spark(
         # TIMESTAMP so time functions (unix_micros, window, watermark) apply
         # uniformly whether or not the writer attached a timezone.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # allow custom Python data sources (sources/pysource.py) to accept
+        # pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
