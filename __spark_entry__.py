@@ -1840,6 +1840,46 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_QUANT_QUERIES = 8
+ANN_QUANT_K = 5
+
+
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over the int8-quantized codes: top-k neighbors by
+    integer dot product (zip_with + aggregate, codegen) — the compressed-
+    domain candidate pass that precedes exact rescoring at 100 TB. All
+    arithmetic is integral, so ranks are engine-exact."""
+    from credit_abs_oltp_to_mart_spark.operators.ann import (
+        quantize_embeddings,
+    )
+    from pyspark.sql import Window
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "codes"
+    )
+    probes = F.broadcast(
+        q.where(F.col("vec_id") < ANN_QUANT_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+        )
+    )
+    scored = q.join(probes, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "aggregate(zip_with(codes, qc, (a, b) -> a * b),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_QUANT_K)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
 def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery through the SQL-string API (every other
     entry uses the DataFrame DSL; this proves the SQL surface): orders
@@ -2320,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "window_ignore_nulls": q_window_ignore_nulls,
         "embedding_quantize": q_embedding_quantize,
+        "ann_quantized": q_ann_quantized,
     }
 
 
@@ -3014,6 +3055,37 @@ def oracle_sql() -> dict[str, str]:
                      as code_sumsq,
                    list_min(codes) as code_min, list_max(codes) as code_max
             from q
+        """,
+        "ann_quantized": f"""
+            with s as (
+              select vec_id,
+                     cast(list_min(embedding) as double) as mn,
+                     case when list_max(embedding) <> list_min(embedding)
+                          then cast(list_max(embedding) as double)
+                               - cast(list_min(embedding) as double)
+                          else 1.0 end as span,
+                     embedding
+              from embeddings),
+            q as (
+              select vec_id,
+                     list_transform(embedding,
+                       x -> cast(floor((cast(x as double) - mn) / span
+                                       * 255.0 + 0.5) as double)) as codes
+              from s),
+            probes as (select vec_id as query_id, codes as qc from q
+                       where vec_id < {ANN_QUANT_QUERIES}),
+            scored as (
+              select p.query_id, q.vec_id as neighbor_id,
+                     cast(list_dot_product(q.codes, p.qc) as bigint) as dot
+              from q join probes p on q.vec_id <> p.query_id),
+            ranked as (
+              select query_id, neighbor_id, dot,
+                     row_number() over (partition by query_id
+                                        order by dot desc, neighbor_id asc)
+                       as rank
+              from scored)
+            select query_id, neighbor_id, cast(rank as int) as rank, dot
+            from ranked where rank <= {ANN_QUANT_K}
         """,
         "correlated_subquery": """
             select o.o_orderkey, o.o_custkey,
