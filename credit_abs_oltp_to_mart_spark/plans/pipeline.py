@@ -100,3 +100,28 @@ def run_pipeline(
         for name, obs in observations.items():
             collect_metrics[name] = dict(obs.get)
     return {**staging, **mart_dfs}
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from credit_abs_oltp_to_mart_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(
+        description="Run staging + marts over an OLTP parquet lake "
+        "(the Spark analogue of `dbt run`)"
+    )
+    ap.add_argument("src_dir", help="OLTP lake directory (17 *.parquet tables)")
+    ap.add_argument("out_dir", help="output directory for the 7 fact tables")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    metrics: dict[str, dict[str, float]] = {}
+    run_pipeline(
+        get_spark(master=args.master),
+        args.src_dir,
+        out_dir=args.out_dir,
+        collect_metrics=metrics,
+    )
+    for name, m in sorted(metrics.items()):
+        print(f"{name}: rows={int(m['n_rows'])} key_nulls={int(m['first_col_nulls'])}")

@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -116,8 +117,44 @@ class CreditSynthReader(DataSourceReader):
         yield batch
 
 
+class CreditSynthStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream of the same deterministic feed.
+
+    Offsets are plain row counters (``{"pos": n}``) — exactly the Kafka
+    offset/file-position contract: every batch reads
+    [pos, pos + rowsPerBatch), replays are idempotent, and a restart from
+    a checkpointed offset regenerates identical rows because values are
+    pure functions of (seed, id)."""
+
+    def __init__(self, options):
+        self.per_batch = int(options.get("rowsperbatch", 1000))
+        self.seed = int(options.get("seed", 42))
+        self._inner = CreditSynthReader(
+            {"rows": "0", "seed": str(self.seed)}
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        end = {"pos": start["pos"] + self.per_batch}
+        rows = self._rows(start["pos"], end["pos"])
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+    def _rows(self, lo: int, hi: int):
+        import pyarrow as pa
+
+        batches = list(self._inner.read(_SlicePartition(lo, hi)))
+        tbl = pa.Table.from_batches(batches)
+        return list(zip(*(c.to_pylist() for c in tbl.columns)))
+
+
 class CreditSynthDataSource(DataSource):
-    """``spark.read.format("credit_synth").option("rows", N).load()``."""
+    """``spark.read.format("credit_synth").option("rows", N).load()`` or
+    ``spark.readStream.format("credit_synth").option("rowsPerBatch", N)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -128,6 +165,9 @@ class CreditSynthDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return CreditSynthReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return CreditSynthStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -74,3 +74,39 @@ def test_arrow_batch_read_applies_pushed_filter():
     tbl = pa.Table.from_batches(batches)
     assert set(tbl.column("product_type").to_pylist()) == {"mortgage"}
     assert 0 < tbl.num_rows < 1000
+
+
+def test_stream_source_microbatches(spark, tmp_path):
+    # micro-batch stream: offsets advance by rowsPerBatch, rows are the
+    # same deterministic feed as the batch source
+    register(spark)
+    stream = (
+        spark.readStream.format("credit_synth")
+        .option("rowsPerBatch", 500)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mem_synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        n = spark.table("mem_synth_stream").count()
+        if n >= 1500:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table("mem_synth_stream")
+    n = got.count()
+    assert n >= 1500 and n % 500 == 0, n
+    # prefix must equal the batch source's first n rows (same seed)
+    batch = (
+        spark.read.format("credit_synth").option("rows", n).load()
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(got) == key(batch)
