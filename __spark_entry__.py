@@ -1815,6 +1815,26 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value", "ewma")
 
 
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a measure map per line, explode it
+    (Generate MapExplode — map-side, no shuffle until the final agg), and
+    total each measure key."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast(_D182),
+        F.lit("price"), F.col("l_extendedprice").cast(_D182),
+        F.lit("tax"), F.col("l_tax").cast(_D182),
+    )
+    return (
+        li.select(F.explode(m).alias("measure", "v"))
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("total"),
+        )
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-class scalar quantization of the embedding column (4-8x scan
     reduction for ANN at scale); emits integer code statistics per vector
@@ -2361,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ignore_nulls": q_window_ignore_nulls,
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized": q_ann_quantized,
+        "map_explode": q_map_explode,
     }
 
 
@@ -3031,6 +3052,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value as decimal(18,2))) as double)
                      as bin_value
             from events group by 1, 2
+        """,
+        "map_explode": """
+            select m.measure, count(*) as n,
+                   cast(sum(case m.measure
+                              when 'qty' then cast(l_quantity as decimal(18,2))
+                              when 'price' then cast(l_extendedprice as decimal(18,2))
+                              else cast(l_tax as decimal(18,2)) end)
+                        as double) as total
+            from lineitem
+            cross join (values ('qty'), ('price'), ('tax')) as m(measure)
+            group by 1
         """,
         "embedding_quantize": """
             with s as (

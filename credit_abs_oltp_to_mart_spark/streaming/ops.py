@@ -411,3 +411,76 @@ def stream_session_window_agg(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def stream_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the v2 arbitrary-state API
+    (``transformWithStateInPandas``): ValueState survives micro-batches in
+    the RocksDB state store, so state scales to disk (not executor heap) —
+    the knob that matters when key cardinality is 10^9. Update-mode: each
+    batch re-emits the keys it touched with their lifetime totals.
+
+    Runtime requirement: the v2 state protocol carries state over
+    protobuf between the JVM and the Python driver worker —
+    ``google.protobuf`` must be importable (the test suite skips when it
+    isn't; the ``applyInPandasWithState`` operators above have no such
+    dependency).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("total_cents", LongType()),
+    ])
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = 0, 0
+            if self._totals.exists():
+                n, cents = self._totals.get()
+            for pdf in rows:
+                n += len(pdf)
+                # integer cents: exact accumulation, order-independent
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, total_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

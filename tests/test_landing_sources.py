@@ -34,3 +34,22 @@ def test_json_quarantines_malformed_rows(spark, oltp, tmp_path):
     # quarantined rows carry the raw line for replay
     raw = {r["_corrupt_record"] for r in bad.collect()}
     assert "not json at all" in raw
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Lake reality: later batches add columns. mergeSchema unions the
+    footers; early files surface nulls for the new column."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        p + "/batch=1"
+    )
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(2.5).alias("v2")
+    ).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p + "/batch=*")
+    assert set(df.columns) == {"id", "v1", "v2"}
+    assert df.count() == 8
+    assert df.where(F.col("v2").isNull()).count() == 5
+    assert df.where(F.col("v2") == 2.5).count() == 3

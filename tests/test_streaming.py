@@ -232,3 +232,57 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     )
     emitted = sorted(r["event_id"] for r in out.collect())
     assert emitted == [1, 1, 2, 3, 4], emitted
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """v2 arbitrary-state API (transformWithStateInPandas + RocksDB state
+    store): running per-user totals accumulate across micro-batches; the
+    last emission per user equals the batch aggregate exactly (integer-
+    cents state)."""
+    # the v2 state protocol speaks protobuf between JVM and Python
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available in this environment")
+    import time
+
+    from __spark_entry__ import _t
+
+    e = _t(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    thirds = e.select(
+        F.percentile_approx(F.col("ts").cast("double"), [1 / 3, 2 / 3], 10000)
+    ).first()[0]
+    src = tmp_path / "twspd_stream"
+    d = F.col("ts").cast("double")
+    slices = [
+        e.where(d <= thirds[0]),
+        e.where((d > thirds[0]) & (d <= thirds[1])),
+        e.where(d > thirds[1]),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"s={i}"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(slices[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "s=*"))
+    )
+    out = streaming.run_to_memory(
+        streaming.stream_running_totals(stream),
+        "mem_twspd_totals",
+        "update",
+    )
+    # update mode: keep the emission with the highest n_events per user
+    w_last = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    ).select("user_id", "s.n_events", "s.total_value")
+    exp = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+        ).alias("total_value"),
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(w_last) == key(exp)
