@@ -1815,6 +1815,46 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value", "ewma")
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4 semi-structured type): parse the JSON props column
+    once into variant, extract a typed field, aggregate. Unlike per-path
+    get_json_object, the parse cost is paid once per row however many
+    fields are later extracted."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (try_divide / try_cast): malformed
+    input degrades to NULL instead of failing the job — the posture a
+    100 TB pipeline needs, where one bad row must not kill a stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+        ).alias("n_divisible"),
+        F.count(F.lit(1)).alias("n_rows"),
+        # unit price summed exactly: cents*1e4 / qty floored to int — both
+        # engines do one IEEE divide + floor, so no decimal-scale drift
+        F.sum(
+            F.floor(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                * 10000.0
+                / F.col("l_quantity")
+            ).cast("long")
+        ).alias("unit_price_sum_q"),
+    )
+
+
 def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: build a measure map per line, explode it
     (Generate MapExplode — map-side, no shuffle until the final agg), and
@@ -2382,6 +2422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized": q_ann_quantized,
         "map_explode": q_map_explode,
+        "variant_extract": q_variant_extract,
+        "try_arithmetic": q_try_arithmetic,
     }
 
 
@@ -3052,6 +3094,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value as decimal(18,2))) as double)
                      as bin_value
             from events group by 1, 2
+        """,
+        "variant_extract": """
+            select event_type,
+                   count(cast(json_extract(props, '$.k') as int)) as n_with_k,
+                   sum(cast(json_extract(props, '$.k') as int)) as k_total,
+                   max(cast(json_extract(props, '$.k') as int)) as k_max
+            from events group by 1
+        """,
+        "try_arithmetic": """
+            select l_returnflag,
+                   count(l_extendedprice / nullif(l_discount, 0))
+                     as n_divisible,
+                   count(*) as n_rows,
+                   sum(cast(floor(floor(l_extendedprice * 100 + 0.5)
+                                  * 10000.0 / l_quantity) as bigint))
+                     as unit_price_sum_q
+            from lineitem group by 1
         """,
         "map_explode": """
             select m.measure, count(*) as n,
