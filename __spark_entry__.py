@@ -1815,6 +1815,23 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value", "ewma")
 
 
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> array_sort -> array_join: per-group distinct values
+    as a deterministic CSV (collect_set order is partition-dependent, so
+    the sort is what makes the result an engine-stable value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    months = li.select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+    )
+    return months.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("ship_month")), ","
+        ).alias("ship_months"),
+        F.size(F.collect_set("ship_month")).alias("n_months"),
+    )
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT (Spark 4 semi-structured type): parse the JSON props column
     once into variant, extract a typed field, aggregate. Unlike per-path
@@ -2424,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_explode": q_map_explode,
         "variant_extract": q_variant_extract,
         "try_arithmetic": q_try_arithmetic,
+        "array_agg_sorted": q_array_agg_sorted,
     }
 
 
@@ -3094,6 +3112,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value as decimal(18,2))) as double)
                      as bin_value
             from events group by 1, 2
+        """,
+        "array_agg_sorted": """
+            select l_returnflag,
+                   string_agg(distinct strftime(l_shipdate, '%Y-%m'), ','
+                              order by strftime(l_shipdate, '%Y-%m'))
+                     as ship_months,
+                   cast(count(distinct strftime(l_shipdate, '%Y-%m')) as int)
+                     as n_months
+            from lineitem group by 1
         """,
         "variant_extract": """
             select event_type,

@@ -29,12 +29,19 @@ def compact_dir(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    cluster_by: str | None = None,
 ) -> dict:
     """Compact one parquet directory in place; returns a stats dict.
 
     No-op (returns the stats, writes nothing) when the directory already
     has fewer than ``min_files_to_compact`` data files or is already at or
     under the target file count.
+
+    ``cluster_by`` re-establishes a sort-clustered layout DURING the
+    rewrite (range partition + within-file sort on that column) — append
+    streams interleave values across small files, so compaction is exactly
+    the moment data-skipping order is restored for free (the rewrite
+    already pays the full read+write).
     """
     files = [
         os.path.join(path, f)
@@ -55,7 +62,13 @@ def compact_dir(
 
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
-    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    if cluster_by is not None:
+        reshaped = df.repartitionByRange(
+            n_target, cluster_by
+        ).sortWithinPartitions(cluster_by)
+    else:
+        reshaped = df.repartition(n_target)
+    reshaped.write.mode("overwrite").parquet(tmp)
     bak = path.rstrip("/") + "._compact_bak"
     os.rename(path, bak)
     os.rename(tmp, path)

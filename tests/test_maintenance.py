@@ -74,3 +74,42 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     # ORC scan must receive the predicate and the pruned schema
     assert "orc" in plan.lower()
     assert "dpd" in plan.split("ReadSchema")[-1] or "PushedFilters" in plan
+
+
+def test_compact_with_clustering_restores_sorted_layout(spark, tmp_path):
+    """cluster_by compaction: many interleaved small files come out as few
+    files with disjoint value ranges (data skipping restored)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import compact_dir
+
+    path = str(tmp_path / "interleaved.parquet")
+    # 12 appends, each spanning the whole key range (worst interleaving)
+    for i in range(12):
+        spark.range(2000).select(
+            (F.xxhash64("id", F.lit(i)) % 10_000).alias("k"),
+            F.col("id"),
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    stats = compact_dir(
+        spark, path, target_file_bytes=220_000, cluster_by="k"
+    )
+    assert stats["compacted"] and stats["files_after"] < stats["files_before"]
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "k"
+        )
+        st = [md.row_group(r).column(idx).statistics for r in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in st), max(s.max for s in st)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping ranges {(lo1, hi1)} {(lo2, hi2)}"
