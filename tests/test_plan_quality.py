@@ -221,3 +221,40 @@ def test_correlated_subqueries_decorrelate(spark):
         p = _plan(spark, name)
         assert "Join" in p, p
         assert "CartesianProduct" not in p, p
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # the skew posture is AQE, not manual salting, for joins: with one
+    # dominant key, the final adaptive plan must mark the sort-merge join
+    # skew-handled (partition split at runtime) instead of leaving one
+    # straggler task. Thresholds are lowered to make 200k rows "skewed";
+    # the mechanism is identical at 100 TB with production thresholds.
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).unionAll(
+            spark.range(5_000).select(
+                (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        right = spark.range(51).select(
+            F.col("id").alias("k"), F.rand(1).alias("w")
+        )
+        j = big.join(right, "k").groupBy().agg(F.sum("v").alias("s"))
+        j.collect()  # finalize adaptive plan
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
