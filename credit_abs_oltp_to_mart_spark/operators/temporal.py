@@ -205,30 +205,63 @@ def ewma_smooth(
     """Per-key exponentially-weighted moving average (recursive smoothing).
 
     s_0 = x_0; s_i = (1-alpha)*s_{i-1} + alpha*x_i over rows ordered by
-    (``ts_col``, ``tiebreak``). The recurrence is inherently sequential per
-    key, which built-in window frames cannot express for unbounded series —
-    this is exactly the grouped-map escape hatch: ``applyInPandas`` ships
-    each key's rows to one Arrow batch and pandas' ``ewm`` kernel runs the
-    recurrence vectorized. One shuffle on the key; state is O(rows per
-    key), the same bound any per-key sequential scan has. The arithmetic
-    is plain IEEE double in deterministic order, so an engine that can
-    recurse (e.g. SQL WITH RECURSIVE) reproduces it bit-for-bit.
+    (``ts_col``, ``tiebreak``). The recurrence is inherently sequential
+    per key — no built-in window frame expresses it for unbounded series —
+    but per-GROUP pandas calls (applyInPandas) pay dispatch per key, which
+    dominates when keys are small. Instead: one shuffle to co-locate keys,
+    an in-partition sort, then ``mapInPandas`` runs pandas'
+    ``groupby().ewm()`` C kernel over EVERY key in the partition at once.
+    Arrow hands mapInPandas a partition as a sequence of record batches, a
+    key can straddle two batches, so each batch seeds continuing keys by
+    prepending the key's last smoothed value as a synthetic observation —
+    with adjust=False the recurrence then continues bit-exactly — and
+    drops it after. The arithmetic is IEEE double in deterministic order,
+    so an engine that can recurse (SQL WITH RECURSIVE) reproduces it
+    bit-for-bit.
     """
     order = [ts_col] + ([tiebreak] if tiebreak else [])
+    cols = [key, *order, value_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
-        for f in df.select(key, *order, value_col).schema.fields
+        for f in df.select(*cols).schema.fields
     ) + ", ewma double"
 
-    def _smooth(pdf):
-        pdf = pdf.sort_values(order)
-        pdf["ewma"] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
-        )
-        return pdf
+    def _smooth_partition(batches):
+        import pandas as pd
+
+        carry: dict = {}  # key -> last smoothed value (continues recurrence)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # seed rows for keys continuing from the previous record batch:
+            # sorted input keeps a straddling key's rows at the batch head,
+            # and groupby(sort=False) keeps them grouped with their seed
+            seed_keys = [k for k in pdf[key].unique() if k in carry]
+            if seed_keys:
+                seeds = pd.DataFrame(
+                    {key: seed_keys, value_col: [carry[k] for k in seed_keys]}
+                )
+                work = pd.concat([seeds, pdf], ignore_index=True)
+                work = work.sort_values(
+                    [key], kind="stable", ignore_index=True
+                )
+            else:
+                seeds = None
+                work = pdf.reset_index(drop=True)
+            grouped = work.groupby(key, sort=False)
+            # cython grouped online kernel: every key in the batch at once
+            sm = grouped[value_col].ewm(alpha=alpha, adjust=False).mean()
+            work = work.assign(ewma=sm.reset_index(drop=True).values)
+            if seeds is not None:
+                work = work[work[order[0]].notna()].reset_index(drop=True)
+            carry.update(
+                work.groupby(key, sort=False)["ewma"].last().to_dict()
+            )
+            yield work[[*cols, "ewma"]]
 
     return (
-        df.select(key, *order, value_col)
-        .groupBy(key)
-        .applyInPandas(_smooth, out_schema)
+        df.select(*cols)
+        .repartition(key)
+        .sortWithinPartitions(key, *order)
+        .mapInPandas(_smooth_partition, out_schema)
     )

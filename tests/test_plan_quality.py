@@ -183,11 +183,13 @@ def test_funnel_single_user_shuffle(spark):
 
 
 def test_ewma_one_shuffle_arrow_batched(spark):
-    # grouped-map kernel: exactly the key shuffle, executed via Arrow
-    # (FlatMapGroupsInPandas), never row-at-a-time python UDFs
+    # partition-level Arrow kernel (MapInPandas after one key shuffle +
+    # in-partition sort): every key in a partition smooths in one pandas
+    # call — never per-group dispatch or row-at-a-time python UDFs
     p = _plan(spark, "ewma")
-    assert "FlatMapGroupsInPandas" in p, p
+    assert "MapInPandas" in p, p
     assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "Sort" in p, p
 
 
 def test_value_histogram_partial_aggregates(spark):
