@@ -1815,6 +1815,19 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "value", "ewma")
 
 
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: tokens WITH ordinal position (map-only Generate) — the
+    first five tokens of every document, position-indexed."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        )
+        .where((F.col("pos") < 5) & (F.col("token") != ""))
+    )
+
+
 def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set -> array_sort -> array_join: per-group distinct values
     as a deterministic CSV (collect_set order is partition-dependent, so
@@ -2442,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": q_variant_extract,
         "try_arithmetic": q_try_arithmetic,
         "array_agg_sorted": q_array_agg_sorted,
+        "token_positions": q_token_positions,
     }
 
 
@@ -3112,6 +3126,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value as decimal(18,2))) as double)
                      as bin_value
             from events group by 1, 2
+        """,
+        "token_positions": """
+            with s as (
+              select doc_id, string_split(text, ' ') as toks
+              from documents),
+            e as (
+              select doc_id, toks,
+                     unnest(generate_series(1, least(5, len(toks)))) as i
+              from s)
+            select doc_id, cast(i - 1 as int) as pos, toks[i] as token
+            from e where toks[i] <> ''
         """,
         "array_agg_sorted": """
             select l_returnflag,
