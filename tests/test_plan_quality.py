@@ -260,3 +260,13 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", ["topk_per_group", "month_end_snapshot"])
+def test_rank_filters_get_window_group_limit(spark, name):
+    # rn=1 / rank<=k filters must trigger WindowGroupLimit: each map task
+    # keeps only its per-group top-k BEFORE the window shuffle, so the
+    # exchange carries k rows per (group, task) instead of every snapshot —
+    # the reference's month-end pattern depends on this at 100 TB
+    p = _plan(spark, name)
+    assert "WindowGroupLimit" in p, p
