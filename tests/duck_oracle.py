@@ -109,15 +109,63 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(list(out.columns), na_position="last").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Canonical dtype class for driver-hash parity. The driver's value hash
+    is dtype-sensitive: an int64 136 and a float64 136.0 hash differently
+    (round-1 red rows were exactly this: DuckDB HUGEINT -> pandas float64 vs
+    Spark int64). Classes must MATCH between Spark and oracle outputs."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    nn = s.dropna()
+    if len(nn) == 0:
+        return "empty"
+    v = nn.iloc[0]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, _decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, (_dt.date, _dt.datetime, pd.Timestamp)):
+        return "datetime"
+    return "str"
+
+
 def assert_frames_match(
     spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9, atol: float = 1e-12
 ) -> None:
     """rtol=0, atol=0 asserts BIT-EXACT float equality — the driver's
     value-hash gate standard (all contract queries are designed to meet
     it: exact decimal accumulation, deterministic double conversions,
-    portable rounding)."""
-    a = normalize(spark_df.toPandas())
-    b = normalize(duck_df)
+    portable rounding). Also rejects cross-engine dtype-class drift
+    (int vs float, decimal vs double) BEFORE value comparison, because the
+    driver's canonical value hash is dtype-sensitive even when values are
+    numerically equal."""
+    raw_a = spark_df.toPandas()
+    raw_b = duck_df
+    for c in sorted(set(raw_a.columns) & set(raw_b.columns)):
+        ca, cb = _dtype_class(raw_a[c]), _dtype_class(raw_b[c])
+        if "empty" in (ca, cb):
+            continue
+        assert ca == cb, (
+            f"column {c} dtype class differs: spark={ca} ({raw_a[c].dtype}) vs "
+            f"oracle={cb} ({raw_b[c].dtype}) — driver value hash would mismatch "
+            f"even if values are equal (e.g. 136 vs 136.0)"
+        )
+    a = normalize(raw_a)
+    b = normalize(raw_b)
     assert list(a.columns) == list(b.columns), f"columns differ: {list(a.columns)} vs {list(b.columns)}"
     assert len(a) == len(b), f"row counts differ: {len(a)} vs {len(b)}"
     for c in a.columns:
