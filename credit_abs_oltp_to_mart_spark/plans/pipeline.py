@@ -91,8 +91,9 @@ def run_pipeline(
                 df = df.observe(
                     obs,
                     F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(
-                        F.col(first_col).isNull().cast("int")
+                    F.coalesce(
+                        F.sum(F.col(first_col).isNull().cast("int")),
+                        F.lit(0),
                     ).alias("first_col_nulls"),
                 )
                 observations[name] = obs

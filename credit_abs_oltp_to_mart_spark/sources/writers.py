@@ -175,6 +175,10 @@ def write_zorder(
     z-value itself is a pure column expression (shiftleft/or folds) — no
     UDF on the write path.
     """
+    # keep every interleaved bit position inside a signed 64-bit long:
+    # bits*len(cols) > 63 would silently wrap shiftleft and collide high
+    # bits, degrading pruning without any error
+    bits = min(bits, 63 // max(len(cols), 1))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx{i}") for i, c in enumerate(cols)],

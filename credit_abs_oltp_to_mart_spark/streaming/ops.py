@@ -28,6 +28,7 @@ import os
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -450,9 +451,12 @@ def stream_running_totals(events: DataFrame) -> DataFrame:
                 n, cents = self._totals.get()
             for pdf in rows:
                 n += len(pdf)
-                # integer cents: exact accumulation, order-independent
+                # integer cents: exact accumulation, order-independent.
+                # floor(x*100 + 0.5) = the repo's portable HALF-UP rounding
+                # (pandas .round() is half-to-even, which diverges from the
+                # Spark F.round batch oracle on exact .5 cents)
                 cents += int(
-                    (pdf["value"] * 100).round().astype("int64").sum()
+                    np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
                 )
             self._totals.update((n, cents))
             yield pd.DataFrame(
