@@ -914,13 +914,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    """60-bit engine-portable SimHash (md5_long bit votes); the production
+    default is the same operator at n_bits=64 over xxhash64 (not DuckDB-
+    replicable), exercised by tests/test_simhash_scale.py."""
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"), n_bits=60)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band-bucketed candidates + exact hamming
-    verify (bit_count(xor)), full recall for hamming <= 1 by pigeonhole."""
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs at scale geometry: 60-bit fingerprints,
+    4 bands of 15 bits (2^15 buckets per band), exact hamming verify
+    (bit_count(xor)) — full recall for hamming <= 3 by pigeonhole."""
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, n_bands=4, n_bits=60
+    )
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,11 +1103,14 @@ def _minhash_oracle() -> str:
     """
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(n_bits: int = 60) -> str:
+    """60-bit portable SimHash: token hash = first 15 md5 hex digits as
+    bigint (< 2^60), bit-identical to Spark's md5_long — mirrors
+    dedup.simhash_fingerprints(n_bits=60)."""
     bit_terms = " + ".join(
         f"case when list_sum(list_transform(hs, h -> case when (h >> {j}) & 1 = 1 "
-        f"then 1 else -1 end)) > 0 then {1 << j} else 0 end"
-        for j in range(16)
+        f"then 1 else -1 end)) > 0 then (1::bigint << {j}) else 0::bigint end"
+        for j in range(n_bits)
     )
     return f"""
     with toks as (
@@ -1111,9 +1120,9 @@ def _simhash_oracle() -> str:
     hashed as (
       select doc_id,
              list_transform(tk,
-               x -> ('0x' || substr(md5(x), 1, 15))::bigint % {MERSENNE_31}) as hs
+               x -> ('0x' || substr(md5(x), 1, 15))::bigint) as hs
       from toks)
-    select doc_id, cast({bit_terms} as int) as simhash from hashed
+    select doc_id, cast({bit_terms} as bigint) as simhash from hashed
     """
 
 
@@ -2919,16 +2928,16 @@ def oracle_sql() -> dict[str, str]:
             with fp as ({_simhash_oracle()}),
             banded as (
               select doc_id, simhash, t.b,
-                     (simhash >> (8 * t.b)) & 255 as band
-              from fp, (values (0), (1)) t(b)),
+                     (simhash >> (15 * t.b)) & 32767 as band
+              from fp, (values (0), (1), (2), (3)) t(b)),
             cand as (
               select distinct a.doc_id as doc_a, b2.doc_id as doc_b,
                      a.simhash as sa, b2.simhash as sb
               from banded a
               join banded b2 on a.b = b2.b and a.band = b2.band
               where a.doc_id < b2.doc_id)
-            select doc_a, doc_b, bit_count(xor(sa, sb)) as hamming
-            from cand where bit_count(xor(sa, sb)) <= 1
+            select doc_a, doc_b, bit_count(xor(sa, sb))::int as hamming
+            from cand where bit_count(xor(sa, sb)) <= 3
         """,
         "dedup_embedding": _emb_near_dup_oracle(),
         "ann_brute_force": _ann_brute_oracle(),

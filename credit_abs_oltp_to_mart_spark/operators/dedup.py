@@ -7,8 +7,9 @@ Training-data-pipeline extensions beyond the reference surface
   key) so the shuffle never carries full text.
 - minhash:  shingle -> signature is embarrassingly parallel; the LSH
   band-bucket join shuffles only (band_key, doc_id) pairs, never O(n^2).
-- simhash:  signature is a map-only pass; clustering is a groupBy on a
-  16-bit key.
+- simhash:  signature is a map-only pass (64-bit xxhash64 by default;
+  60-bit md5 mode for the cross-engine oracle); near-dup candidates come
+  from 2^16-bucket-per-band LSH, clustering from a groupBy on the key.
 - ngram-jaccard: exact pairwise verify; candidate generation MUST be
   bounded upstream (LSH) at scale — the all-pairs form here is the
   correctness oracle for small data, not the 100 TB path.
@@ -26,6 +27,7 @@ from pyspark.sql import functions as F
 from credit_abs_oltp_to_mart_spark.functions.parallelism import ensure_parallelism
 from credit_abs_oltp_to_mart_spark.functions.similarity import (
     MERSENNE_31,
+    md5_long,
     md5_mod31,
     minhash_coefficients,
 )
@@ -199,55 +201,84 @@ def minhash_lsh_pairs(
     return _thresholded_jaccard(shared, threshold)
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash per document.
+def simhash_fingerprints(docs: DataFrame, n_bits: int = 64) -> DataFrame:
+    """``n_bits``-wide SimHash per document (default 64).
 
-    Exploded-vote formulation: one row per distinct token, md5-hashed once,
-    then 16 conditional SUMs (bit votes) in a single grouped aggregation —
-    partial-agg friendly and codegen'd, vs 16 interpreted array folds that
-    each re-hash every token. Docs with no tokens get simhash 0 (empty
-    vote = all bits unset), as with an empty-array fold."""
+    Exploded-vote formulation: one row per distinct token, hashed once,
+    then ``n_bits`` conditional SUMs (bit votes) in a single grouped
+    aggregation — partial-agg friendly and codegen'd, vs interpreted array
+    folds that each re-hash every token. Docs with no tokens get simhash 0
+    (empty vote = all bits unset), as with an empty-array fold.
+
+    Token-hash modes:
+      * ``n_bits == 64`` — ``xxhash64`` (JVM intrinsic, no string round
+        trips): the production/scale path. 64-bit fingerprints are what
+        band-bucketed candidate generation needs at 1e9+ docs; a 16-bit
+        space saturates (~256 buckets) and degrades to all-pairs.
+      * ``n_bits <= 60`` — bits of ``md5_long`` (first 15 md5 hex digits),
+        reproducible in any engine: the DuckDB oracle gate runs the 60-bit
+        variant with bit-identical arithmetic.
+    """
+    assert n_bits == 64 or 1 <= n_bits <= 60, "portable md5 mode caps at 60 bits"
     docs = ensure_parallelism(docs)
     toked = docs.select(
         "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok")
     )
-    hashed = toked.select("doc_id", md5_mod31(F.col("tok")).alias("h"))
+    h = F.xxhash64(F.col("tok")) if n_bits == 64 else md5_long(F.col("tok"))
+    hashed = toked.select("doc_id", h.alias("h"))
+    # shiftright-then-mask (not AND with 1<<j) so bit 63 of a signed
+    # xxhash64 value is reachable without an overflowing literal
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"v{j}")
-            for j in range(16)
+            for j in range(n_bits)
         ]
     )
-    acc = F.lit(0)
-    for j in range(16):
-        acc = acc + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    sim = votes.select("doc_id", acc.cast("int").alias("simhash"))
+    acc = F.lit(0).cast("long")
+    for j in range(n_bits):
+        bitval = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        acc = acc + F.when(F.col(f"v{j}") > 0, bitval).otherwise(F.lit(0))
+    sim = votes.select("doc_id", acc.cast("long").alias("simhash"))
     return (
         docs.select("doc_id")
         .join(sim, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
+        )
     )
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 1, n_bands: int = 2
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
     Band-bucketed candidate generation (same shape as MinHash LSH): the
-    16-bit fingerprint splits into ``n_bands`` equal bands; docs sharing
+    ``n_bits`` fingerprint splits into ``n_bands`` equal bands; docs sharing
     any band collide into a candidate pair; the exact hamming distance
     (bit_count of xor — one instruction, identical in DuckDB) verifies.
     Pigeonhole guarantees full recall while max_hamming < n_bands: a pair
-    within distance n_bands-1 must agree exactly on >= 1 band. Candidate
-    volume is bounded by bucket occupancy (16/n_bands-bit buckets), not
-    all pairs."""
+    within distance n_bands-1 must agree exactly on >= 1 band.
+
+    Scale: candidate volume is bounded by band-bucket occupancy. The
+    default 64-bit/4-band split gives 2^16 buckets PER BAND (vs ~2^8 for a
+    16-bit fingerprint, which saturates at ~1e8 docs and degrades the band
+    self-join toward O(n^2)); raise ``n_bands`` only with a wider
+    ``max_hamming`` budget, since width = n_bits/n_bands shrinks buckets
+    but weakens the pigeonhole bound."""
     assert max_hamming < n_bands, "recall guarantee needs max_hamming < n_bands"
-    width = 16 // n_bands
+    assert n_bits % n_bands == 0, "bands must tile the fingerprint evenly"
+    width = n_bits // n_bands
     mask = (1 << width) - 1
-    fp = simhash_fingerprints(docs)
+    fp = simhash_fingerprints(docs, n_bits=n_bits)
     banded = fp.select(
         "doc_id",
         "simhash",
@@ -257,7 +288,9 @@ def simhash_pairs(
                     F.concat_ws(
                         ":",
                         F.lit(str(b)),
-                        F.shiftright(F.col("simhash"), width * b)
+                        # logical shift: a signed 64-bit fingerprint's top
+                        # band must not smear the sign bit into the bucket
+                        F.shiftrightunsigned(F.col("simhash"), width * b)
                         .bitwiseAND(F.lit(mask))
                         .cast("string"),
                     )
