@@ -935,6 +935,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dups — the 100 TB path: bucket equi-join
+    bounds candidate generation, blocked-GEMM kernel scores per bucket.
+    Same deterministic hyperplanes as ann_lsh, so the DuckDB oracle
+    reproduces the bucket assignment (and therefore the pair set) exactly."""
+    return dedup.embedding_near_dups_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        n_planes=LSH_PLANES,
+        dim=EMB_DIM,
+    )
+
+
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_force_topk(
         _t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K
@@ -2413,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "reconcile_waterfall": q_reconcile_waterfall,
         "stream_sessionize": q_stream_sessionize,
+        # -- new this round
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         # -- round-1 driver-unchecked (gate window ended before these)
         "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -2940,6 +2955,17 @@ def oracle_sql() -> dict[str, str]:
             from cand where bit_count(xor(sa, sb)) <= 3
         """,
         "dedup_embedding": _emb_near_dup_oracle(),
+        "dedup_embedding_lsh": f"""
+            with b as (select vec_id, embedding::DOUBLE[] as v,
+                              {_lsh_bucket_expr("embedding::DOUBLE[]")} as bucket
+                       from embeddings)
+            select id_a, id_b, cosine from (
+              select a.vec_id as id_a, b2.vec_id as id_b,
+                     {_COSINE.format(a="a.v", b="b2.v")} as cosine
+              from b a join b b2
+                on a.bucket = b2.bucket and a.vec_id < b2.vec_id) z
+            where cosine >= {EMB_NEAR_DUP_THRESHOLD}
+        """,
         "ann_brute_force": _ann_brute_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),

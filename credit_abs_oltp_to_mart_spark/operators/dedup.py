@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 from credit_abs_oltp_to_mart_spark.functions.parallelism import ensure_parallelism
 from credit_abs_oltp_to_mart_spark.functions.similarity import (
     MERSENNE_31,
+    hyperplane_sign_bits,
     md5_long,
     md5_mod31,
     minhash_coefficients,
+    random_hyperplanes,
 )
 from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
 
@@ -335,37 +337,12 @@ def _round6_half_up(x: np.ndarray) -> np.ndarray:
     return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
 
 
-def embedding_near_dups(
-    emb: DataFrame,
-    threshold: float = 0.95,
-    vec_col: str = "embedding",
-    n_blocks: int = 8,
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs form).
-
-    Blocked pairwise-similarity: vectors are grouped into ``n_blocks``
-    row-blocks (by vec_id mod), every block pair (upper triangle) becomes
-    one task, and each task computes its cosine sub-matrix in numpy —
-    O(n^2/P) work with n/n_blocks vectors of state per task, no per-pair
-    interpreted array folds. Size n_blocks so two blocks of vectors fit in
-    executor memory; at 100 TB pre-bucket with sign-LSH (operators/ann.py)
-    and run this per bucket.
-
-    The dot/norm accumulation loops dimension-by-dimension so every partial
-    sum matches a sequential left-fold bit-for-bit — the DuckDB oracle
-    (`list_dot_product` over DOUBLE[]) reproduces the result exactly."""
-    grouped = (
-        emb.select(
-            "vec_id",
-            F.col(vec_col).alias("v"),
-            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
-        )
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
-    )
-    a = grouped.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
-    b = grouped.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
-    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"), "inner")
+def _blocked_cosine_kernel(threshold: float):
+    """mapInPandas kernel over block-pair rows (blk_a, rows_a, blk_b,
+    rows_b[, bucket]): emits (id_a, id_b, cosine) for pairs with cosine >=
+    threshold. Dot/norm accumulation loops dimension-by-dimension so every
+    partial sum matches a sequential left-fold bit-for-bit — the DuckDB
+    oracle (`list_dot_product` over DOUBLE[]) reproduces it exactly."""
 
     def _block_cosines(
         batches: Iterator[pd.DataFrame],
@@ -415,6 +392,83 @@ def embedding_near_dups(
                 }
             )
 
+    return _block_cosines
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form).
+
+    Blocked pairwise-similarity: vectors are grouped into ``n_blocks``
+    row-blocks (by vec_id mod), every block pair (upper triangle) becomes
+    one task, and each task computes its cosine sub-matrix in numpy —
+    O(n^2/P) work with n/n_blocks vectors of state per task, no per-pair
+    interpreted array folds. Size n_blocks so two blocks of vectors fit in
+    executor memory. This exact form is the small-data correctness oracle;
+    the 100 TB path is ``embedding_near_dups_lsh`` (sign-LSH buckets, then
+    this kernel per bucket)."""
+    grouped = (
+        emb.select(
+            "vec_id",
+            F.col(vec_col).alias("v"),
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
+    )
+    a = grouped.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = grouped.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"), "inner")
     return block_pairs.mapInPandas(
-        _block_cosines, "id_a long, id_b long, cosine double"
+        _blocked_cosine_kernel(threshold), "id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    n_blocks: int = 2,
+) -> DataFrame:
+    """Sign-LSH bucketed embedding near-dups — the 100 TB composition.
+
+    Pipeline: map-only sign-LSH bucket assignment (deterministic
+    md5-derived hyperplanes, reproducible in the DuckDB oracle) ->
+    per-(bucket, block) collect -> block pairs via an EQUI-JOIN on the
+    bucket id -> blocked-GEMM cosine kernel per block pair. Only pairs
+    sharing a bucket are ever scored, so work is O(sum_b n_b^2 / P)
+    instead of the all-pairs form's O(n^2 / P), and the join the planner
+    sees is a hash join on ``bucket`` — never a block cross join.
+
+    Candidate recall is the sign-LSH collision probability:
+    (1 - theta/pi)^n_planes per pair (~0.66 at cosine 0.95 with 4 planes;
+    ~0.9996 at cosine 0.999). Raise recall by lowering ``n_planes``, or by
+    unioning pair sets over several plane seeds; ``embedding_near_dups``
+    stays the exact oracle for verifying recall on samples."""
+    planes = random_hyperplanes(n_planes, dim, seed)
+    bucketed = emb.select(
+        "vec_id",
+        F.col(vec_col).alias("v"),
+        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    grouped = bucketed.groupBy("bucket", "blk").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("rows")
+    )
+    a = grouped.select(
+        "bucket", F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = grouped.select(
+        "bucket", F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    block_pairs = a.join(b, "bucket").where(F.col("blk_a") <= F.col("blk_b"))
+    return block_pairs.mapInPandas(
+        _blocked_cosine_kernel(threshold), "id_a long, id_b long, cosine double"
     )

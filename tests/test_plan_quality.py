@@ -80,6 +80,19 @@ def test_tfidf_broadcasts_corpus_count_only(spark):
     assert "CartesianProduct" not in p
 
 
+def test_embedding_lsh_dedup_joins_on_bucket(spark):
+    # the 100 TB composition: block pairs must come from a HASH equi-join
+    # on the sign-LSH bucket id — if the bucket key drops out, the plan
+    # degrades to the all-pairs block cross join (BroadcastNestedLoopJoin
+    # over blk_a <= blk_b), which is the small-data oracle, not this path
+    p = _plan(spark, "dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "bucket" in p
+    # the exact all-pairs form, by contrast, IS the block cross join
+    p_all = _plan(spark, "dedup_embedding")
+    assert "BroadcastNestedLoopJoin" in p_all
+
+
 def test_codegen_present_in_hot_aggregations(spark):
     for name in ("pricing_summary", "bucket_case"):
         df = entry_mod.queries()[name](spark, SF_DIR)
