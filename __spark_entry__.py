@@ -2402,6 +2402,129 @@ def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
     return ",".join(parts) + f" select vid as vec_id, cluster from a{iters}"
 
 
+# --- generator parity (G1-G11): pinned tiny config, deterministic seed ---
+_GEN_PARAMS = dict(n_loans=60, n_borrowers=80, n_applications=100, seed=42)
+
+
+def q_generator_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G11 parity evidence in the driver gate: run the 17-table generator
+    dataflow in-memory (pinned sizes + seed; start_date_max pinned so output
+    can't move with the clock) and fold the reference's documented
+    invariants into violation counts — schedule balance recurrence
+    (pg_oltp_synth.py:442-445), payment timing windows (:594-601), id
+    floors (:36-37), arrears bucket/flag consistency (:76-85, :686-688),
+    exact loan cardinality. The oracle is the invariant CONTRACT itself (a
+    constant all-zeros table): any generator regression flips a count and
+    breaks the value hash. ``sf_dir`` is unused — the generator IS the
+    source."""
+    from datetime import date as _date
+
+    from credit_abs_oltp_to_mart_spark.generator.config import OLTPSynthConfig
+    from credit_abs_oltp_to_mart_spark.generator.generate import (
+        run_credit_oltp_synth,
+    )
+
+    cfg = OLTPSynthConfig(start_date_max=_date(2025, 12, 31), **_GEN_PARAMS)
+    t = run_credit_oltp_synth(spark, cfg)
+    sched, loans, pay = t["repayment_schedule"], t["loan_contract"], t["repayment_payment"]
+
+    def viol(name: str, df: DataFrame, cond) -> DataFrame:
+        return (
+            df.where(cond)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("invariant"), "n_violations")
+        )
+
+    cent = 0.011  # each side rounds to cents independently -> <=1c drift
+    pay_sched = pay.join(
+        sched.select(F.col("schedule_id").alias("payment_id"), "due_date"),
+        "payment_id",
+    )
+    bucket_expected = (
+        F.when(F.col("days_past_due") <= 0, "0")
+        .when(F.col("days_past_due") <= 30, "1-30")
+        .when(F.col("days_past_due") <= 60, "31-60")
+        .when(F.col("days_past_due") <= 90, "61-90")
+        .otherwise(">90")
+    )
+    frames = [
+        viol(
+            "schedule_balance_recurrence",
+            sched,
+            F.abs(
+                F.col("closing_principal_balance")
+                - (F.col("opening_principal_balance") - F.col("principal_due"))
+            )
+            > cent,
+        ),
+        viol(
+            "schedule_total_due",
+            sched,
+            (
+                F.abs(
+                    F.col("total_due")
+                    - (F.col("principal_due") + F.col("interest_due"))
+                )
+                > cent
+            )
+            | (F.col("fees_due") != 0),
+        ),
+        # every payment id maps back to a schedule installment (S6 id scheme)
+        pay.join(
+            sched.select(F.col("schedule_id").alias("payment_id")),
+            "payment_id",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("payment_installment_fk").alias("invariant"), "n_violations"),
+        viol(
+            "payment_timing_window",
+            pay_sched,
+            (F.col("payment_date") < F.col("due_date"))
+            | (F.datediff("payment_date", "due_date") > 90),
+        ),
+        viol(
+            "id_floors",
+            loans,
+            (F.col("borrower_id") < 10_000)
+            | (F.col("application_id") < 100_000_000),
+        ),
+        loans.agg(
+            F.abs(F.count(F.lit(1)) - F.lit(_GEN_PARAMS["n_loans"]))
+            .cast("long")
+            .alias("n_violations")
+        ).select(F.lit("loan_cardinality").alias("invariant"), "n_violations"),
+        viol(
+            "arrears_bucket_consistency",
+            t["arrears_dpd_status"],
+            (F.col("arrears_bucket") != bucket_expected)
+            | (
+                F.col("early_arrears_flag")
+                != F.col("days_past_due").between(5, 30)
+            )
+            | (F.col("nonperforming_flag") != (F.col("days_past_due") > 90)),
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_GENERATOR_INVARIANTS_ORACLE = """
+    select invariant, n_violations::bigint as n_violations
+    from (values
+        ('schedule_balance_recurrence', 0),
+        ('schedule_total_due', 0),
+        ('payment_installment_fk', 0),
+        ('payment_timing_window', 0),
+        ('id_floors', 0),
+        ('loan_cardinality', 0),
+        ('arrears_bucket_consistency', 0)
+    ) t(invariant, n_violations)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2428,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         # -- new this round
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "generator_invariants": q_generator_invariants,
         # -- round-1 driver-unchecked (gate window ended before these)
         "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -2955,6 +3079,7 @@ def oracle_sql() -> dict[str, str]:
             from cand where bit_count(xor(sa, sb)) <= 3
         """,
         "dedup_embedding": _emb_near_dup_oracle(),
+        "generator_invariants": _GENERATOR_INVARIANTS_ORACLE,
         "dedup_embedding_lsh": f"""
             with b as (select vec_id, embedding::DOUBLE[] as v,
                               {_lsh_bucket_expr("embedding::DOUBLE[]")} as bucket
