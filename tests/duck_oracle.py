@@ -144,18 +144,24 @@ def _dtype_class(s: pd.Series) -> str:
 
 
 def assert_frames_match(
-    spark_df, duck_df: pd.DataFrame, rtol: float = 1e-9, atol: float = 1e-12
+    spark_df,
+    duck_df: pd.DataFrame,
+    rtol: float = 1e-9,
+    atol: float = 1e-12,
+    strict_dtypes: bool = True,
 ) -> None:
     """rtol=0, atol=0 asserts BIT-EXACT float equality — the driver's
     value-hash gate standard (all contract queries are designed to meet
     it: exact decimal accumulation, deterministic double conversions,
-    portable rounding). Also rejects cross-engine dtype-class drift
-    (int vs float, decimal vs double) BEFORE value comparison, because the
-    driver's canonical value hash is dtype-sensitive even when values are
-    numerically equal."""
+    portable rounding). ``strict_dtypes`` (default) also rejects
+    cross-engine dtype-class drift (int vs float, decimal vs double)
+    BEFORE value comparison, because the driver's canonical value hash is
+    dtype-sensitive even when values are numerically equal. Pass
+    strict_dtypes=False for reference-parity comparisons that are about
+    VALUES, not the driver hash (e.g. decimal marts vs float oracles)."""
     raw_a = spark_df.toPandas()
     raw_b = duck_df
-    for c in sorted(set(raw_a.columns) & set(raw_b.columns)):
+    for c in sorted(set(raw_a.columns) & set(raw_b.columns)) if strict_dtypes else []:
         ca, cb = _dtype_class(raw_a[c]), _dtype_class(raw_b[c])
         if "empty" in (ca, cb):
             continue

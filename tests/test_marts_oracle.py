@@ -45,7 +45,7 @@ def test_fct_dpd_daily(marts, duck):
         from stg_arrears_daily a
         join stg_loan_contract l using (loan_id)
     """).df()
-    assert_frames_match(marts["fct_dpd_daily"], oracle)
+    assert_frames_match(marts["fct_dpd_daily"], oracle, strict_dtypes=False)
 
 
 def test_fct_npl_monthly(marts, duck):
@@ -62,7 +62,7 @@ def test_fct_npl_monthly(marts, duck):
                     else npl_exposure / total_exposure end as npl_ratio
         from m
     """).df()
-    assert_frames_match(marts["fct_npl_monthly"], oracle)
+    assert_frames_match(marts["fct_npl_monthly"], oracle, strict_dtypes=False)
 
 
 def test_fct_roll_rate_monthly(marts, duck):
@@ -73,7 +73,7 @@ def test_fct_roll_rate_monthly(marts, duck):
         from x where prev_bucket is not null group by 1,2,3
     """
     ).df()
-    assert_frames_match(marts["fct_roll_rate_monthly"], oracle)
+    assert_frames_match(marts["fct_roll_rate_monthly"], oracle, strict_dtypes=False)
 
 
 def test_fct_cure_rate_monthly(marts, duck):
@@ -88,7 +88,7 @@ def test_fct_cure_rate_monthly(marts, duck):
         from x where prev_bucket is not null group by 1
     """
     ).df()
-    assert_frames_match(marts["fct_cure_rate_monthly"], oracle)
+    assert_frames_match(marts["fct_cure_rate_monthly"], oracle, strict_dtypes=False)
 
 
 def test_fct_vintage_mob(marts, duck):
@@ -116,7 +116,7 @@ def test_fct_vintage_mob(marts, duck):
                sum(npl_flag::int)::double / nullif(count(*),0) as npl_rate
         from base where mob >= 0 group by 1,2
     """).df()
-    assert_frames_match(marts["fct_vintage_mob"], oracle)
+    assert_frames_match(marts["fct_vintage_mob"], oracle, strict_dtypes=False)
 
 
 def test_fct_collections_monthly(marts, duck):
@@ -127,7 +127,7 @@ def test_fct_collections_monthly(marts, duck):
         from stg_payments p join stg_loan_contract l using (loan_id)
         group by 1,2,3
     """).df()
-    assert_frames_match(marts["fct_collections_monthly"], oracle)
+    assert_frames_match(marts["fct_collections_monthly"], oracle, strict_dtypes=False)
 
 
 def test_fct_writeoff_recovery_monthly(marts, duck):
@@ -138,7 +138,7 @@ def test_fct_writeoff_recovery_monthly(marts, duck):
                sum(coalesce(recovery_amount,0)) as recovery_total
         from stg_writeoff_recovery group by 1
     """).df()
-    assert_frames_match(marts["fct_writeoff_recovery_monthly"], oracle)
+    assert_frames_match(marts["fct_writeoff_recovery_monthly"], oracle, strict_dtypes=False)
 
 
 def test_months_on_book_edge_dates(spark):

@@ -56,7 +56,7 @@ def test_runner_discovers_the_full_model_graph():
 @needs_reference
 @pytest.mark.parametrize("name", MART_NAMES)
 def test_sql_mart_matches_dataframe_mart(sql_marts, marts, name):
-    assert_frames_match(sql_marts[name], marts[name].toPandas())
+    assert_frames_match(sql_marts[name], marts[name].toPandas(), strict_dtypes=False)
 
 
 def test_transpile_ident_cast():
