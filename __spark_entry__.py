@@ -913,6 +913,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new ingest batch (doc_id % 5 == 0) against the
+    persisted MinHash signature store of the existing corpus (the rest) —
+    broadcast band join, corpus never reshuffled, estimator-based verify."""
+    docs = _t(spark, sf_dir, "documents")
+    store = dedup.minhash_signatures(
+        docs.where(F.col("doc_id") % 5 != 0),
+        n=JACCARD_N,
+        n_perm=MINHASH_PERMS,
+        seed=MINHASH_SEED,
+    )
+    return dedup.incremental_minhash_pairs(
+        docs.where(F.col("doc_id") % 5 == 0),
+        store,
+        n=JACCARD_N,
+        n_perm=MINHASH_PERMS,
+        bands=MINHASH_BANDS,
+        min_est=0.25,
+        seed=MINHASH_SEED,
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit engine-portable SimHash (md5_long bit votes); the production
     default is the same operator at n_bits=64 over xxhash64 (not DuckDB-
@@ -1113,6 +1135,49 @@ def _minhash_oracle() -> str:
       join sigs sa on sa.doc_id = doc_a
       join sigs sb on sb.doc_id = doc_b)
     select doc_a, doc_b, jaccard from verified where jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+def _incremental_minhash_oracle(min_est: float = 0.25) -> str:
+    coeffs = minhash_coefficients(MINHASH_PERMS, MINHASH_SEED)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_31})) as s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ", ".join(
+        "concat_ws(':', '{bi}', {vals})".format(
+            bi=bi,
+            vals=", ".join(f"s{bi * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for bi in range(MINHASH_BANDS)
+    )
+    match_sum = " + ".join(
+        f"(sa.s{i} = sb.s{i})::int" for i in range(MINHASH_PERMS)
+    )
+    return f"""
+    with {_SHINGLES_CTE},
+    hashed as (
+      select doc_id, shingles,
+             list_transform(shingles,
+               x -> ('0x' || substr(md5(x), 1, 15))::bigint % {MERSENNE_31}) as hs
+      from sh),
+    sigs as (select doc_id, {sig_cols} from hashed),
+    sn as (select * from sigs where doc_id % 5 = 0),
+    sc as (select * from sigs where doc_id % 5 != 0),
+    bn as (select distinct doc_id, unnest([{band_exprs}]) as band_key from sn),
+    bc as (select distinct doc_id, unnest([{band_exprs}]) as band_key from sc),
+    cands as (
+      select distinct bn.doc_id as new_doc_id, bc.doc_id as corpus_doc_id
+      from bn join bc using (band_key)),
+    est as (
+      select new_doc_id, corpus_doc_id,
+             round(({match_sum}) / {float(MINHASH_PERMS)}, 6) as est_jaccard
+      from cands
+      join sn sa on sa.doc_id = new_doc_id
+      join sc sb on sb.doc_id = corpus_doc_id)
+    select new_doc_id, corpus_doc_id, est_jaccard
+    from est where est_jaccard >= {min_est}
     """
 
 
@@ -2646,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -3063,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
             from comp
         """,
         "simhash": _simhash_oracle(),
+        "dedup_incremental": _incremental_minhash_oracle(),
         "simhash_pairs": f"""
             with fp as ({_simhash_oracle()}),
             banded as (

@@ -124,6 +124,105 @@ def ngram_jaccard_pairs(
     return _thresholded_jaccard(pairs, threshold)
 
 
+def _signature_aggs(n_perm: int, seed: int):
+    """The n_perm grouped-MIN aggregation expressions over md5-hashed
+    shingle rows (column ``hmod``) — partial aggregation (map-side combine)
+    instead of per-doc array lambdas."""
+    coeffs = minhash_coefficients(n_perm, seed)
+    return [
+        F.min(
+            F.pmod(F.col("hmod") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+
+
+def _band_key_col(n_perm: int, bands: int):
+    """Exploded LSH band-key column over signature columns s0..s{n_perm-1}."""
+    rows_per_band = n_perm // bands
+    return F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(bi)),
+                    *[
+                        F.col(f"s{bi * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for bi in range(bands)
+            ]
+        )
+    ).alias("band_key")
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, n_perm: int = 8, seed: int = 42
+) -> DataFrame:
+    """(doc_id, s0..s{n_perm-1}) MinHash signature table — the persistable
+    fingerprint STORE for incremental dedup.
+
+    At 100 TB this is written once per corpus snapshot (partitioned
+    parquet, ~8 longs per document) and every subsequent ingest batch
+    dedups against it via ``incremental_minhash_pairs`` without touching
+    corpus text again."""
+    ex = shingle_rows(docs, n)
+    hashed = ex.select("doc_id", md5_mod31(F.col("shingle")).alias("hmod"))
+    return hashed.groupBy("doc_id").agg(*_signature_aggs(n_perm, seed))
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    *,
+    n: int = 3,
+    n_perm: int = 8,
+    bands: int = 2,
+    min_est: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against a persisted corpus signature store
+    (built by ``minhash_signatures``) — the incremental path: corpus text
+    is never re-read, re-shingled, or re-hashed.
+
+    Scale design: the new batch is small relative to the corpus, so its
+    banded signatures are BROADCAST; the store is scanned once, banded
+    inline (projection + explode, map-only), hash-joined against the
+    broadcast side, and never shuffled. Match quality is the standard
+    MinHash estimator — est_jaccard = fraction of agreeing signature
+    components — so verification needs no shingle sets from either side.
+    Returns (new_doc_id, corpus_doc_id, est_jaccard) with
+    est_jaccard >= ``min_est`` (granularity 1/n_perm)."""
+
+    def _banded(sig: DataFrame, prefix: str) -> DataFrame:
+        return sig.select(
+            F.col("doc_id").alias(f"{prefix}_doc_id"),
+            *[F.col(f"s{i}").alias(f"{prefix}_s{i}") for i in range(n_perm)],
+            _band_key_col(n_perm, bands),
+        )
+
+    new_sigs = minhash_signatures(new_docs, n=n, n_perm=n_perm, seed=seed)
+    matched = _banded(corpus_signatures, "corpus").join(
+        F.broadcast(_banded(new_sigs, "new")), "band_key"
+    )
+    est = sum(
+        F.when(F.col(f"new_s{i}") == F.col(f"corpus_s{i}"), 1).otherwise(0)
+        for i in range(n_perm)
+    ).cast("double") / F.lit(float(n_perm))
+    return (
+        matched.select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        # a pair colliding in several bands appears once per band; the
+        # estimate is a pure function of the pair, so distinct() dedups
+        .distinct()
+        .where(F.col("est_jaccard") >= min_est)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -137,39 +236,11 @@ def minhash_lsh_pairs(
 
     The band join is the scale path: only docs colliding in >= 1 band are
     paired. Returns (doc_a, doc_b, jaccard) for verified candidates."""
-    rows_per_band = n_perm // bands
-    coeffs = minhash_coefficients(n_perm, seed)
     # feeds signatures AND both verify joins — persisted, sizes inline
     ex = _shingle_index(docs, n)
-    # signature as n_perm grouped MINs over the md5-hashed shingle rows —
-    # partial aggregation (map-side combine) instead of per-doc array lambdas
     hashed = ex.select("doc_id", md5_mod31(F.col("shingle")).alias("hmod"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.pmod(F.col("hmod") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
-            ).alias(f"s{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(bi)),
-                        *[
-                            F.col(f"s{bi * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band_key"),
-    ).distinct()
+    sig = hashed.groupBy("doc_id").agg(*_signature_aggs(n_perm, seed))
+    banded = sig.select("doc_id", _band_key_col(n_perm, bands)).distinct()
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), "band_key")

@@ -93,6 +93,16 @@ def test_embedding_lsh_dedup_joins_on_bucket(spark):
     assert "BroadcastNestedLoopJoin" in p_all
 
 
+def test_incremental_dedup_broadcasts_new_batch(spark):
+    # incremental path: the small new-batch signatures must be the BROADCAST
+    # side of the band join so the corpus store is scanned once and never
+    # shuffled — a SortMergeJoin here means the store pays a full shuffle
+    # per ingest batch, which defeats the point of a persisted store
+    p = _plan(spark, "dedup_incremental")
+    assert "BroadcastHashJoin" in p and "band_key" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
 def test_codegen_present_in_hot_aggregations(spark):
     for name in ("pricing_summary", "bucket_case"):
         df = entry_mod.queries()[name](spark, SF_DIR)

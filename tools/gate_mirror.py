@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate, over ALL contract queries.
+
+The per-round driver gate checks only the first 50 ``queries()`` entries
+(registration order) at sf0.01; this tool runs the identical comparison —
+Spark result vs DuckDB oracle on the same parquet tables: row count, schema
+(sorted column names), and a dtype-sensitive bit-exact value comparison —
+for EVERY entry, and writes a driver-format JSON artifact
+(``CORRECTNESS_LOCAL.json`` by default) so the queries outside the driver's
+window still have a hard, reproducible correctness record.
+
+Usage:
+    python tools/gate_mirror.py [--sf-dir /root/testdata/sf0.01] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from credit_abs_oltp_to_mart_spark.session import get_spark
+    from tests.duck_oracle import assert_frames_match
+
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CORRECTNESS_LOCAL.json",
+    )
+    spark = get_spark(app_name="gate_mirror")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"parquet_scan('{args.sf_dir}/{t}.parquet')"
+        )
+
+    oracles = entry_mod.oracle_sql()
+    results: dict[str, dict] = {}
+    for name, q in entry_mod.queries().items():
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        try:
+            sdf = q(spark, args.sf_dir)
+            spdf = sdf.toPandas()
+            rec["spark_rows"] = len(spdf)
+            sql = oracles.get(name)
+            if sql is None:
+                # rows-only entry (driver's weaker check)
+                rec["rows_match"] = rec["spark_rows"] >= 0
+                rec["err"] = "rows-only: no oracle declared"
+            else:
+                odf = con.execute(sql).df()
+                rec["oracle_rows"] = len(odf)
+                rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+                rec["schema_match"] = sorted(spdf.columns) == sorted(odf.columns)
+                try:
+                    assert_frames_match(sdf, odf, rtol=0, atol=0)
+                    rec["hash_match"] = True
+                except AssertionError as e:
+                    rec["err"] = str(e).split("\n")[0][:200]
+        except Exception as e:  # noqa: BLE001 - record, keep sweeping
+            rec["err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        results[name] = rec
+        status = "ok" if rec["hash_match"] else "FAIL"
+        print(f"{status:4s} {name} ({rec['spark_rows']} rows)", flush=True)
+        # streaming queries leave memory-sink temp views; drop to bound heap
+        for view in spark.catalog.listTables():
+            if view.isTemporary:
+                spark.catalog.dropTempView(view.name)
+
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": args.sf_dir, "results": results}, f, indent=1)
+    n_ok = sum(1 for r in results.values() if r["hash_match"])
+    print(f"{n_ok}/{len(results)} hash-exact vs oracle -> {out_path}")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
