@@ -222,3 +222,24 @@ def quantize_embeddings(
         (F.col("__mn") + F.col("__span")).alias("scale_max"),
         "codes",
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall@k of an ANN result against exact ground truth.
+
+    Both inputs carry (query_id, neighbor_id) rows (the shape every *_topk
+    here emits). recall = |approx ∩ exact| / |exact| per query — the
+    standard ANN quality metric, computed as a left join from the truth
+    set so queries the approximate index missed entirely still score 0.
+    Distributed: one hash join + one grouped aggregation on query_id."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall")
+    )

@@ -1,0 +1,79 @@
+"""Quantitative ANN quality: recall@k of the bucketed indexes against the
+exact brute-force baseline, on a PLANTED-neighbor corpus.
+
+Uniform random embeddings have near-orthogonal "nearest" neighbors, so
+bucketed recall on them is data-noise, not index quality. The honest
+benchmark plants true near-duplicates (cosine ~0.99 twins) and checks the
+index surfaces them: sign-LSH collision probability for a planted pair is
+(1 - theta/pi)^n_planes ~ 0.83 at 4 planes, and IVF with enough probes
+should be near-exhaustive. Everything is seeded and the hyperplanes are
+deterministic, so observed recalls are exact constants — thresholds below
+are tight-but-safe floors, not flaky statistical bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from credit_abs_oltp_to_mart_spark.operators import ann
+
+DIM = 64
+N_BASE = 200
+N_PLANTED = 25
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.default_rng(SEED)
+    base = rng.standard_normal((N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # twins: tiny perturbation -> cosine ~0.995 with their base vector
+    # (noise L2 norm ~ 0.0125 * sqrt(64) = 0.1 against a unit vector)
+    twins = base[:N_PLANTED] + 0.0125 * rng.standard_normal((N_PLANTED, DIM))
+    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+    rows = [
+        (int(i), [float(x) for x in v]) for i, v in enumerate(base)
+    ] + [
+        (int(N_BASE + i), [float(x) for x in v]) for i, v in enumerate(twins)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query_ids = [N_BASE + i for i in range(N_PLANTED)]
+    return emb, query_ids
+
+
+def _mean_recall(spark, approx, exact) -> float:
+    r = ann.recall_at_k(approx, exact).collect()
+    assert len(r) == N_PLANTED  # every query scored, misses as 0
+    return sum(row.recall for row in r) / len(r)
+
+
+def test_exact_baseline_finds_planted_twin(spark, planted):
+    emb, qids = planted
+    exact = ann.brute_force_topk(emb, qids, k=1)
+    # top-1 of twin i must be base vector i (cosine ~0.995 beats any other)
+    got = {row.query_id: row.neighbor_id for row in exact.collect()}
+    assert got == {N_BASE + i: i for i in range(N_PLANTED)}
+
+
+def test_lsh_recall_on_planted_neighbors(spark, planted):
+    emb, qids = planted
+    exact = ann.brute_force_topk(emb, qids, k=1)
+    approx = ann.lsh_topk(emb, qids, k=1, n_planes=4, dim=DIM)
+    mean = _mean_recall(spark, approx, exact)
+    # theory: per-pair collision (1 - theta/pi)^4 ~ 0.88 at cosine 0.9955;
+    # observed (deterministic): 0.92
+    assert mean >= 0.8, f"sign-LSH planted recall {mean:.3f} < 0.8"
+
+
+def test_ivf_recall_on_planted_neighbors(spark, planted):
+    emb, qids = planted
+    exact = ann.brute_force_topk(emb, qids, k=1)
+    # 8 member-vector centroids, probe half the space
+    approx = ann.ivf_topk(
+        emb, qids, centroid_ids=list(range(0, 64, 8)), k=1, nprobe=4
+    )
+    mean = _mean_recall(spark, approx, exact)
+    # observed (deterministic): 1.0 — a twin sits next to its base vector,
+    # so probing 4 of 8 cells around the twin always covers the base's cell
+    assert mean >= 0.85, f"IVF planted recall {mean:.3f} < 0.85"
