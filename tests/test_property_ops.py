@@ -153,3 +153,95 @@ def test_shingle_rows_edges(spark):
             (4, "y z w"),
         ]
     )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_incremental_minhash_matches_python_reference(spark, seed):
+    """incremental_minhash_pairs vs an independent pure-Python pipeline:
+    md5 shingle hashing, universal-hash signatures, band collisions, and
+    the component-agreement estimator. Random short docs with heavy term
+    reuse force real band collisions and sub-1.0 estimates."""
+    import hashlib
+
+    from credit_abs_oltp_to_mart_spark.functions.similarity import (
+        MERSENNE_31,
+        minhash_coefficients,
+    )
+    from credit_abs_oltp_to_mart_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    corpus = [
+        (100 + i, " ".join(rng.choice(vocab, size=rng.randint(3, 9))))
+        for i in range(20)
+    ]
+    # new batch: perturbed copies of corpus docs (exact dup, one token
+    # appended, one dropped) plus fresh randoms => real band collisions
+    # at every estimate level, not just 1.0
+    newbatch = []
+    for j, (_, t) in enumerate(corpus[:10]):
+        tk = t.split(" ")
+        if j % 3 == 0:
+            nt = t
+        elif j % 3 == 1:
+            nt = t + " " + str(rng.choice(vocab))
+        else:
+            nt = " ".join(tk[:-1]) if len(tk) > 3 else t
+        newbatch.append((200 + j, nt))
+    newbatch += [
+        (220 + j, " ".join(rng.choice(vocab, size=rng.randint(1, 9))))
+        for j in range(5)
+    ]
+    n, n_perm, bands, min_est = 3, 8, 2, 0.25
+    coeffs = minhash_coefficients(n_perm, 42)
+
+    def shingles(text: str) -> set[str]:
+        tk = [t for t in text.strip().split(" ") if t]
+        if len(tk) < n:
+            return {" ".join(tk)}
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    def sig(text: str) -> list[int]:
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MERSENNE_31
+            for s in shingles(text)
+        ]
+        return [min((a * h + b) % MERSENNE_31 for h in hs) for a, b in coeffs]
+
+    def band_keys(s: list[int]) -> set[str]:
+        rpb = n_perm // bands
+        return {
+            ":".join([str(bi)] + [str(x) for x in s[bi * rpb : (bi + 1) * rpb]])
+            for bi in range(bands)
+        }
+
+    want = set()
+    for ni, nt in newbatch:
+        ns = sig(nt)
+        for ci, ct in corpus:
+            cs = sig(ct)
+            if band_keys(ns) & band_keys(cs):
+                est = sum(x == y for x, y in zip(ns, cs)) / n_perm
+                if est >= min_est:
+                    want.add((ni, ci, round(est, 6)))
+
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(newbatch, "doc_id long, text string")
+    store = minhash_signatures(cdf, n=n, n_perm=n_perm, seed=42)
+    got = incremental_minhash_pairs(
+        ndf,
+        store,
+        n=n,
+        n_perm=n_perm,
+        bands=bands,
+        min_est=min_est,
+        seed=42,
+    )
+    assert want, "degenerate case: reference found no pairs"
+    assert (
+        _rows(got, ["new_doc_id", "corpus_doc_id", "est_jaccard"])
+        == sorted(want)
+    )
