@@ -1,0 +1,222 @@
+"""End-to-end training-corpus pipeline: raw documents -> packed shards.
+
+Composes the per-operator building blocks into the complete path a 100 TB
+pretraining ingest runs (the reference has no corpus tooling; this is the
+extension surface assembled into one job):
+
+1. filter   — language / quality / length / PII gates, all pure column
+              expressions in ONE map-only pass over the corpus (no joins
+              between signal operators; their expressions are inlined).
+2. dedup    — exact (content-hash groupBy keeps the min doc_id), then
+              MinHash-LSH near-dup pairs -> connected components -> only
+              each cluster's canonical (min) doc survives.
+3. decontam — deterministic split; train docs sharing >= ``max_overlap``
+              of their n-grams with any val/test doc are dropped (the
+              eval gram set is broadcast; the train side never shuffles
+              on the gram key).
+4. pack     — token-window chunking + concat-then-cut sequence packing
+              into fixed-token bins, sharded by doc hash.
+
+Every stage is deterministic (md5-derived hashing throughout), so rerunning
+the pipeline on the same input bit-reproduces the same shards.
+
+Scale posture: one content-hash shuffle (exact dedup), the LSH band/verify
+shuffles on signatures (never text), one gram semi-join against a broadcast
+eval set, one shard-key shuffle for packing. The filter stage fuses into
+the scan.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
+from credit_abs_oltp_to_mart_spark.functions.text import (
+    STOPWORDS,
+    quality_score,
+    stopword_ratio,
+    ws_token_count,
+)
+from credit_abs_oltp_to_mart_spark.operators.components import (
+    connected_components,
+)
+from credit_abs_oltp_to_mart_spark.operators.curation import (
+    DECONTAM_N,
+    DIGIT_RUN_PATTERN,
+    EMAIL_PATTERN,
+    URL_PATTERN,
+    pack_chunks,
+    split_expr,
+)
+from credit_abs_oltp_to_mart_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    shingle_rows,
+)
+
+
+def filter_documents(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.3,
+    min_tokens: int = 8,
+    keep_langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+) -> DataFrame:
+    """Quality/language/PII gate as ONE map-only projection+filter.
+
+    The signal operators (textops.language_id / text_quality / pii_scan)
+    exist for per-signal analysis; here their column expressions are
+    inlined so the gate costs a single codegen'd pass — no doc_id joins
+    between signals."""
+    t = F.col("text")
+    scores = [
+        (lang, stopword_ratio(t, words))
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best = None
+    for _, s in scores:
+        best = s if best is None else F.greatest(best, s)
+    lang = F.lit("und")
+    for lg, s in reversed(scores):
+        lang = F.when((s == best) & (best > 0), F.lit(lg)).otherwise(lang)
+    pii = sum(
+        F.size(F.regexp_extract_all(t, F.lit(p), 0))
+        for p in (EMAIL_PATTERN, URL_PATTERN, DIGIT_RUN_PATTERN)
+    )
+    return (
+        docs.withColumn("lang_pred", lang)
+        .withColumn("quality", quality_score(t))
+        .withColumn("n_tokens", ws_token_count(t))
+        .withColumn("pii_signals", pii)
+        .where(
+            F.col("lang_pred").isin(list(keep_langs))
+            & (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("pii_signals") == 0)
+        )
+        .select(*docs.columns)
+    )
+
+
+def dedup_documents(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    n_perm: int = 8,
+    bands: int = 2,
+    threshold: float = 0.12,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact + near-dup removal; each duplicate cluster keeps its min doc_id.
+
+    Exact pass first (cheap content-hash shuffle) so byte-identical copies
+    never reach the LSH stage; near-dup clusters come from verified
+    MinHash-LSH pairs closed under transitivity (connected components)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "[ ]+", " "))
+    keyed = docs.withColumn("__ck", F.md5(norm))
+    canonical = keyed.groupBy("__ck").agg(F.min("doc_id").alias("doc_id"))
+    exact = keyed.join(canonical, ["__ck", "doc_id"], "left_semi").drop("__ck")
+
+    pairs = minhash_lsh_pairs(
+        exact, n=n, n_perm=n_perm, bands=bands, threshold=threshold, seed=seed
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        exact.select("doc_id").withColumnRenamed("doc_id", "id"),
+    )
+    keep = comp.where(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return exact.join(keep, "doc_id", "left_semi")
+
+
+def decontaminate_train(
+    docs: DataFrame, *, n: int = DECONTAM_N, max_overlap: float = 0.5
+) -> DataFrame:
+    """Split the corpus and drop TRAIN docs that share >= ``max_overlap`` of
+    their n-grams with the held-out val/test docs. Returns the surviving
+    train docs plus the untouched eval docs, with a ``split`` column.
+
+    The eval gram set is small by construction (held-out slice) and is
+    broadcast; the train side is scanned once and never shuffled on the
+    gram key."""
+    tagged = docs.withColumn("split", split_expr())
+    grams = shingle_rows(tagged, n).join(
+        tagged.select("doc_id", "split"), "doc_id"
+    )
+    ev_grams = F.broadcast(
+        grams.where(F.col("split") != "train").select("shingle").distinct()
+    )
+    tr = grams.where(F.col("split") == "train")
+    overlap = (
+        tr.join(ev_grams, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    dropped = (
+        totals.join(overlap, "doc_id", "left")
+        .where(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+            >= max_overlap
+        )
+        .select("doc_id")
+    )
+    return tagged.join(dropped, "doc_id", "left_anti")
+
+
+def build_corpus(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    bin_tokens: int = 256,
+    shards: int = 8,
+) -> dict[str, DataFrame]:
+    """Full pipeline; returns every stage so callers can write or audit any
+    of them. ``packed`` is the trainer-facing output: train-split chunks
+    laid end-to-end per shard with fixed-width bin assignment."""
+    filtered = filter_documents(docs)
+    deduped = dedup_documents(filtered)
+    clean = decontaminate_train(deduped)
+    train = clean.where(F.col("split") == "train")
+    packed = pack_chunks(
+        train, chunk_tokens=chunk_tokens, bin_tokens=bin_tokens, shards=shards
+    ).join(train.select("doc_id", "split"), "doc_id")
+    return {
+        "filtered": filtered,
+        "deduped": deduped,
+        "clean": clean,
+        "packed": packed,
+    }
+
+
+def run_corpus_pipeline(
+    spark: SparkSession, docs_path: str, out_dir: str
+) -> dict[str, int]:
+    """CLI flow: read a documents parquet, run the pipeline, write the packed
+    shards partitioned by shard, return per-stage row counts."""
+    docs = spark.read.parquet(docs_path)
+    stages = build_corpus(docs)
+    stages["packed"].write.mode("overwrite").partitionBy("shard").parquet(
+        f"{out_dir}/train_shards.parquet"
+    )
+    counts = {k: df.count() for k, df in stages.items()}
+    counts["input"] = docs.count()
+    return counts
+
+
+def main(argv: list[str]) -> int:
+    from credit_abs_oltp_to_mart_spark.session import get_spark
+
+    docs_path, out_dir = argv[1], argv[2]
+    counts = run_corpus_pipeline(get_spark(app_name="corpus"), docs_path, out_dir)
+    for k in ("input", "filtered", "deduped", "clean", "packed"):
+        print(f"{k}: {counts[k]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

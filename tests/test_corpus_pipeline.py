@@ -1,0 +1,103 @@
+"""End-to-end corpus pipeline invariants on the driver documents table:
+every stage shrinks or preserves the corpus, the dedup guarantee holds
+(no surviving near-dup pair), train is decontaminated against eval, chunks
+respect the token budget, and the whole pipeline is deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.operators.dedup import minhash_lsh_pairs
+from credit_abs_oltp_to_mart_spark.plans.corpus import (
+    build_corpus,
+    decontaminate_train,
+    filter_documents,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def stages(docs):
+    return build_corpus(docs)
+
+
+def test_stage_counts_monotonic(docs, stages):
+    n_in = docs.count()
+    n_f = stages["filtered"].count()
+    n_d = stages["deduped"].count()
+    n_c = stages["clean"].count()
+    assert n_in >= n_f >= n_d >= n_c > 0
+
+
+def test_filter_gates_apply(docs):
+    f = filter_documents(docs, min_quality=0.3, min_tokens=8)
+    # re-derive the gates independently and assert no violator survived
+    from credit_abs_oltp_to_mart_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+
+    bad = f.where(
+        (quality_score(F.col("text")) < 0.3)
+        | (ws_token_count(F.col("text")) < 8)
+    ).count()
+    assert bad == 0
+
+
+def test_no_surviving_near_dup_pair(stages):
+    # any pair >= threshold would have been clustered; only the cluster
+    # canonical survives, so the survivor set must be pair-free
+    pairs = minhash_lsh_pairs(stages["deduped"], threshold=0.12)
+    assert pairs.count() == 0
+
+
+def test_exact_dups_keep_min_doc_id(spark, stages):
+    d = stages["deduped"]
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "[ ]+", " "))
+    per_key = d.select(F.md5(norm).alias("ck"), "doc_id").groupBy("ck").count()
+    assert per_key.where(F.col("count") > 1).count() == 0
+
+
+def test_train_decontaminated_against_eval(stages):
+    # recompute the overlap of surviving train docs vs eval grams: none may
+    # reach the 0.5 drop bar
+    from credit_abs_oltp_to_mart_spark.operators.dedup import shingle_rows
+
+    clean = stages["clean"]
+    grams = shingle_rows(clean, 5).join(
+        clean.select("doc_id", "split"), "doc_id"
+    )
+    ev = grams.where(F.col("split") != "train").select("shingle").distinct()
+    tr = grams.where(F.col("split") == "train")
+    frac = (
+        tr.join(ev, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .join(
+            tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tot")), "doc_id"
+        )
+        .where(F.col("hit").cast("double") / F.col("tot") >= 0.5)
+    )
+    assert frac.count() == 0
+
+
+def test_packed_chunks_respect_budget(stages):
+    p = stages["packed"]
+    assert p.where(F.col("n_tokens") > 64).count() == 0
+    assert p.where((F.col("split") != "train")).count() == 0
+    # bin index consistent with the running offset
+    assert p.where(F.col("bin") != F.expr("start_tok div 256")).count() == 0
+
+
+def test_pipeline_deterministic(docs, stages):
+    again = build_corpus(docs)["packed"]
+    a = sorted(tuple(r) for r in stages["packed"].collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b
