@@ -13,6 +13,9 @@ Training-data-pipeline extensions beyond the reference surface
 - ngram-jaccard: exact pairwise verify; candidate generation MUST be
   bounded upstream (LSH) at scale — the all-pairs form here is the
   correctness oracle for small data, not the 100 TB path.
+- incremental: new-batch dedup against a persisted signature store
+  (``minhash_signatures`` + ``incremental_minhash_pairs``) — the batch is
+  broadcast, the corpus is scanned once and never re-shingled/shuffled.
 """
 
 from __future__ import annotations
