@@ -69,6 +69,34 @@ def main() -> None:
         # this query's collection pauses
         spark.sparkContext._jvm.System.gc()
 
+    # production-mode counterparts of the oracle-portable contract queries:
+    # same operators at their at-scale settings (xxhash64 simhash, HLL
+    # distinct). Measured into the sidecar only — quantifies the
+    # "oracle-portability tax" documented in PERFORMANCE.md.
+    from credit_abs_oltp_to_mart_spark.operators import dedup as _dedup
+    from credit_abs_oltp_to_mart_spark.operators.profile import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    production = {
+        "simhash_64bit": lambda: _dedup.simhash_fingerprints(docs, n_bits=64),
+        "simhash_pairs_64bit": lambda: _dedup.simhash_pairs(
+            docs, max_hamming=3, n_bands=4, n_bits=64
+        ),
+        "profile_stats_hll": lambda: profile_table(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            exact_distinct=False,
+        ),
+    }
+    prod_timings: dict[str, float] = {}
+    for name, build in production.items():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(build())
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        prod_timings[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     # The driver captures only a short tail of stdout; a 98-entry queries
     # dict overflows it and parses as null (round-1 BENCH had "parsed": null).
@@ -83,6 +111,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "production_mode": prod_timings,
                 "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             },

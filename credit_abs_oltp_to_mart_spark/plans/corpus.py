@@ -143,9 +143,9 @@ def decontaminate_train(
     broadcast; the train side is scanned once and never shuffled on the
     gram key."""
     tagged = docs.withColumn("split", split_expr())
-    grams = shingle_rows(tagged, n).join(
-        tagged.select("doc_id", "split"), "doc_id"
-    )
+    # split is a pure doc_id expression — computed inline on the gram rows
+    # (a join back to an assignment table would shuffle the corpus twice)
+    grams = shingle_rows(tagged, n).withColumn("split", split_expr())
     ev_grams = F.broadcast(
         grams.where(F.col("split") != "train").select("shingle").distinct()
     )
