@@ -286,3 +286,68 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     )
     key = lambda df: sorted(tuple(r) for r in df.collect())
     assert key(w_last) == key(exp)
+
+
+def test_restart_from_checkpoint_recovers_state_and_offsets(spark, tmp_path):
+    """Fault-tolerance contract: stop a stateful streaming query, start a
+    NEW query over the same checkpoint, and the restart must (a) not
+    reprocess slice-1 files (offset log recovery) and (b) still suppress
+    slice-2 duplicates of slice-1 keys (state store recovery). File sink +
+    dropDuplicates in append mode; availableNow triggers give clean
+    run-to-completion boundaries around the restart."""
+    import time as _time
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    base = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+
+    def slice_df(ids):
+        return spark.createDataFrame(
+            [(int(i),) for i in ids], "event_id bigint"
+        ).select(
+            "event_id",
+            (base + F.make_interval(secs=F.col("event_id"))).alias("ts"),
+        )
+
+    schema = "event_id bigint, ts timestamp"
+    # slice 1: keys 0..99 with 0..19 duplicated inside the slice
+    slice_df(list(range(100)) + list(range(20))).coalesce(1).write.parquet(
+        str(src / "s1")
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "s*"))
+        )
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()  # processes slice 1, then terminates
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 == 100  # in-slice duplicates suppressed
+
+    _time.sleep(1.1)  # distinct mtime for the new file
+    # slice 2: 50 repeats of slice-1 keys + 50 new keys
+    slice_df(list(range(50)) + list(range(100, 150))).coalesce(1).write.parquet(
+        str(src / "s2")
+    )
+    run_once()  # NEW query object, same checkpoint
+
+    got = spark.read.parquet(str(out))
+    assert got.count() == 150  # +50 new keys only: recovered state
+    # suppressed the cross-restart repeats
+    assert got.select("event_id").distinct().count() == 150
+    ids = {r.event_id for r in got.collect()}
+    assert ids == set(range(150))
