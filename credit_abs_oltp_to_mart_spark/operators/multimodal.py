@@ -171,3 +171,64 @@ def sample_frames(media: DataFrame) -> DataFrame:
     return videos.mapInPandas(
         _frames, "doc_id long, frame_no int, frame_bytes int, frame_md5 string"
     )
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Nearest-neighbor image resize, Arrow-batched — the preprocessing
+    step a vision-training pipeline runs per image.
+
+    The resample kernel is the real algorithm (row/col index maps
+    ``floor(i * src / out)`` over a (h, w) uint8 plane); only the decode
+    that produces the plane is the deterministic fake (`_decode`, bytes ==
+    buffer, dims from the two leading bytes exactly as ``extract_meta``
+    reports them — buffer truncated/zero-padded to h*w). With real codecs
+    the same kernel runs on the true decoded array. Emits the resized
+    plane as a binary column plus its md5 (of the uppercase hex — the
+    repo's engine-portable blob hash)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content, meta in zip(
+                pdf["doc_id"], pdf["content"], pdf["meta"]
+            ):
+                raw = bytes(content)
+                w = 1 + raw[0] % 64
+                h = 1 + raw[1] % 64
+                buf = _decode(raw, meta["declared_format"])
+                plane = np.zeros(h * w, dtype=np.uint8)
+                plane[: min(len(buf), h * w)] = buf[: h * w]
+                plane = plane.reshape(h, w)
+                rs = (np.arange(out_h) * h) // out_h
+                cs = (np.arange(out_w) * w) // out_w
+                resized = plane[np.ix_(rs, cs)]
+                out_bytes = resized.tobytes()
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        bytearray(out_bytes),
+                        hashlib.md5(out_bytes.hex().upper().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "out_w", "out_h",
+                    "pixels", "pixels_md5",
+                ],
+            )
+
+    images = media.where(F.col("modality") == "image").select(
+        "doc_id", "content", "meta"
+    )
+    return images.mapInPandas(
+        _resize,
+        "doc_id long, src_w int, src_h int, out_w int, out_h int, "
+        "pixels binary, pixels_md5 string",
+    )

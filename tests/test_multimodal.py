@@ -67,3 +67,43 @@ def test_decode_stub_is_deterministic_fake():
     buf = multimodal._decode(b"\x01\x02\xff", "mp4")
     assert isinstance(buf, np.ndarray) and buf.dtype == np.uint8
     assert buf.tolist() == [1, 2, 255]
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Kernel correctness against a hand-computed numpy reference, plus
+    dims/determinism over the synthesized corpus."""
+    import hashlib
+
+    import numpy as np
+
+    from credit_abs_oltp_to_mart_spark.operators.multimodal import (
+        resize_images,
+        synthesize_blobs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synthesize_blobs(docs)
+    out = resize_images(media, out_w=8, out_h=8)
+    rows = out.collect()
+    imgs = media.where("modality = 'image'").count()
+    assert len(rows) == imgs > 0
+    assert all(len(bytes(r.pixels)) == 64 for r in rows)
+    # independent reference for one row
+    src = {r.doc_id: bytes(r.content) for r in
+           media.where("modality = 'image'").select("doc_id", "content").collect()}
+    r0 = rows[0]
+    raw = src[r0.doc_id]
+    w, h = 1 + raw[0] % 64, 1 + raw[1] % 64
+    assert (r0.src_w, r0.src_h) == (w, h)
+    plane = np.zeros(h * w, dtype=np.uint8)
+    buf = np.frombuffer(raw, dtype=np.uint8)[: h * w]
+    plane[: len(buf)] = buf
+    plane = plane.reshape(h, w)
+    want = plane[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)]
+    assert bytes(r0.pixels) == want.tobytes()
+    assert r0.pixels_md5 == hashlib.md5(
+        want.tobytes().hex().upper().encode()
+    ).hexdigest()
+    # deterministic across runs
+    again = {r.doc_id: r.pixels_md5 for r in resize_images(media, 8, 8).collect()}
+    assert again == {r.doc_id: r.pixels_md5 for r in rows}
