@@ -33,7 +33,6 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
 from credit_abs_oltp_to_mart_spark.functions.text import (
     STOPWORDS,
     quality_score,

@@ -25,7 +25,7 @@ import json
 import os
 import struct
 import zlib
-from typing import Any, Iterator
+from typing import Any
 
 MAGIC = b"Obj\x01"
 
