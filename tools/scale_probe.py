@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: measure operator wall time at 1x vs Nx corpus.
+
+Answers "would this hold at 1000x?" with measurement instead of argument:
+the sf0.1 documents table (5k docs) is scaled by ``--factor`` (default 20,
+-> 100k docs) by hash-retokenizing each copy — every token t in copy k
+becomes md5(t || k)[:8], so copies are fully DISTINCT documents (no
+cross-copy near-dups to explode LSH buckets) while preserving each doc's
+length and within-doc token-repetition structure. Each probed operator
+then reports the time ratio vs the 1x corpus next to the data ratio: a
+scalable (shuffle-bounded, never O(n^2)) operator shows time-ratio ~<=
+data-ratio on fixed local[32] parallelism.
+
+Results are printed as a small JSON document (also the source for the
+"Measured scaling" table in PERFORMANCE.md).
+
+Usage: python tools/scale_probe.py [--factor 20] [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=20)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from credit_abs_oltp_to_mart_spark.operators import dedup, textops
+    from credit_abs_oltp_to_mart_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    base = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_base = base.count()
+
+    def scaled(factor: int):
+        copies = []
+        for k in range(factor):
+            retok = F.array_join(
+                F.transform(
+                    F.split(F.trim(F.col("text")), " +"),
+                    lambda t: F.substring(
+                        F.md5(F.concat(t, F.lit(f"#{k}"))), 1, 8
+                    ),
+                ),
+                " ",
+            )
+            copies.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                    retok.alias("text"),
+                )
+            )
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def mat(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # materialize both corpora to parquet so probed ops read identical
+    # physical layouts (not a 20-way union plan)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    one = scaled(1)
+    big = scaled(args.factor)
+    one.write.mode("overwrite").parquet(f"{tmp}/docs1.parquet")
+    big.write.mode("overwrite").parquet(f"{tmp}/docsN.parquet")
+    d1 = spark.read.parquet(f"{tmp}/docs1.parquet")
+    dN = spark.read.parquet(f"{tmp}/docsN.parquet")
+
+    probes = {
+        "textops_maponly": lambda d: textops.text_quality(d),
+        "exact_dedup": lambda d: dedup.exact_dedup(d),
+        "simhash_fingerprints_64": lambda d: dedup.simhash_fingerprints(
+            d, n_bits=64
+        ),
+        "simhash_pairs_64": lambda d: dedup.simhash_pairs(
+            d, max_hamming=3, n_bands=4, n_bits=64
+        ),
+        "minhash_lsh_pairs": lambda d: dedup.minhash_lsh_pairs(d),
+        "dedup_incremental": lambda d: dedup.incremental_minhash_pairs(
+            d.where(F.col("doc_id") % 20 == 0),
+            dedup.minhash_signatures(d.where(F.col("doc_id") % 20 != 0)),
+        ),
+    }
+    results: dict[str, dict] = {}
+    for name, build in probes.items():
+        times = {}
+        for label, d in (("t1", d1), ("tN", dN)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                mat(build(d))
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            times[label] = round(best, 3)
+        results[name] = {
+            **times,
+            "time_ratio": round(times["tN"] / times["t1"], 2),
+        }
+        print(name, results[name], flush=True)
+
+    out = {
+        "n_docs_1x": n_base,
+        "factor": args.factor,
+        "probes": results,
+    }
+    print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
