@@ -293,3 +293,21 @@ def test_rank_filters_get_window_group_limit(spark, name):
     # the reference's month-end pattern depends on this at 100 TB
     p = _plan(spark, name)
     assert "WindowGroupLimit" in p, p
+
+
+def test_corpus_filter_stage_is_map_only(spark):
+    # the quality/language/PII gate inlines every signal expression: any
+    # Exchange here means a signal op was joined back in by doc_id
+    from credit_abs_oltp_to_mart_spark.plans.corpus import filter_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = (
+        filter_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # note: the stopword-ratio HOF lambdas run JVM-side but outside
+    # whole-stage codegen (array filter() is interpreted-eval) — still a
+    # single scan+filter pass, which is the claim that matters here
+    assert "Exchange" not in p, "corpus filter stage gained a shuffle"
