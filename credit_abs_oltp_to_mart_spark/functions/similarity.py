@@ -99,7 +99,14 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
 
     ``planes`` are deterministic Python-side constants (see
     ``random_hyperplanes``) baked as literals.
+
+    Dimension-checked: a vector whose length differs from the planes'
+    raises at runtime. Without the check, ``zip_with`` null-pads the
+    shorter side, every dot product goes NULL, every vector lands in
+    bucket 0, and the bucketed composition silently degrades to the
+    O(n^2) all-pairs path it exists to avoid.
     """
+    dim = len(planes[0])
     vd = F.transform(vec, lambda x: x.cast("double"))
     acc = F.lit(0)
     for p, plane in enumerate(planes):
@@ -108,7 +115,13 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
             F.zip_with(vd, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
         acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return acc.cast("int")
+    chk = F.assert_true(
+        F.size(vec) == dim,
+        F.lit(f"hyperplane_sign_bits: embedding dim != {dim}"),
+    )
+    # assert_true returns NULL when the predicate holds (throws otherwise),
+    # so the when() passes the bits through unchanged on valid input
+    return F.when(chk.isNull(), acc.cast("int"))
 
 
 def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:

@@ -231,9 +231,14 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     here emits). recall = |approx ∩ exact| / |exact| per query — the
     standard ANN quality metric, computed as a left join from the truth
     set so queries the approximate index missed entirely still score 0.
+    The approx side is deduplicated first — a duplicated (query, neighbor)
+    row would otherwise multiply its truth row through the join and skew
+    both numerator and denominator.
     Distributed: one hash join + one grouped aggregation on query_id."""
     hits = exact.select("query_id", "neighbor_id").join(
-        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        approx.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("hit", F.lit(1)),
         ["query_id", "neighbor_id"],
         "left",
     )

@@ -264,6 +264,16 @@ URL_PATTERN = "https?://[A-Za-z0-9./_-]+"
 DIGIT_RUN_PATTERN = "[0-9]{6,}"
 
 
+def pii_signal_count(text: Column) -> Column:
+    """Total PII signal count (emails + URLs + long digit runs) as a pure
+    column expression — the single source of the pattern set, reused by
+    ``pii_scan`` and the corpus pipeline's fused filter gate."""
+    return sum(
+        F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
+        for p in (EMAIL_PATTERN, URL_PATTERN, DIGIT_RUN_PATTERN)
+    )
+
+
 def pii_scan(docs: DataFrame) -> DataFrame:
     """Per-doc PII signal counts (emails, URLs, long digit runs) plus the
     length of the text after redacting them — map-only, codegen-friendly."""

@@ -195,8 +195,10 @@ def resize_images(
                 pdf["doc_id"], pdf["content"], pdf["meta"]
             ):
                 raw = bytes(content)
-                w = 1 + raw[0] % 64
-                h = 1 + raw[1] % 64
+                # corrupt/short blobs (< 2 bytes) degrade to a 1x1 plane
+                # instead of an IndexError that fails the whole task
+                w = 1 + (raw[0] if len(raw) > 0 else 0) % 64
+                h = 1 + (raw[1] if len(raw) > 1 else 0) % 64
                 buf = _decode(raw, meta["declared_format"])
                 plane = np.zeros(h * w, dtype=np.uint8)
                 plane[: min(len(buf), h * w)] = buf[: h * w]

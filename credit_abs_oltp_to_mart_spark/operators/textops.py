@@ -19,6 +19,24 @@ from credit_abs_oltp_to_mart_spark.functions.text import (
 )
 
 
+def lang_pred_expr(text):
+    """Best-stopword-ratio language label as a pure column expression
+    (ties -> lexicographically first; all-zero -> 'und'). The single
+    source of the tie-break construction — reused by ``language_id`` and
+    the corpus pipeline's fused filter gate."""
+    scores = [
+        (lang, stopword_ratio(text, words))
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best = None
+    for _, score in scores:
+        best = score if best is None else F.greatest(best, score)
+    pred = F.lit("und")
+    for lang, score in reversed(scores):  # earlier langs overwrite -> ties pick first
+        pred = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-ratio language heuristic over the STOPWORDS sets.
 
@@ -28,16 +46,10 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     oracle-checkable."""
     t = F.col(text_col)
     scores = [(lang, stopword_ratio(t, words)) for lang, words in sorted(STOPWORDS.items())]
-    best = None
-    for lang, score in scores:
-        best = score if best is None else F.greatest(best, score)
-    pred = F.lit("und")
-    for lang, score in reversed(scores):  # earlier langs overwrite -> ties pick first
-        pred = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(pred)
     out = docs.select(
         "doc_id",
         *[s.alias(f"ratio_{lang}") for lang, s in scores],
-        pred.alias("lang_pred"),
+        lang_pred_expr(t).alias("lang_pred"),
     )
     return out
 

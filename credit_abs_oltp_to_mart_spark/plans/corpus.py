@@ -34,9 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.functions.text import (
-    STOPWORDS,
     quality_score,
-    stopword_ratio,
     ws_token_count,
 )
 from credit_abs_oltp_to_mart_spark.operators.components import (
@@ -44,12 +42,11 @@ from credit_abs_oltp_to_mart_spark.operators.components import (
 )
 from credit_abs_oltp_to_mart_spark.operators.curation import (
     DECONTAM_N,
-    DIGIT_RUN_PATTERN,
-    EMAIL_PATTERN,
-    URL_PATTERN,
     pack_chunks,
+    pii_signal_count,
     split_expr,
 )
+from credit_abs_oltp_to_mart_spark.operators.textops import lang_pred_expr
 from credit_abs_oltp_to_mart_spark.operators.dedup import (
     minhash_lsh_pairs,
     shingle_rows,
@@ -66,29 +63,16 @@ def filter_documents(
     """Quality/language/PII gate as ONE map-only projection+filter.
 
     The signal operators (textops.language_id / text_quality / pii_scan)
-    exist for per-signal analysis; here their column expressions are
-    inlined so the gate costs a single codegen'd pass — no doc_id joins
-    between signals."""
+    exist for per-signal analysis; here their shared column-expression
+    helpers (lang_pred_expr, pii_signal_count) are applied inline so the
+    gate costs a single map-only pass — no doc_id joins between signals,
+    and no drift from the per-signal operators' semantics."""
     t = F.col("text")
-    scores = [
-        (lang, stopword_ratio(t, words))
-        for lang, words in sorted(STOPWORDS.items())
-    ]
-    best = None
-    for _, s in scores:
-        best = s if best is None else F.greatest(best, s)
-    lang = F.lit("und")
-    for lg, s in reversed(scores):
-        lang = F.when((s == best) & (best > 0), F.lit(lg)).otherwise(lang)
-    pii = sum(
-        F.size(F.regexp_extract_all(t, F.lit(p), 0))
-        for p in (EMAIL_PATTERN, URL_PATTERN, DIGIT_RUN_PATTERN)
-    )
     return (
-        docs.withColumn("lang_pred", lang)
+        docs.withColumn("lang_pred", lang_pred_expr(t))
         .withColumn("quality", quality_score(t))
         .withColumn("n_tokens", ws_token_count(t))
-        .withColumn("pii_signals", pii)
+        .withColumn("pii_signals", pii_signal_count(t))
         .where(
             F.col("lang_pred").isin(list(keep_langs))
             & (F.col("quality") >= min_quality)
@@ -199,11 +183,20 @@ def run_corpus_pipeline(
     shards partitioned by shard, return per-stage row counts."""
     docs = spark.read.parquet(docs_path)
     stages = build_corpus(docs)
-    stages["packed"].write.mode("overwrite").partitionBy("shard").parquet(
-        f"{out_dir}/train_shards.parquet"
-    )
-    counts = {k: df.count() for k, df in stages.items()}
-    counts["input"] = docs.count()
+    # persist each stage before the write + counts: the stages chain off one
+    # another, so un-persisted counts would re-run the whole upstream
+    # (LSH self-join, iterative components) once per stage — ~5x the work
+    for df in stages.values():
+        df.persist()
+    try:
+        stages["packed"].write.mode("overwrite").partitionBy("shard").parquet(
+            f"{out_dir}/train_shards.parquet"
+        )
+        counts = {k: df.count() for k, df in stages.items()}
+        counts["input"] = docs.count()
+    finally:
+        for df in stages.values():
+            df.unpersist()
     return counts
 
 

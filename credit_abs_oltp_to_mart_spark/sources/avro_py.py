@@ -175,12 +175,8 @@ def write_avro(
             f.write(sync)
 
 
-def read_avro_file(path: str) -> tuple[dict, list[dict]]:
-    """Decode one container file -> (schema dict, rows). Validates magic,
-    codec, and every block's sync marker."""
-    with open(path, "rb") as f:
-        blob = f.read()
-    buf = io.BytesIO(blob)
+def _read_header(buf: io.BytesIO, path: str) -> tuple[dict, str, bytes]:
+    """Parse magic + metadata map + sync -> (schema, codec, sync marker)."""
     if buf.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     meta: dict[str, bytes] = {}
@@ -198,7 +194,28 @@ def read_avro_file(path: str) -> tuple[dict, list[dict]]:
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"{path}: avro codec {codec}")
-    sync = buf.read(16)
+    return schema, codec, buf.read(16)
+
+
+def read_avro_header(path: str) -> dict:
+    """Schema from the file header only — no block decompression/decode.
+
+    Reads just enough leading bytes for the metadata map (schema JSON is
+    header-resident per spec), so schema inference on a multi-GB landing
+    file stays O(header)."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)  # headers are tiny; 1 MiB is generous
+    schema, _, _ = _read_header(io.BytesIO(head), path)
+    return schema
+
+
+def read_avro_file(path: str) -> tuple[dict, list[dict]]:
+    """Decode one container file -> (schema dict, rows). Validates magic,
+    codec, and every block's sync marker."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    buf = io.BytesIO(blob)
+    schema, codec, sync = _read_header(buf, path)
     fields = schema["fields"]
     rows: list[dict] = []
     while buf.tell() < len(blob):
@@ -309,8 +326,8 @@ def make_avro_datasource():
             files = _file_list(self.options.get("path", ""))
             if not files:
                 raise ValueError("avro_py: no files match path")
-            schema, _ = read_avro_file(files[0])
-            return avro_schema_to_ddl(schema)
+            # header-only: do NOT decode the first file's blocks here
+            return avro_schema_to_ddl(read_avro_header(files[0]))
 
         def reader(self, schema: StructType) -> DataSourceReader:
             return AvroPyReader(self.options)

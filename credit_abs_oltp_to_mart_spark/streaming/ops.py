@@ -452,11 +452,16 @@ def stream_running_totals(events: DataFrame) -> DataFrame:
             for pdf in rows:
                 n += len(pdf)
                 # integer cents: exact accumulation, order-independent.
-                # floor(x*100 + 0.5) = the repo's portable HALF-UP rounding
-                # (pandas .round() is half-to-even, which diverges from the
-                # Spark F.round batch oracle on exact .5 cents)
+                # copysign(floor(|x|*100 + 0.5), x) = HALF-AWAY-FROM-ZERO —
+                # the Spark F.round batch-oracle convention on BOTH signs
+                # (plain floor(x*100+0.5) rounds negative half-cents toward
+                # +inf: -12.5 -> -12 instead of -13; pandas .round() is
+                # half-to-even and diverges on exact .5 either way)
+                v = pdf["value"].to_numpy() * 100.0
                 cents += int(
-                    np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+                    np.copysign(np.floor(np.abs(v) + 0.5), v)
+                    .astype("int64")
+                    .sum()
                 )
             self._totals.update((n, cents))
             yield pd.DataFrame(

@@ -158,8 +158,11 @@ def assert_frames_match(
     BEFORE value comparison, because the driver's canonical value hash is
     dtype-sensitive even when values are numerically equal. Pass
     strict_dtypes=False for reference-parity comparisons that are about
-    VALUES, not the driver hash (e.g. decimal marts vs float oracles)."""
-    raw_a = spark_df.toPandas()
+    VALUES, not the driver hash (e.g. decimal marts vs float oracles).
+    ``spark_df`` may also be an already-collected pandas frame (callers
+    that need the row count anyway can collect once instead of paying a
+    second full plan execution here)."""
+    raw_a = spark_df.toPandas() if hasattr(spark_df, "toPandas") else spark_df
     raw_b = duck_df
     for c in sorted(set(raw_a.columns) & set(raw_b.columns)) if strict_dtypes else []:
         ca, cb = _dtype_class(raw_a[c]), _dtype_class(raw_b[c])

@@ -77,3 +77,12 @@ def test_ivf_recall_on_planted_neighbors(spark, planted):
     # observed (deterministic): 1.0 — a twin sits next to its base vector,
     # so probing 4 of 8 cells around the twin always covers the base's cell
     assert mean >= 0.85, f"IVF planted recall {mean:.3f} < 0.85"
+
+
+def test_lsh_dim_mismatch_raises(spark, planted):
+    # wrong dim used to silently bucket everything into 0 (zip_with null
+    # padding) — it must fail loudly instead
+    emb, qids = planted
+    bad = ann.lsh_topk(emb, qids, k=1, n_planes=4, dim=32)
+    with pytest.raises(Exception, match="embedding dim"):
+        bad.collect()

@@ -74,7 +74,9 @@ def main() -> int:
                 rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
                 rec["schema_match"] = sorted(spdf.columns) == sorted(odf.columns)
                 try:
-                    assert_frames_match(sdf, odf, rtol=0, atol=0)
+                    # pass the already-collected frame: re-passing sdf would
+                    # re-execute every Spark plan a second time
+                    assert_frames_match(spdf, odf, rtol=0, atol=0)
                     rec["hash_match"] = True
                 except AssertionError as e:
                     rec["err"] = str(e).split("\n")[0][:200]
