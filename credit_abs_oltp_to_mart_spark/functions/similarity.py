@@ -116,8 +116,8 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
         )
         acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     chk = F.assert_true(
-        F.size(vec) == dim,
-        F.lit(f"hyperplane_sign_bits: embedding dim != {dim}"),
+        vec.isNotNull() & (F.size(vec) == dim),
+        F.lit(f"hyperplane_sign_bits: embedding missing or dim != {dim}"),
     )
     # assert_true returns NULL when the predicate holds (throws otherwise),
     # so the when() passes the bits through unchanged on valid input

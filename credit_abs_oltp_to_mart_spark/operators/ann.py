@@ -231,11 +231,12 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     here emits). recall = |approx ∩ exact| / |exact| per query — the
     standard ANN quality metric, computed as a left join from the truth
     set so queries the approximate index missed entirely still score 0.
-    The approx side is deduplicated first — a duplicated (query, neighbor)
-    row would otherwise multiply its truth row through the join and skew
-    both numerator and denominator.
+    BOTH sides are deduplicated first — a duplicated (query, neighbor)
+    row on the approx side would multiply its truth row through the join,
+    and a duplicated truth row would inflate the denominator; either skews
+    recall.
     Distributed: one hash join + one grouped aggregation on query_id."""
-    hits = exact.select("query_id", "neighbor_id").join(
+    hits = exact.select("query_id", "neighbor_id").distinct().join(
         approx.select("query_id", "neighbor_id")
         .distinct()
         .withColumn("hit", F.lit(1)),

@@ -264,12 +264,20 @@ URL_PATTERN = "https?://[A-Za-z0-9./_-]+"
 DIGIT_RUN_PATTERN = "[0-9]{6,}"
 
 
+def _pattern_count(text: Column, pattern: str) -> Column:
+    """Occurrence count of one PII pattern — the shared kernel under both
+    ``pii_signal_count`` and ``pii_scan``."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
 def pii_signal_count(text: Column) -> Column:
     """Total PII signal count (emails + URLs + long digit runs) as a pure
-    column expression — the single source of the pattern set, reused by
-    ``pii_scan`` and the corpus pipeline's fused filter gate."""
+    column expression, used by the corpus pipeline's fused filter gate.
+    ``pii_scan`` derives its per-pattern counts from the same
+    ``_pattern_count`` kernel and PATTERN constants, so the two cannot
+    drift."""
     return sum(
-        F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
+        _pattern_count(text, p)
         for p in (EMAIL_PATTERN, URL_PATTERN, DIGIT_RUN_PATTERN)
     )
 
@@ -278,11 +286,9 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     """Per-doc PII signal counts (emails, URLs, long digit runs) plus the
     length of the text after redacting them — map-only, codegen-friendly."""
     t = F.col("text")
-    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
-    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0)))
-    n_digit_runs = F.size(
-        F.regexp_extract_all(t, F.lit(DIGIT_RUN_PATTERN), F.lit(0))
-    )
+    n_emails = _pattern_count(t, EMAIL_PATTERN)
+    n_urls = _pattern_count(t, URL_PATTERN)
+    n_digit_runs = _pattern_count(t, DIGIT_RUN_PATTERN)
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"

@@ -84,5 +84,5 @@ def test_lsh_dim_mismatch_raises(spark, planted):
     # padding) — it must fail loudly instead
     emb, qids = planted
     bad = ann.lsh_topk(emb, qids, k=1, n_planes=4, dim=32)
-    with pytest.raises(Exception, match="embedding dim"):
+    with pytest.raises(Exception, match="embedding missing or dim"):
         bad.collect()

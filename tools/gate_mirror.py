@@ -58,6 +58,10 @@ def main() -> int:
         rec = {
             "rows_match": False, "schema_match": False, "hash_match": False,
             "spark_rows": None, "oracle_rows": None, "err": None,
+            # pass criterion: hash_match when an oracle exists, rows-only
+            # (query ran, produced rows) otherwise — mirrors the driver's
+            # weaker check for non-SQL-expressible entries
+            "passed": False,
         }
         try:
             sdf = q(spark, args.sf_dir)
@@ -67,6 +71,7 @@ def main() -> int:
             if sql is None:
                 # rows-only entry (driver's weaker check)
                 rec["rows_match"] = rec["spark_rows"] >= 0
+                rec["passed"] = rec["rows_match"]
                 rec["err"] = "rows-only: no oracle declared"
             else:
                 odf = con.execute(sql).df()
@@ -80,10 +85,11 @@ def main() -> int:
                     rec["hash_match"] = True
                 except AssertionError as e:
                     rec["err"] = str(e).split("\n")[0][:200]
+                rec["passed"] = rec["hash_match"]
         except Exception as e:  # noqa: BLE001 - record, keep sweeping
             rec["err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
         results[name] = rec
-        status = "ok" if rec["hash_match"] else "FAIL"
+        status = "ok" if rec["passed"] else "FAIL"
         print(f"{status:4s} {name} ({rec['spark_rows']} rows)", flush=True)
         # streaming queries leave memory-sink temp views; drop to bound heap
         for view in spark.catalog.listTables():
@@ -92,8 +98,12 @@ def main() -> int:
 
     with open(out_path, "w") as f:
         json.dump({"sf_dir": args.sf_dir, "results": results}, f, indent=1)
-    n_ok = sum(1 for r in results.values() if r["hash_match"])
-    print(f"{n_ok}/{len(results)} hash-exact vs oracle -> {out_path}")
+    n_ok = sum(1 for r in results.values() if r["passed"])
+    n_hash = sum(1 for r in results.values() if r["hash_match"])
+    print(
+        f"{n_ok}/{len(results)} passed ({n_hash} hash-exact vs oracle,"
+        f" {n_ok - n_hash} rows-only) -> {out_path}"
+    )
     return 0 if n_ok == len(results) else 1
 
 
