@@ -304,6 +304,48 @@ _TRANSITIONS_WEEKLY_ORACLE = """
 """
 
 
+def _transitions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 at day grain (same rn=1 snapshot -> row-ordinal lag shape as the
+    weekly variant): the ~1-month corpus yields ~29 transition days, giving
+    the cure-rate pattern real row coverage at the driver's sf0.01."""
+    e = _t(spark, sf_dir, "events").repartition("user_id")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    de = (
+        e.select(
+            "user_id", "event_id", "ts", "event_type",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    lw = Window.partitionBy("user_id").orderBy("day")
+    return de.select(
+        "user_id",
+        "day",
+        F.lag("event_type").over(lw).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+    )
+
+
+_TRANSITIONS_DAILY_ORACLE = """
+    with day_end as (
+      select user_id, event_id, ts, event_type,
+             cast(date_trunc('day', ts) as date) as day
+      from (
+        select e.*,
+               row_number() over (partition by user_id, date_trunc('day', ts)
+                                  order by ts desc, event_id desc) as rn
+        from events e) x
+      where rn = 1)
+    select user_id, day,
+           lag(event_type) over (partition by user_id order by day) as prev_type,
+           event_type as curr_type
+    from day_end
+"""
+
+
 def q_roll_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fct_roll_rate_monthly pattern: W2 + F2 + A3 (week grain so the
     ~1-month test corpus yields non-vacuous transitions)."""
@@ -317,17 +359,19 @@ def q_roll_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cure_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fct_cure_rate_monthly pattern: A4 filtered counts + P12 nullif
-    (week grain so the ~1-month test corpus yields non-vacuous rows)."""
-    t = _transitions_weekly(spark, sf_dir).where(F.col("prev_type").isNotNull())
+    (day grain so the ~1-month test corpus yields ~29 real rows rather
+    than 4 weekly ones — the reference's cure semantics,
+    fct_cure_rate_monthly.sql, are grain-agnostic)."""
+    t = _transitions_daily(spark, sf_dir).where(F.col("prev_type").isNotNull())
     bad, good = "error", "purchase"
-    agg = t.groupBy("week").agg(
+    agg = t.groupBy("day").agg(
         F.count(F.when(F.col("prev_type") == bad, 1)).alias("prev_bad_cnt"),
         F.count(
             F.when((F.col("prev_type") == bad) & (F.col("curr_type") == good), 1)
         ).alias("recovered_cnt"),
     )
     return agg.select(
-        "week",
+        "day",
         "prev_bad_cnt",
         "recovered_cnt",
         (
@@ -339,37 +383,46 @@ def q_cure_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vintage_mob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fct_vintage_mob pattern: D2 quarter cohorts, D3 months-on-book
-    (explicit year/month arithmetic — exact in any engine), A5 flag sums,
-    F3 mob filter."""
-    me = _month_end_snapshot(spark, sf_dir)
-    e = _t(spark, sf_dir, "events")
-    first_seen = e.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("first_date")
+    (explicit year/month arithmetic — exact in any engine, matching
+    ``fct_vintage_mob.sql:17`` age() month semantics), A5 flag sums,
+    F3 mob filter.
+
+    Runs over ``orders`` (1995-2001, leap years, month-start/-end cohort
+    dates) rather than the 1-month ``events`` corpus so the month
+    arithmetic gets real coverage: ~28 cohort quarters x up to ~80
+    months-on-book (~766 rows at sf0.01) instead of a single cohort row.
+
+    Scale note: first_seen has one row per customer — same cardinality
+    class as the fact's key, so it is NOT broadcast; both sides hash on
+    o_custkey and the join reuses the aggregation's partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    first_seen = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_date")
     )
-    base = me.join(F.broadcast(first_seen), "user_id").select(
+    base = o.join(first_seen, "o_custkey").select(
         F.trunc("first_date", "quarter").alias("cohort_q"),
         (
-            (F.year("month") - F.year("first_date")) * 12
-            + (F.month("month") - F.month("first_date"))
+            (F.year("o_orderdate") - F.year("first_date")) * 12
+            + (F.month("o_orderdate") - F.month("first_date"))
         ).cast("int").alias("mob"),
-        (F.col("value") > 5).cast("int").alias("high_flag"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("high_flag"),
     )
     agg = (
         base.where(F.col("mob") >= 0)
         .groupBy("cohort_q", "mob")
         .agg(
-            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.lit(1)).alias("n_orders"),
             F.sum("high_flag").alias("high_cnt"),
         )
     )
     return agg.select(
         "cohort_q",
         "mob",
-        "n_users",
+        "n_orders",
         "high_cnt",
         (
             F.col("high_cnt").cast("double")
-            / F.nullif(F.col("n_users"), F.lit(0)).cast("double")
+            / F.nullif(F.col("n_orders"), F.lit(0)).cast("double")
         ).alias("high_rate"),
     )
 
@@ -2785,8 +2838,8 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2, 3
         """,
         "cure_rate": f"""
-            with t as ({_TRANSITIONS_WEEKLY_ORACLE})
-            select week,
+            with t as ({_TRANSITIONS_DAILY_ORACLE})
+            select day,
                    count(*) filter (where prev_type = 'error') as prev_bad_cnt,
                    count(*) filter (where prev_type = 'error'
                                     and curr_type = 'purchase') as recovered_cnt,
@@ -2796,21 +2849,20 @@ def oracle_sql() -> dict[str, str]:
                      as recovery_rate
             from t where prev_type is not null group by 1
         """,
-        "vintage_mob": f"""
-            with me as ({_MONTH_END_ORACLE}),
-            fs as (select user_id, min(cast(ts as date)) as first_date
-                   from events group by 1),
+        "vintage_mob": """
+            with fs as (select o_custkey, min(cast(o_orderdate as date)) as first_date
+                        from orders group by 1),
             base as (
               select cast(date_trunc('quarter', first_date) as date) as cohort_q,
-                     ((date_part('year', month) - date_part('year', first_date)) * 12
-                      + (date_part('month', month) - date_part('month', first_date)))::int as mob,
-                     case when value > 5 then 1 else 0 end as high_flag
-              from me join fs using (user_id)),
+                     ((date_part('year', o_orderdate) - date_part('year', first_date)) * 12
+                      + (date_part('month', o_orderdate) - date_part('month', first_date)))::int as mob,
+                     case when o_totalprice > 150000 then 1 else 0 end as high_flag
+              from orders join fs using (o_custkey)),
             agg as (
-              select cohort_q, mob, count(*) as n_users, sum(high_flag)::bigint as high_cnt
+              select cohort_q, mob, count(*) as n_orders, sum(high_flag)::bigint as high_cnt
               from base where mob >= 0 group by 1, 2)
-            select cohort_q, mob, n_users, high_cnt,
-                   high_cnt::double / nullif(n_users, 0)::double as high_rate
+            select cohort_q, mob, n_orders, high_cnt,
+                   high_cnt::double / nullif(n_orders, 0)::double as high_rate
             from agg
         """,
         "coalesce_nullif_arith": """

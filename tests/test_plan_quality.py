@@ -26,11 +26,23 @@ def test_filter_scan_pushes_predicates_and_prunes(spark):
     assert "l_extendedprice" not in read and "l_comment" not in read
 
 
-@pytest.mark.parametrize("name", ["join_dim_agg", "region_revenue", "vintage_mob"])
+@pytest.mark.parametrize("name", ["join_dim_agg", "region_revenue"])
 def test_dim_joins_broadcast(spark, name):
     p = _plan(spark, name)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_vintage_mob_copartitioned_join(spark):
+    # first_seen is per-customer (fact-key cardinality) so it is NOT
+    # F.broadcast()-forced; at test scale AQE may still size-broadcast it,
+    # at 100 TB it degrades gracefully to a custkey-co-partitioned join.
+    # Either way: no cartesian, and at most 3 hash exchanges (custkey
+    # scan-side, custkey agg-side, final cohort/mob agg).
+    p = _plan(spark, "vintage_mob")
+    assert "CartesianProduct" not in p
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 3, f"vintage_mob plan has {n} hash exchanges"
 
 
 def test_roll_rate_single_window_shuffle(spark):

@@ -32,6 +32,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to check (skips writing the artifact)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -53,8 +58,16 @@ def main() -> int:
         )
 
     oracles = entry_mod.oracle_sql()
+    all_queries = entry_mod.queries()
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",")]
+        missing = [n for n in wanted if n not in all_queries]
+        if missing:
+            print(f"unknown queries: {missing}", file=sys.stderr)
+            return 2
+        all_queries = {n: all_queries[n] for n in wanted}
     results: dict[str, dict] = {}
-    for name, q in entry_mod.queries().items():
+    for name, q in all_queries.items():
         rec = {
             "rows_match": False, "schema_match": False, "hash_match": False,
             "spark_rows": None, "oracle_rows": None, "err": None,
@@ -96,8 +109,11 @@ def main() -> int:
             if view.isTemporary:
                 spark.catalog.dropTempView(view.name)
 
-    with open(out_path, "w") as f:
-        json.dump({"sf_dir": args.sf_dir, "results": results}, f, indent=1)
+    if args.only is None:
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": args.sf_dir, "results": results}, f, indent=1)
+    else:
+        out_path = "(not written: --only subset)"
     n_ok = sum(1 for r in results.values() if r["passed"])
     n_hash = sum(1 for r in results.values() if r["hash_match"])
     print(
