@@ -302,23 +302,47 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64) -> DataFrame:
     )
     h = F.xxhash64(F.col("tok")) if n_bits == 64 else md5_long(F.col("tok"))
     hashed = toked.select("doc_id", h.alias("h"))
-    # shiftright-then-mask (not AND with 1<<j) so bit 63 of a signed
-    # xxhash64 value is reachable without an overflowing literal
+    # SWAR packed bit-count formulation: the +-1 vote for bit j is
+    # vote_j = 2*ones_j - n (ones_j = tokens with bit j set, n = tokens),
+    # so "vote_j > 0" == "2*ones_j > n" and only the ones_j COUNTS need
+    # aggregating. One shift+mask with lane mask 0x0001000100010001 drops
+    # bits a, a+16, a+32, a+48 into four independent 16-bit counter lanes,
+    # so the whole 60/64-bit vote costs 16 shift+AND ops per token row and
+    # 16 SUM accumulators (vs 60-64 conditional sums: ~4x less per-row
+    # work, ~4x smaller partial-agg buffer through the shuffle). A lane
+    # overflows only past 2^16-1 DISTINCT tokens in one doc (hundreds of
+    # KB of unique words) — guarded with assert_true below rather than
+    # silently wrapping. shiftrightUNSIGNED so bit 63 of a signed xxhash64
+    # never smears sign bits across higher lanes.
+    stride = 16
+    lane_mask = 0x0001000100010001
+    n_acc = min(n_bits, stride)
+    packed = [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), a).bitwiseAND(F.lit(lane_mask))
+        ).alias(f"a{a}")
+        for a in range(n_acc)
+    ]
     votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(n_bits)
-        ]
+        F.count(F.lit(1)).alias("n"), *packed
+    )
+    chk = F.assert_true(
+        F.col("n") < F.lit(1 << stride),
+        F.lit(f"simhash_fingerprints: > {(1 << stride) - 1} distinct tokens"
+              " in one doc overflows the packed vote counters"),
     )
     acc = F.lit(0).cast("long")
+    cmask = (1 << stride) - 1
     for j in range(n_bits):
+        lane, a = divmod(j, stride)
+        ones = F.shiftrightunsigned(F.col(f"a{a}"), stride * lane).bitwiseAND(
+            F.lit(cmask)
+        )
         bitval = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
-        acc = acc + F.when(F.col(f"v{j}") > 0, bitval).otherwise(F.lit(0))
-    sim = votes.select("doc_id", acc.cast("long").alias("simhash"))
+        acc = acc + F.when(ones * 2 > F.col("n"), bitval).otherwise(F.lit(0))
+    sim = votes.select(
+        "doc_id", F.when(chk.isNull(), acc).cast("long").alias("simhash")
+    )
     return (
         docs.select("doc_id")
         .join(sim, "doc_id", "left")
