@@ -52,6 +52,7 @@ ANN_K = 5
 IVF_CENTROID_IDS = [10, 20, 30, 40, 50, 60, 70, 80]
 IVF_NPROBE = 2
 LSH_PLANES = 4
+LSH_SEEDS = 3
 EMB_DIM = 64
 EMB_NEAR_DUP_THRESHOLD = 0.4
 
@@ -1012,14 +1013,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed near-dups — the 100 TB path: bucket equi-join
-    bounds candidate generation, blocked-GEMM kernel scores per bucket.
-    Same deterministic hyperplanes as ann_lsh, so the DuckDB oracle
-    reproduces the bucket assignment (and therefore the pair set) exactly."""
+    bounds candidate generation, blocked-GEMM kernel scores per bucket,
+    candidate pairs unioned over LSH_SEEDS independent plane seeds for
+    recall. Same deterministic hyperplanes as ann_lsh, so the DuckDB
+    oracle reproduces the bucket assignment (and therefore the pair set)
+    exactly."""
     return dedup.embedding_near_dups_lsh(
         _t(spark, sf_dir, "embeddings"),
         threshold=EMB_NEAR_DUP_THRESHOLD,
         n_planes=LSH_PLANES,
         dim=EMB_DIM,
+        n_seeds=LSH_SEEDS,
     )
 
 
@@ -1282,8 +1286,8 @@ def _ann_brute_oracle() -> str:
     """
 
 
-def _lsh_bucket_expr(vec: str) -> str:
-    planes = random_hyperplanes(LSH_PLANES, EMB_DIM)
+def _lsh_bucket_expr(vec: str, seed: int = 42) -> str:
+    planes = random_hyperplanes(LSH_PLANES, EMB_DIM, seed)
     terms = []
     for p, plane in enumerate(planes):
         lit = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
@@ -3200,14 +3204,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _emb_near_dup_oracle(),
         "generator_invariants": _GENERATOR_INVARIANTS_ORACLE,
         "dedup_embedding_lsh": f"""
-            with b as (select vec_id, embedding::DOUBLE[] as v,
-                              {_lsh_bucket_expr("embedding::DOUBLE[]")} as bucket
-                       from embeddings)
-            select id_a, id_b, cosine from (
-              select a.vec_id as id_a, b2.vec_id as id_b,
-                     {_COSINE.format(a="a.v", b="b2.v")} as cosine
+            with base as (select vec_id, embedding::DOUBLE[] as v
+                          from embeddings),
+            b as (
+              {" union all ".join(
+                  f'''select vec_id, v,
+                      {si * (1 << LSH_PLANES)}
+                        + {_lsh_bucket_expr("v", seed=42 + si)} as bucket
+                      from base'''
+                  for si in range(LSH_SEEDS)
+              )}),
+            cand as (
+              select distinct a.vec_id as id_a, b2.vec_id as id_b
               from b a join b b2
-                on a.bucket = b2.bucket and a.vec_id < b2.vec_id) z
+                on a.bucket = b2.bucket and a.vec_id < b2.vec_id)
+            select id_a, id_b, cosine from (
+              select id_a, id_b,
+                     {_COSINE.format(a="va.v", b="vb.v")} as cosine
+              from cand
+              join base va on va.vec_id = id_a
+              join base vb on vb.vec_id = id_b) z
             where cosine >= {EMB_NEAR_DUP_THRESHOLD}
         """,
         "ann_brute_force": _ann_brute_oracle(),

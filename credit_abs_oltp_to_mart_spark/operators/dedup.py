@@ -534,6 +534,7 @@ def embedding_near_dups_lsh(
     dim: int = 64,
     seed: int = 42,
     n_blocks: int = 2,
+    n_seeds: int = 3,
 ) -> DataFrame:
     """Sign-LSH bucketed embedding near-dups — the 100 TB composition.
 
@@ -545,16 +546,29 @@ def embedding_near_dups_lsh(
     instead of the all-pairs form's O(n^2 / P), and the join the planner
     sees is a hash join on ``bucket`` — never a block cross join.
 
-    Candidate recall is the sign-LSH collision probability:
-    (1 - theta/pi)^n_planes per pair (~0.66 at cosine 0.95 with 4 planes;
-    ~0.9996 at cosine 0.999). Raise recall by lowering ``n_planes``, or by
-    unioning pair sets over several plane seeds; ``embedding_near_dups``
-    stays the exact oracle for verifying recall on samples."""
-    planes = random_hyperplanes(n_planes, dim, seed)
+    Single-table recall is the sign-LSH collision probability
+    (1 - theta/pi)^n_planes per pair — only ~0.65 at cosine 0.95 with 4
+    planes. ``n_seeds`` independent hyperplane sets are therefore UNIONED:
+    each vector gets one bucket per seed (seed-tagged so buckets never
+    collide across seeds), candidate pairs from any seed are scored, and
+    the pair set deduplicates at the end. Union recall is
+    1 - (1 - p)^n_seeds (~0.96 at cosine 0.95 with the default 3 seeds —
+    measured against the exact kernel in tests/test_ann_recall.py), and
+    cost scales x n_seeds, never toward O(n^2).
+    ``embedding_near_dups`` stays the exact oracle for verifying recall."""
+    bucket_exprs = [
+        (
+            F.lit(si * (1 << n_planes))
+            + hyperplane_sign_bits(
+                F.col(vec_col), random_hyperplanes(n_planes, dim, seed + si)
+            )
+        ).cast("int")
+        for si in range(n_seeds)
+    ]
     bucketed = emb.select(
         "vec_id",
         F.col(vec_col).alias("v"),
-        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+        F.explode(F.array(*bucket_exprs)).alias("bucket"),
         F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
     )
     grouped = bucketed.groupBy("bucket", "blk").agg(
@@ -567,6 +581,9 @@ def embedding_near_dups_lsh(
         "bucket", F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
     )
     block_pairs = a.join(b, "bucket").where(F.col("blk_a") <= F.col("blk_b"))
-    return block_pairs.mapInPandas(
+    scored = block_pairs.mapInPandas(
         _blocked_cosine_kernel(threshold), "id_a long, id_b long, cosine double"
     )
+    # a pair colliding under several seeds is scored several times with
+    # bit-identical cosine (same vectors, same GEMM) — distinct is exact
+    return scored.distinct()

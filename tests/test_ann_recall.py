@@ -79,6 +79,58 @@ def test_ivf_recall_on_planted_neighbors(spark, planted):
     assert mean >= 0.85, f"IVF planted recall {mean:.3f} < 0.85"
 
 
+@pytest.fixture(scope="module")
+def boundary_pairs(spark):
+    """Near-dup corpus planted AT the 0.95 decision boundary (cosine
+    ~0.95-0.97, perturbation scale 0.035 -> E[cos] ~ 1/sqrt(1+0.035^2*64)
+    = 0.963) — the regime where 4-plane single-seed LSH recall is weakest
+    (~0.67 per pair)."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    n_pairs = 40
+    twins = base[:n_pairs] + 0.035 * rng.standard_normal((n_pairs, DIM))
+    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)] + [
+        (int(N_BASE + i), [float(x) for x in v]) for i, v in enumerate(twins)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _pair_set(df) -> set:
+    return {(r.id_a, r.id_b) for r in df.collect() if r.id_a != r.id_b}
+
+
+def test_near_dup_lsh_pair_recall(spark, boundary_pairs):
+    # VERDICT r02 #5: 4-plane single-seed collision is only ~0.66 at cosine
+    # 0.95 — the n_seeds union must lift measured PAIR recall >= 0.9 against
+    # the exact all-pairs kernel at threshold 0.95 (union theory:
+    # 1-(1-p)^3 ~ 0.96). Deterministic seeds -> the observed recall is a
+    # constant, the floor is a safe margin. n_seeds=1 is also measured so
+    # the union's lift over a single seed stays demonstrable.
+    from credit_abs_oltp_to_mart_spark.operators import dedup
+
+    exact = _pair_set(dedup.embedding_near_dups(boundary_pairs, threshold=0.95))
+    assert len(exact) >= 15, f"planted corpus yields only {len(exact)} pairs"
+    three = _pair_set(
+        dedup.embedding_near_dups_lsh(
+            boundary_pairs, threshold=0.95, dim=DIM, n_seeds=3
+        )
+    )
+    one = _pair_set(
+        dedup.embedding_near_dups_lsh(
+            boundary_pairs, threshold=0.95, dim=DIM, n_seeds=1
+        )
+    )
+    recall3 = len(three & exact) / len(exact)
+    recall1 = len(one & exact) / len(exact)
+    assert recall3 >= 0.9, f"multi-seed pair recall {recall3:.3f} < 0.9"
+    assert recall1 <= recall3, f"union did not lift recall ({recall1} > {recall3})"
+    # precision is exact by construction: every candidate is verified by the
+    # GEMM kernel against the true threshold
+    assert three <= exact
+
+
 def test_lsh_dim_mismatch_raises(spark, planted):
     # wrong dim used to silently bucket everything into 0 (zip_with null
     # padding) — it must fail loudly instead
