@@ -2647,6 +2647,127 @@ _GENERATOR_INVARIANTS_ORACLE = """
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-pipeline composition in the driver gate
+    (VERDICT r02 #6): run ``build_corpus`` on the documents table and fold
+    the pipeline's guarantees into violation counts, ``generator_invariants``
+    style — the oracle is the invariant CONTRACT (constant all-zeros), so
+    any stage regression (a filter gate leak, a surviving dup pair, eval
+    contamination, a token-budget breach) flips a count and breaks the
+    value hash. Stage frames are persisted: the 8 audit branches would
+    otherwise each re-run the whole upstream (LSH self-join + iterative
+    components) once."""
+    from credit_abs_oltp_to_mart_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        DECONTAM_N,
+        pii_signal_count,
+    )
+    from credit_abs_oltp_to_mart_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_rows,
+    )
+    from credit_abs_oltp_to_mart_spark.operators.textops import lang_pred_expr
+    from credit_abs_oltp_to_mart_spark.plans.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    stages = build_corpus(docs)
+    filtered, deduped, clean, packed = (
+        stages["filtered"].persist(),
+        stages["deduped"].persist(),
+        stages["clean"].persist(),
+        stages["packed"].persist(),
+    )
+
+    def viol(name: str, df: DataFrame, cond=None) -> DataFrame:
+        src = df.where(cond) if cond is not None else df
+        return src.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations")
+        ).select(F.lit(name).alias("invariant"), "n_violations")
+
+    t = F.col("text")
+    # stage monotonicity via 1-row count frames (broadcast-nested-loop of
+    # single rows — no data movement)
+    counts = (
+        docs.agg(F.count(F.lit(1)).alias("n_in"))
+        .crossJoin(filtered.agg(F.count(F.lit(1)).alias("n_f")))
+        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_d")))
+        .crossJoin(clean.agg(F.count(F.lit(1)).alias("n_c")))
+    )
+    monotone = counts.select(
+        F.lit("stage_monotonicity").alias("invariant"),
+        (
+            F.when(F.col("n_in") < F.col("n_f"), 1).otherwise(0)
+            + F.when(F.col("n_f") < F.col("n_d"), 1).otherwise(0)
+            + F.when(F.col("n_d") < F.col("n_c"), 1).otherwise(0)
+            + F.when(F.col("n_c") <= 0, 1).otherwise(0)
+        ).cast("long").alias("n_violations"),
+    )
+    norm = F.lower(F.regexp_replace(F.trim(t), "[ ]+", " "))
+    dup_groups = (
+        deduped.select(F.md5(norm).alias("ck"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    # eval contamination audit recomputed independently of the pipeline's
+    # own decontaminate step (same grams, same 0.5 bar)
+    grams = shingle_rows(clean, DECONTAM_N).join(
+        clean.select("doc_id", "split"), "doc_id"
+    )
+    ev = grams.where(F.col("split") != "train").select("shingle").distinct()
+    tr = grams.where(F.col("split") == "train")
+    contaminated = (
+        tr.join(ev, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .join(tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tot")), "doc_id")
+        .where(F.col("hit").cast("double") / F.col("tot") >= 0.5)
+    )
+    frames = [
+        monotone,
+        viol(
+            "filter_gate",
+            filtered,
+            (quality_score(t) < 0.3)
+            | (ws_token_count(t) < 8)
+            | ~lang_pred_expr(t).isin(["en", "de", "es", "fr"])
+            | (pii_signal_count(t) > 0),
+        ),
+        viol("exact_dup_survivors", dup_groups),
+        viol("near_dup_survivors", minhash_lsh_pairs(deduped, threshold=0.12)),
+        viol("eval_contamination", contaminated),
+        viol("chunk_token_budget", packed, F.col("n_tokens") > 64),
+        viol("packed_train_only", packed, F.col("split") != "train"),
+        viol(
+            "bin_offset_consistency",
+            packed,
+            F.col("bin") != F.expr("start_tok div 256"),
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_CORPUS_PIPELINE_ORACLE = """
+    select invariant, n_violations::bigint as n_violations
+    from (values
+        ('stage_monotonicity', 0),
+        ('filter_gate', 0),
+        ('exact_dup_survivors', 0),
+        ('near_dup_survivors', 0),
+        ('eval_contamination', 0),
+        ('chunk_token_budget', 0),
+        ('packed_train_only', 0),
+        ('bin_offset_consistency', 0)
+    ) t(invariant, n_violations)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2674,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "generator_invariants": q_generator_invariants,
+        "corpus_pipeline": q_corpus_pipeline,
         # -- round-1 driver-unchecked (gate window ended before these)
         "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -3203,6 +3325,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding": _emb_near_dup_oracle(),
         "generator_invariants": _GENERATOR_INVARIANTS_ORACLE,
+        "corpus_pipeline": _CORPUS_PIPELINE_ORACLE,
         "dedup_embedding_lsh": f"""
             with base as (select vec_id, embedding::DOUBLE[] as v
                           from embeddings),

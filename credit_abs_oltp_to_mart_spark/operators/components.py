@@ -46,9 +46,13 @@ def connected_components(
 
     ``num_partitions`` is the deploy-time parallelism knob for the
     per-round state (labels / edge list): size it to ~vertices/5M per
-    partition at scale; leave None to inherit the session's shuffle
-    partitioning. Each round costs a fixed number of tasks per partition,
-    so oversized partition counts dominate wall time on small graphs.
+    partition at scale. Leave None to AUTO-SIZE from the actual vertex
+    count (one extra count action against the already-checkpointed label
+    state — negligible next to the per-round actions): each round costs a
+    fixed number of tasks per partition across O(log n) rounds, so an
+    oversized partition count multiplies straight into wall time on small
+    subgraphs while a 5M-vertices-per-partition rule keeps big ones
+    spill-free.
     """
     und = edges.select(
         F.col(src).alias("id"), F.col(dst).alias("nbr")
@@ -56,9 +60,15 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     )
-    if num_partitions is not None:
-        und = und.repartition(num_partitions, "id")
-        labels = labels.repartition(num_partitions, "id")
+    if num_partitions is None:
+        labels = labels.localCheckpoint(eager=True)
+        n_verts = labels.count()
+        session_parts = int(
+            labels.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        num_partitions = max(1, min(session_parts, -(-n_verts // 5_000_000)))
+    und = und.repartition(num_partitions, "id")
+    labels = labels.repartition(num_partitions, "id")
     und = und.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 

@@ -105,14 +105,27 @@ def dedup_documents(
     pairs = minhash_lsh_pairs(
         exact, n=n, n_perm=n_perm, bands=bands, threshold=threshold, seed=seed
     )
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-        exact.select("doc_id").withColumnRenamed("doc_id", "id"),
+    # The verified pair set is small by construction (near-dup rate x
+    # corpus, never O(n^2)); checkpointing it eagerly means the LSH chain
+    # runs ONCE even though both the edge list and the vertex set of the
+    # component loop (and its eager per-round actions) derive from it.
+    pairs = pairs.localCheckpoint(eager=True)
+    # Only pair PARTICIPANTS enter the iterative component loop: isolated
+    # docs are their own canonical by definition, so the corpus never
+    # cycles through the O(log n) label rounds — at 100 TB the near-dup
+    # subgraph is orders of magnitude smaller than the corpus, and the
+    # final anti-join against the (small) drop set is broadcast-able.
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    pair_docs = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
     )
-    keep = comp.where(F.col("id") == F.col("component")).select(
+    comp = connected_components(edges, pair_docs)
+    drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    return exact.join(keep, "doc_id", "left_semi")
+    return exact.join(drop, "doc_id", "left_anti")
 
 
 def decontaminate_train(
@@ -172,7 +185,12 @@ def build_corpus(
     """Full pipeline; returns every stage so callers can write or audit any
     of them. ``packed`` is the trainer-facing output: train-split chunks
     laid end-to-end per shard with fixed-width bin assignment."""
-    filtered = filter_documents(docs)
+    # persisted BEFORE dedup: the dedup stage eagerly materializes its
+    # verified pair set (localCheckpoint inside dedup_documents), which
+    # would otherwise re-run the full regex-heavy filter gate once for the
+    # pair chain and once more per downstream stage. First eager use
+    # populates the cache; every later stage reads it back.
+    filtered = filter_documents(docs).persist()
     deduped = dedup_documents(filtered)
     clean = decontaminate_train(deduped)
     train = clean.where(F.col("split") == "train")
