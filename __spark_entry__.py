@@ -2782,22 +2782,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # === PRIORITY ORDER: the driver's gate checks entries in registration
-        # order and round 1 stopped at exactly 50 — changed-this-round queries
-        # first, then the round-1-unchecked back half, then round-1 greens. ===
-        # -- changed this round (round-1 red oracle rows / 0-row vacuous rows)
-        "roll_rate": q_roll_rate,
-        "cure_rate": q_cure_rate,
+        # === PRIORITY ORDER: the driver's gate checks the FIRST 50 entries
+        # in registration order. Round-3 window: (a) the 7 queries never yet
+        # driver-checked (r01+r02 windows both missed them), (b) new /
+        # changed-this-round queries, (c) the queries whose only driver
+        # evidence is round 1 — oldest evidence first, so no query's driver
+        # row goes >2 rounds stale. Round-2 greens rotate to the back half;
+        # tools/gate_mirror.py re-verifies ALL entries locally either way. ===
+        # -- (a) never driver-checked
+        "value_histogram": q_value_histogram,
+        "ewma": q_ewma,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "correlated_subquery": q_correlated_subquery,
+        "exists_subquery": q_exists_subquery,
+        "window_ignore_nulls": q_window_ignore_nulls,
+        "dedup_incremental": q_dedup_incremental,
+        # -- (b) new / changed this round
+        "corpus_pipeline": q_corpus_pipeline,
         "vintage_mob": q_vintage_mob,
+        "cure_rate": q_cure_rate,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        # -- (c) round-1-only driver evidence, oldest first
+        "stg_projection": q_stg_projection,
+        "bucket_case": q_bucket_case,
+        "conditional_agg": q_conditional_agg,
+        "filter_scan": q_filter_scan,
+        "join_dim_agg": q_join_dim_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "month_end_snapshot": q_month_end_snapshot,
+        "coalesce_nullif_arith": q_coalesce_nullif_arith,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_revenue": q_region_revenue,
+        "topk_per_group": q_topk_per_group,
+        "running_total": q_running_total,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
+        "grouped_pandas_wavg": q_grouped_pandas_wavg,
+        "json_extract": q_json_extract,
+        "range_window": q_range_window,
+        "set_ops": q_set_ops,
+        "asof_join": q_asof_join,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "pivot_monthly": q_pivot_monthly,
+        "value_percentiles": q_value_percentiles,
+        "window_variety": q_window_variety,
+        "skew_salted_agg": q_skew_salted_agg,
+        "stream_windowed_agg": q_stream_windowed_agg,
+        "stream_distinct_keys": q_stream_distinct_keys,
+        "stream_enriched_agg": q_stream_enriched_agg,
+        "stream_session_window": q_stream_session_window,
+        "stream_stream_join": q_stream_stream_join,
+        "cdc_upsert": q_cdc_upsert,
+        "pagerank": q_pagerank,
+        "kmeans": q_kmeans,
+        "gap_fill_daily": q_gap_fill_daily,
+        "full_outer_recon": q_full_outer_recon,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "triangle_count": q_triangle_count,
+        "udtf_sentences": q_udtf_sentences,
+        "dedup_exact": q_dedup_exact,
+        # ---- driver gate window (50) ends here ----
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        # -- round-2 green driver rows (freshest evidence, rotate to back)
+        "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
         "reconcile_waterfall": q_reconcile_waterfall,
         "stream_sessionize": q_stream_sessionize,
-        # -- new this round
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "generator_invariants": q_generator_invariants,
-        "corpus_pipeline": q_corpus_pipeline,
-        # -- round-1 driver-unchecked (gate window ended before these)
-        "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "variant_extract": q_variant_extract,
         "try_arithmetic": q_try_arithmetic,
@@ -2839,58 +2896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nullsafe_join": q_nullsafe_join,
         "funnel_stages": q_funnel_stages,
         "retention_cohorts": q_retention_cohorts,
-        "value_histogram": q_value_histogram,
-        "ewma": q_ewma,
-        "rolling_distinct_users": q_rolling_distinct_users,
-        "correlated_subquery": q_correlated_subquery,
-        "exists_subquery": q_exists_subquery,
-        "window_ignore_nulls": q_window_ignore_nulls,
-        # -- round-1 green driver rows (re-checked as gate capacity allows)
-        "stg_projection": q_stg_projection,
-        "bucket_case": q_bucket_case,
-        "conditional_agg": q_conditional_agg,
-        "filter_scan": q_filter_scan,
-        "join_dim_agg": q_join_dim_agg,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "month_end_snapshot": q_month_end_snapshot,
-        "coalesce_nullif_arith": q_coalesce_nullif_arith,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "region_revenue": q_region_revenue,
-        "topk_per_group": q_topk_per_group,
-        "running_total": q_running_total,
-        "grouped_pandas_stats": q_grouped_pandas_stats,
-        "grouped_pandas_wavg": q_grouped_pandas_wavg,
-        "json_extract": q_json_extract,
-        "range_window": q_range_window,
-        "set_ops": q_set_ops,
-        "asof_join": q_asof_join,
-        "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
-        "pivot_monthly": q_pivot_monthly,
-        "value_percentiles": q_value_percentiles,
-        "window_variety": q_window_variety,
-        "skew_salted_agg": q_skew_salted_agg,
-        "stream_windowed_agg": q_stream_windowed_agg,
-        "stream_distinct_keys": q_stream_distinct_keys,
-        "stream_enriched_agg": q_stream_enriched_agg,
-        "stream_session_window": q_stream_session_window,
-        "stream_stream_join": q_stream_stream_join,
-        "cdc_upsert": q_cdc_upsert,
-        "pagerank": q_pagerank,
-        "kmeans": q_kmeans,
-        "gap_fill_daily": q_gap_fill_daily,
-        "full_outer_recon": q_full_outer_recon,
-        "fuzzy_name_match": q_fuzzy_name_match,
-        "triangle_count": q_triangle_count,
-        "udtf_sentences": q_udtf_sentences,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash": q_simhash,
-        "dedup_incremental": q_dedup_incremental,
     }
 
 

@@ -33,13 +33,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-try:  # pragma: no cover - real codecs absent in this environment
-    from PIL import Image  # noqa: F401
-
-    _HAVE_CODECS = True
-except ImportError:
-    _HAVE_CODECS = False
-
 MODALITIES = ["image", "audio", "video"]
 FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
 MAX_EXTRA_CHUNKS = 3  # content = md5(text) + up to 3 salted md5 chunks
@@ -105,19 +98,37 @@ def extract_meta(media: DataFrame) -> DataFrame:
     )
 
 
-def _decode(content: bytes, declared_format: str) -> np.ndarray:
-    """Decode a media blob to a flat uint8 buffer.
-
-    STUB: with real codecs installed this would be
-    ``np.asarray(Image.open(io.BytesIO(content)))`` (or the audio/video
-    equivalent). In this environment the deterministic fake treats the raw
-    bytes as the decoded buffer, which keeps every downstream feature
-    reproducible in the DuckDB oracle."""
-    if _HAVE_CODECS and declared_format in ("png", "jpg"):
-        raise NotImplementedError(
-            "real codec path intentionally unused in tests"
-        )
+def _decode_fake(content: bytes, declared_format: str) -> np.ndarray:
+    """Deterministic fake decode: raw bytes ARE the decoded buffer. Keeps
+    every downstream feature reproducible in the DuckDB oracle."""
     return np.frombuffer(content, dtype=np.uint8)
+
+
+# Per-format decoder registry — the drop-in point for real codecs. A deploy
+# with PIL/torchaudio/pyav installed registers e.g.
+#     register_decoder("png", lambda b, f: np.asarray(
+#         Image.open(io.BytesIO(b)), dtype=np.uint8).ravel())
+# and every operator below (decode_features, resize kernel, frame sampler)
+# picks it up unchanged: the contract is (blob bytes, declared_format) ->
+# flat uint8 buffer, and nothing else in the Spark plumbing (schema,
+# Arrow batching, partitioning) depends on which decoder produced the
+# buffer. This container ships no codec libraries (see README), so the
+# registry is empty by default and everything runs on the deterministic
+# fake.
+_DECODERS: dict[str, object] = {}
+
+
+def register_decoder(declared_format: str, fn) -> None:
+    """Install a real ``(bytes, declared_format) -> np.ndarray[uint8]``
+    decoder for one declared format (e.g. 'png'). Unregistered formats
+    fall back to the deterministic fake."""
+    _DECODERS[declared_format] = fn
+
+
+def _decode(content: bytes, declared_format: str) -> np.ndarray:
+    """Decode a media blob to a flat uint8 buffer via the registry."""
+    fn = _DECODERS.get(declared_format, _decode_fake)
+    return fn(content, declared_format)
 
 
 def decode_features(media: DataFrame) -> DataFrame:
