@@ -2713,17 +2713,28 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") > 1)
     )
     # eval contamination audit recomputed independently of the pipeline's
-    # own decontaminate step (same grams, same 0.5 bar)
-    grams = shingle_rows(clean, DECONTAM_N).join(
-        clean.select("doc_id", "split"), "doc_id"
+    # own decontaminate step (same grams, same 0.5 bar; the split comes
+    # from the OUTPUT's split column, not re-derived). Persisted: the eval
+    # and train branches would otherwise each re-run the shingle explode +
+    # split join.
+    grams = (
+        shingle_rows(clean, DECONTAM_N)
+        .join(clean.select("doc_id", "split"), "doc_id")
+        .persist()
     )
-    ev = grams.where(F.col("split") != "train").select("shingle").distinct()
-    tr = grams.where(F.col("split") == "train")
+    ev = (
+        grams.where(F.col("split") != "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # one row per distinct shingle on the build side -> the left join never
+    # duplicates a train gram row; total and overlap come from one agg pass
     contaminated = (
-        tr.join(ev, "shingle", "left_semi")
+        grams.where(F.col("split") == "train")
+        .join(F.broadcast(ev), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("hit"))
-        .join(tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tot")), "doc_id")
+        .agg(F.count(F.lit(1)).alias("tot"), F.count("__hit").alias("hit"))
         .where(F.col("hit").cast("double") / F.col("tot") >= 0.5)
     )
     frames = [

@@ -60,11 +60,12 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     )
+    sess = edges.sparkSession
     if num_partitions is None:
         labels = labels.localCheckpoint(eager=True)
         n_verts = labels.count()
         session_parts = int(
-            labels.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            sess.conf.get("spark.sql.shuffle.partitions", "200")
         )
         num_partitions = max(1, min(session_parts, -(-n_verts // 5_000_000)))
     und = und.repartition(num_partitions, "id")
@@ -72,47 +73,62 @@ def connected_components(
     und = und.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
-        nbr_min = (
-            und.join(
-                labels.select(
-                    F.col("id").alias("nbr"),
-                    F.col("component").alias("nbr_comp"),
-                ),
-                "nbr",
+    # The loop body materializes eagerly (checkpoint + count per round), so
+    # conf changes scope exactly to the loop's own jobs. The label state is
+    # explicitly partitioned already: pin the loop's shuffles to the same
+    # width and drop AQE for the duration — adaptive replanning adds one
+    # scheduler job per shuffle stage, which dominates wall time on the
+    # (deliberately small) per-round state while optimizing nothing the
+    # explicit repartition hasn't fixed.
+    old_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = sess.conf.get("spark.sql.shuffle.partitions", "200")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                und.join(
+                    labels.select(
+                        F.col("id").alias("nbr"),
+                        F.col("component").alias("nbr_comp"),
+                    ),
+                    "nbr",
+                )
+                .groupBy("id")
+                .agg(F.min("nbr_comp").alias("nbr_min"))
             )
-            .groupBy("id")
-            .agg(F.min("nbr_comp").alias("nbr_min"))
-        )
-        hooked = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
-            F.col("component").alias("prev"),
-        )
-        # pointer jump: comp(v) := comp(comp(v)) — labels are vertex ids,
-        # so the hooked table itself resolves the indirection
-        jumped = (
-            hooked.join(
-                hooked.select(
-                    F.col("id").alias("component"),
-                    F.col("component").alias("comp2"),
-                ),
-                "component",
-                "left",
-            )
-            .select(
+            hooked = labels.join(nbr_min, "id", "left").select(
                 "id",
-                F.coalesce("comp2", F.col("component")).alias("component"),
-                "prev",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("prev"),
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = jumped.where(F.col("component") != F.col("prev")).count()
-        labels = jumped.select("id", "component")
-        if changed == 0:
-            break
+            # pointer jump: comp(v) := comp(comp(v)) — labels are vertex ids,
+            # so the hooked table itself resolves the indirection
+            jumped = (
+                hooked.join(
+                    hooked.select(
+                        F.col("id").alias("component"),
+                        F.col("component").alias("comp2"),
+                    ),
+                    "component",
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.coalesce("comp2", F.col("component")).alias("component"),
+                    "prev",
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = jumped.where(F.col("component") != F.col("prev")).count()
+            labels = jumped.select("id", "component")
+            if changed == 0:
+                break
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        sess.conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels
 
 
@@ -126,15 +142,31 @@ def dedup_clusters(
 ) -> DataFrame:
     """Cluster assignment from near-dup pairs: every doc gets the min
     doc_id of its transitive near-dup cluster plus the cluster size
-    (singletons included, size 1)."""
-    from pyspark.sql import Window
+    (singletons included, size 1).
 
-    cc = connected_components(
-        pairs, docs.select(doc_col), src=src, dst=dst, id_col=doc_col
+    Only pair PARTICIPANTS enter the iterative label loop — a doc in no
+    pair is its own singleton component by definition, so the full corpus
+    never cycles through the O(log n) rounds; at 100 TB the near-dup
+    subgraph is orders of magnitude smaller than the corpus, and the
+    participant labels join back to the corpus as the (small) build side."""
+    # the pair plan feeds BOTH the participant set and the edge list of the
+    # component loop — checkpoint it eagerly so the (possibly expensive)
+    # pair-finding chain runs once, not once per consumer
+    pairs = pairs.select(src, dst).localCheckpoint(eager=True)
+    participants = (
+        pairs.select(F.col(src).alias("id"))
+        .unionByName(pairs.select(F.col(dst).alias("id")))
+        .distinct()
     )
-    w = Window.partitionBy("component")
-    return cc.select(
+    cc = connected_components(pairs, participants, src=src, dst=dst)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    labeled = cc.join(sizes, "component").select(
         F.col("id").alias(doc_col),
         F.col("component").alias("component_id"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.col("n").alias("cluster_size"),
+    )
+    return docs.select(doc_col).join(labeled, doc_col, "left").select(
+        doc_col,
+        F.coalesce("component_id", F.col(doc_col)).alias("component_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
     )

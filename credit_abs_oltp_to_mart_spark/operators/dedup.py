@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.functions.parallelism import ensure_parallelism
@@ -68,25 +68,53 @@ def shingle_rows(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
 
     Docs with < n tokens contribute their whole space-normalized text as a
     single shingle (same as DuckDB `array_to_string(tk, ' ')`)."""
-    docs = ensure_parallelism(docs)
+    return _doc_grams(docs, n, text_col).select(
+        "doc_id", F.explode("grams").alias("shingle")
+    )
+
+
+def _gram_set_col(n: int, text_col: str = "text") -> Column:
+    """array<string> column of the DISTINCT word-n-gram set of ``text_col``
+    — the whole shingle-set build is a single map-side expression.
+
+    Within-doc dedup happens via ``array_distinct`` on the per-doc gram
+    array BEFORE any explode, so no consumer ever needs a shuffle-backed
+    ``distinct()`` over the exploded gram index (the previous form
+    shuffled every (doc_id, shingle) row just to dedup within documents)."""
     norm = F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " ")
     pat = "(?:^|(?<= ))(?=(" + " ".join(["[^ ]+"] * n) + "))"
     toks = ws_tokens(F.col(text_col))
     grams = F.regexp_extract_all(norm, F.lit(pat), 1)
-    sh = F.when(
-        F.size(toks) < n, F.array(F.array_join(toks, " "))
-    ).otherwise(grams)
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+            grams
+        )
+    )
 
 
-def _shingle_index(docs: DataFrame, n: int) -> DataFrame:
-    """Persisted shingle index with the per-doc set size carried on every
-    row (window count) — downstream pair aggregations then group the sizes
-    along with the pair keys instead of re-joining a size table."""
-    w = Window.partitionBy("doc_id")
-    return shingle_rows(docs, n).withColumn(
-        "n_shingles", F.count(F.lit(1)).over(w)
-    ).persist()
+def _doc_grams(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, grams array<string>) — one row per doc, map-only."""
+    docs = ensure_parallelism(docs)
+    return docs.select("doc_id", _gram_set_col(n, text_col).alias("grams"))
+
+
+def _join_sizes(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach size_a/size_b set sizes to a (doc_a, doc_b, n_shared) pair
+    table from a (doc_id, n_shingles) size frame. The size table is one
+    narrow row per doc (AQE broadcasts the smaller side); joining at the
+    pair level costs two small hash joins instead of carrying sizes on
+    every gram row through the big self-join."""
+    return pairs.join(
+        sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+        ),
+        "doc_a",
+    ).join(
+        sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+        ),
+        "doc_b",
+    )
 
 
 def _thresholded_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -111,7 +139,8 @@ def ngram_jaccard_pairs(
     shingle sets via an inverted-index self-join. All-pairs-with-shared-
     shingle generation — exact but quadratic in the worst case; see module
     docstring."""
-    ex = _shingle_index(docs, n)
+    dg = _doc_grams(docs, n).persist()
+    ex = dg.select("doc_id", F.explode("grams").alias("shingle"))
     pairs = (
         ex.alias("a")
         .join(ex.alias("b"), "shingle")
@@ -119,23 +148,26 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("size_a"),
-            F.col("b.n_shingles").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return _thresholded_jaccard(pairs, threshold)
+    sizes = dg.select("doc_id", F.size("grams").alias("n_shingles"))
+    return _thresholded_jaccard(_join_sizes(pairs, sizes), threshold)
 
 
-def _signature_aggs(n_perm: int, seed: int):
-    """The n_perm grouped-MIN aggregation expressions over md5-hashed
-    shingle rows (column ``hmod``) — partial aggregation (map-side combine)
-    instead of per-doc array lambdas."""
+def _signature_cols(n_perm: int, seed: int, grams_col: str = "grams"):
+    """s0..s{n_perm-1} MinHash columns over a per-doc gram ARRAY — pure
+    map-side higher-order functions (array_min over transform), so the
+    signature build needs NO explode + groupBy shuffle: each doc's
+    signature is computed where its row already lives."""
     coeffs = minhash_coefficients(n_perm, seed)
+    hashed = F.transform(F.col(grams_col), md5_mod31)
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
+
     return [
-        F.min(
-            F.pmod(F.col("hmod") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
-        ).alias(f"s{i}")
+        F.array_min(F.transform(hashed, perm(a, b))).alias(f"s{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
 
@@ -169,10 +201,11 @@ def minhash_signatures(
     At 100 TB this is written once per corpus snapshot (partitioned
     parquet, ~8 longs per document) and every subsequent ingest batch
     dedups against it via ``incremental_minhash_pairs`` without touching
-    corpus text again."""
-    ex = shingle_rows(docs, n)
-    hashed = ex.select("doc_id", md5_mod31(F.col("shingle")).alias("hmod"))
-    return hashed.groupBy("doc_id").agg(*_signature_aggs(n_perm, seed))
+    corpus text again. Map-only: gram set, hashing and the per-permutation
+    minima are all computed inside one projection (no explode + groupBy)."""
+    return _doc_grams(docs, n).select(
+        "doc_id", *_signature_cols(n_perm, seed)
+    )
 
 
 def incremental_minhash_pairs(
@@ -238,12 +271,19 @@ def minhash_lsh_pairs(
     band buckets -> candidate join -> exact Jaccard verify.
 
     The band join is the scale path: only docs colliding in >= 1 band are
-    paired. Returns (doc_a, doc_b, jaccard) for verified candidates."""
-    # feeds signatures AND both verify joins — persisted, sizes inline
-    ex = _shingle_index(docs, n)
-    hashed = ex.select("doc_id", md5_mod31(F.col("shingle")).alias("hmod"))
-    sig = hashed.groupBy("doc_id").agg(*_signature_aggs(n_perm, seed))
-    banded = sig.select("doc_id", _band_key_col(n_perm, bands)).distinct()
+    paired. Returns (doc_a, doc_b, jaccard) for verified candidates.
+
+    Plan shape: the doc-level gram-array frame is persisted ONCE and feeds
+    everything map-side — signatures (array_min-over-transform HOFs),
+    band keys, the exploded verify index, and set sizes — so the only
+    shuffles left are the ones the algorithm requires: the band-bucket
+    self-join, the candidate distinct, and the verify join + count."""
+    dg = _doc_grams(docs, n).persist()
+    # band keys carry the band index, so the `bands` rows per doc are
+    # distinct by construction — no dedup shuffle needed before the join
+    banded = dg.select("doc_id", *_signature_cols(n_perm, seed)).select(
+        "doc_id", _band_key_col(n_perm, bands)
+    )
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), "band_key")
@@ -254,27 +294,20 @@ def minhash_lsh_pairs(
     # exact verify: shared-shingle counts restricted to the candidate pairs
     # (a candidate with zero shared shingles drops out of the inner join —
     # its jaccard would be 0 < threshold in the oracle too)
+    ex = dg.select("doc_id", F.explode("grams").alias("shingle"))
     shared = (
         candidates.join(
-            ex.select(
-                F.col("doc_id").alias("doc_a"),
-                "shingle",
-                F.col("n_shingles").alias("size_a"),
-            ),
-            "doc_a",
+            ex.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
         )
         .join(
-            ex.select(
-                F.col("doc_id").alias("doc_b"),
-                "shingle",
-                F.col("n_shingles").alias("size_b"),
-            ),
+            ex.select(F.col("doc_id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
         )
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return _thresholded_jaccard(shared, threshold)
+    sizes = dg.select("doc_id", F.size("grams").alias("n_shingles"))
+    return _thresholded_jaccard(_join_sizes(shared, sizes), threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, n_bits: int = 64) -> DataFrame:

@@ -54,8 +54,11 @@ def pagerank(
         .join(deg, "id")
         .localCheckpoint(eager=True)
     )
-    ranks = vertices.select(
-        F.col(id_col).alias("id"), F.lit(SCALE).cast("bigint").alias("rank_fp")
+    # the vertex-id frame is re-joined EVERY round — checkpoint it once so
+    # an upstream scan+distinct doesn't re-run per iteration
+    vids = vertices.select(F.col(id_col).alias("id")).localCheckpoint(eager=True)
+    ranks = vids.select(
+        "id", F.lit(SCALE).cast("bigint").alias("rank_fp")
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
@@ -68,8 +71,7 @@ def pagerank(
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            vertices.select(F.col(id_col).alias("id"))
-            .join(contrib, "id", "left")
+            vids.join(contrib, "id", "left")
             .select(
                 "id",
                 (

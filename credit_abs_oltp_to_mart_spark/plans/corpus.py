@@ -121,7 +121,15 @@ def dedup_documents(
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    comp = connected_components(edges, pair_docs)
+    # the pair set is already checkpointed, so its count is nearly free and
+    # bounds the vertex count at 2x — sizing the component loop here skips
+    # connected_components' internal auto-size action (an extra checkpoint
+    # + count of the label state)
+    session_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cc_parts = max(1, min(session_parts, -(-2 * pairs.count() // 5_000_000)))
+    comp = connected_components(edges, pair_docs, num_partitions=cc_parts)
     drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
@@ -153,21 +161,29 @@ def decontaminate_train(
     # split is a pure doc_id expression — computed inline on the gram rows
     # (a join back to an assignment table would shuffle the corpus twice)
     grams = shingle_rows(tagged, n).withColumn("split", split_expr())
-    ev_grams = grams.where(F.col("split") != "train").select("shingle").distinct()
+    ev_grams = (
+        grams.where(F.col("split") != "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     if broadcast_eval:
         ev_grams = F.broadcast(ev_grams)
-    tr = grams.where(F.col("split") == "train")
-    overlap = (
-        tr.join(ev_grams, "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    totals = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # ONE pass over the train grams: ev_grams has exactly one row per
+    # distinct shingle, so the left join never duplicates a train row —
+    # count(1) is the gram total and count(__hit) the overlap, from the
+    # same aggregation (the previous semi-join + two-agg form scanned the
+    # train gram rows twice)
     dropped = (
-        totals.join(overlap, "doc_id", "left")
+        grams.where(F.col("split") == "train")
+        .join(ev_grams, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
         .where(
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-            / F.col("n_grams").cast("double")
+            F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
             >= max_overlap
         )
         .select("doc_id")
