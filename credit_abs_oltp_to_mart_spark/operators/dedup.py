@@ -155,21 +155,33 @@ def ngram_jaccard_pairs(
     return _thresholded_jaccard(_join_sizes(pairs, sizes), threshold)
 
 
-def _signature_cols(n_perm: int, seed: int, grams_col: str = "grams"):
-    """s0..s{n_perm-1} MinHash columns over a per-doc gram ARRAY — pure
+def _signatures(
+    dg: DataFrame, n_perm: int, seed: int, grams_col: str = "grams"
+) -> DataFrame:
+    """(doc_id, s0..s{n_perm-1}) from a per-doc gram-array frame — pure
     map-side higher-order functions (array_min over transform), so the
     signature build needs NO explode + groupBy shuffle: each doc's
-    signature is computed where its row already lives."""
+    signature is computed where its row already lives.
+
+    Two-step projection on purpose: the md5 gram hashing lands in its own
+    SELECT so it runs ONCE per gram; inlining it into each of the n_perm
+    array_min expressions would re-hash every gram n_perm times (md5
+    dominates the a*h+b permutation arithmetic by orders of magnitude)."""
     coeffs = minhash_coefficients(n_perm, seed)
-    hashed = F.transform(F.col(grams_col), md5_mod31)
 
     def perm(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
 
-    return [
-        F.array_min(F.transform(hashed, perm(a, b))).alias(f"s{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
+    hashed = dg.select(
+        "doc_id", F.transform(F.col(grams_col), md5_mod31).alias("__h")
+    )
+    return hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("__h"), perm(a, b))).alias(f"s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
 
 
 def _band_key_col(n_perm: int, bands: int):
@@ -202,10 +214,8 @@ def minhash_signatures(
     parquet, ~8 longs per document) and every subsequent ingest batch
     dedups against it via ``incremental_minhash_pairs`` without touching
     corpus text again. Map-only: gram set, hashing and the per-permutation
-    minima are all computed inside one projection (no explode + groupBy)."""
-    return _doc_grams(docs, n).select(
-        "doc_id", *_signature_cols(n_perm, seed)
-    )
+    minima are all computed in two projections (no explode + groupBy)."""
+    return _signatures(_doc_grams(docs, n), n_perm, seed)
 
 
 def incremental_minhash_pairs(
@@ -279,11 +289,13 @@ def minhash_lsh_pairs(
     shuffles left are the ones the algorithm requires: the band-bucket
     self-join, the candidate distinct, and the verify join + count."""
     dg = _doc_grams(docs, n).persist()
+    # the signature table is persisted because the band self-join consumes
+    # it TWICE (sides a and b) — without it each side would re-run the md5
+    # gram hashing from the gram cache
+    sig = _signatures(dg, n_perm, seed).persist()
     # band keys carry the band index, so the `bands` rows per doc are
     # distinct by construction — no dedup shuffle needed before the join
-    banded = dg.select("doc_id", *_signature_cols(n_perm, seed)).select(
-        "doc_id", _band_key_col(n_perm, bands)
-    )
+    banded = sig.select("doc_id", _band_key_col(n_perm, bands))
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), "band_key")
@@ -291,23 +303,26 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify: shared-shingle counts restricted to the candidate pairs
-    # (a candidate with zero shared shingles drops out of the inner join —
-    # its jaccard would be 0 < threshold in the oracle too)
-    ex = dg.select("doc_id", F.explode("grams").alias("shingle"))
-    shared = (
-        candidates.join(
-            ex.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+    # exact verify straight off the gram ARRAYS: the candidate pair set is
+    # tiny relative to the corpus (that is the point of LSH), so joining it
+    # to the per-doc arrays twice (small side broadcast by AQE) and taking
+    # size(array_intersect) per pair is map-side work — no gram explode, no
+    # inverted-index shuffle, no groupBy. A candidate with an empty
+    # intersection keeps jaccard 0 < threshold, as in the oracle.
+    ga = dg.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("__ga"))
+    gb = dg.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("__gb"))
+    verified = (
+        candidates.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ga", "__gb")).alias("n_shared"),
+            F.size("__ga").alias("size_a"),
+            F.size("__gb").alias("size_b"),
         )
-        .join(
-            ex.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sizes = dg.select("doc_id", F.size("grams").alias("n_shingles"))
-    return _thresholded_jaccard(_join_sizes(shared, sizes), threshold)
+    return _thresholded_jaccard(verified, threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, n_bits: int = 64) -> DataFrame:

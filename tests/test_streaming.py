@@ -269,11 +269,23 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         .option("latestFirst", "false")
         .parquet(str(src / "s=*"))
     )
-    out = streaming.run_to_memory(
-        streaming.stream_running_totals(stream),
-        "mem_twspd_totals",
-        "update",
-    )
+    # stream_running_totals sets the RocksDB provider session-wide (the v2
+    # state API requires it at query START, which happens inside
+    # run_to_memory) — restore the prior provider so later streaming tests
+    # in this session keep the default store
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    try:
+        out = streaming.run_to_memory(
+            streaming.stream_running_totals(stream),
+            "mem_twspd_totals",
+            "update",
+        )
+    finally:
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
     # update mode: keep the emission with the highest n_events per user
     w_last = out.groupBy("user_id").agg(
         F.max(F.struct("n_events", "total_value")).alias("s")
