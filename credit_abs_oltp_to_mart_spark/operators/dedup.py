@@ -288,11 +288,12 @@ def minhash_lsh_pairs(
     band keys, the exploded verify index, and set sizes — so the only
     shuffles left are the ones the algorithm requires: the band-bucket
     self-join, the candidate distinct, and the verify join + count."""
+    # persisted: the gram frame feeds the signature build AND both verify
+    # array lookups. The signature table itself needs no persist — the band
+    # self-join's two sides are identical subtrees whose band_key exchange
+    # Spark dedups via ReusedExchange, so signatures compute once anyway.
     dg = _doc_grams(docs, n).persist()
-    # the signature table is persisted because the band self-join consumes
-    # it TWICE (sides a and b) — without it each side would re-run the md5
-    # gram hashing from the gram cache
-    sig = _signatures(dg, n_perm, seed).persist()
+    sig = _signatures(dg, n_perm, seed)
     # band keys carry the band index, so the `bands` rows per doc are
     # distinct by construction — no dedup shuffle needed before the join
     banded = sig.select("doc_id", _band_key_col(n_perm, bands))
@@ -426,6 +427,10 @@ def simhash_pairs(
     assert n_bits % n_bands == 0, "bands must tile the fingerprint evenly"
     width = n_bits // n_bands
     mask = (1 << width) - 1
+    # NOTE: no persist here — the self-join's two sides are identical
+    # subtrees ending in the vote-aggregation shuffle, so Spark's
+    # ReusedExchange computes the fingerprint chain once already; a cache
+    # write would only add a synchronous materialization in front of it
     fp = simhash_fingerprints(docs, n_bits=n_bits)
     banded = fp.select(
         "doc_id",

@@ -97,10 +97,19 @@ def dedup_documents(
     Exact pass first (cheap content-hash shuffle) so byte-identical copies
     never reach the LSH stage; near-dup clusters come from verified
     MinHash-LSH pairs closed under transitivity (connected components)."""
+    from pyspark.sql import Window
+
+    # keep-min-doc-per-content-key as ONE shuffle (hash partition + sort on
+    # the content key) instead of the groupBy-min + semi-join form, which
+    # shuffles the corpus twice for the same result
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "[ ]+", " "))
-    keyed = docs.withColumn("__ck", F.md5(norm))
-    canonical = keyed.groupBy("__ck").agg(F.min("doc_id").alias("doc_id"))
-    exact = keyed.join(canonical, ["__ck", "doc_id"], "left_semi").drop("__ck")
+    w = Window.partitionBy("__ck").orderBy("doc_id")
+    exact = (
+        docs.withColumn("__ck", F.md5(norm))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__ck", "__rn")
+    )
 
     pairs = minhash_lsh_pairs(
         exact, n=n, n_perm=n_perm, bands=bands, threshold=threshold, seed=seed
