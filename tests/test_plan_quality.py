@@ -323,3 +323,51 @@ def test_corpus_filter_stage_is_map_only(spark):
     # whole-stage codegen (array filter() is interpreted-eval) — still a
     # single scan+filter pass, which is the claim that matters here
     assert "Exchange" not in p, "corpus filter stage gained a shuffle"
+
+
+def test_minhash_signature_store_build_is_map_only(spark):
+    # the 100 TB incremental-dedup story depends on the signature STORE
+    # being writable in one pass over the corpus: gram-set extraction,
+    # md5 hashing and the per-permutation minima are all per-row
+    # higher-order-function work. Any Exchange means the build regressed
+    # to the explode + groupBy form (a full gram-index shuffle per snapshot)
+    from credit_abs_oltp_to_mart_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = (
+        minhash_signatures(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ensure_parallelism's RoundRobin fan-out (scan-parallelism on
+    # row-group-limited small files, no-op at scale) is allowed; a KEY
+    # exchange is not
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_corpus_exact_dedup_single_shuffle(spark):
+    # keep-min-doc-per-content-key must stay the one-shuffle window form;
+    # a second hashpartitioning Exchange means the groupBy+semi-join shape
+    # (two corpus shuffles for the same result) crept back in
+    from credit_abs_oltp_to_mart_spark.plans.corpus import dedup_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # slice the plan before the (checkpointed) LSH stage contributes: the
+    # exact stage is everything up to the first localCheckpoint scan
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "[ ]+", " "))
+    w = Window.partitionBy("__ck").orderBy("doc_id")
+    exact = (
+        docs.withColumn("__ck", F.md5(norm))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__ck", "__rn")
+    )
+    p = exact._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
