@@ -161,25 +161,30 @@ def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
         .join(F.broadcast(ev_gram_set), "gram", "left_semi")
         .select("gram")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    hits = (
-        ev.join(F.broadcast(contaminated), "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    totals = ev.groupBy("doc_id", "split").agg(F.count(F.lit(1)).alias("n_grams"))
-    return totals.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "split",
-        F.col("n_grams").cast("int").alias("n_grams"),
-        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("int").alias(
-            "n_contaminated"
-        ),
-        F.round(
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
-            / F.col("n_grams").cast("double"),
-            6,
-        ).alias("contamination"),
+    # ONE pass over the eval grams: `contaminated` has one row per distinct
+    # gram, so the broadcast left join never duplicates an eval row —
+    # per-doc totals and contaminated counts come from the same aggregation
+    # (previously a semi-join agg + a second totals agg re-read the cache)
+    return (
+        ev.join(F.broadcast(contaminated), "gram", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.col("n_contaminated").cast("int").alias("n_contaminated"),
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
     )
 
 

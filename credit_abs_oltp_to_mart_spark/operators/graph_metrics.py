@@ -65,6 +65,11 @@ def triangle_count(
             F.greatest("ru", "rv").alias("rb"),
         )
     )
+    # persisted: the wedge join's two sides share one ReusedExchange, but
+    # the closing-edge join partitions on (m, w) — a different key — so
+    # without the cache it would re-run the whole orientation chain
+    # (distinct + degree agg + two rank joins)
+    oriented = oriented.persist()
     # wedges from each low-rank apex: pairs of out-neighbors in rank order
     e1 = oriented.select("a", F.col("b").alias("m"), F.col("rb").alias("rm"))
     e2 = oriented.select(
