@@ -17,6 +17,7 @@ Cross-engine exactness rules used throughout (so value-hashes match):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd  # module-level: pandas-UDF type hints must resolve here
@@ -891,6 +892,58 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_memory(plan, "mem_stream_stream_join", "append")
 
 
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-dedup ingest — the 100 TB continuous-ingest
+    shape: the documents table arrives as 3 deterministic micro-batches
+    (md5 bucket of doc_id, file-arrival order pinned via mtimes); each
+    batch is deduped against the signature store built from EARLIER
+    batches' survivors (broadcast batch, store scanned once), and the
+    survivors' signatures are appended to the store (foreachBatch).
+    Batch-sequential oracle: survivors(b) = docs of batch b with no
+    MinHash-estimator match >= 0.25 among survivors(<b)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.pmod(
+        md5_long(F.concat(F.lit("ingest:"), F.col("doc_id").cast("string"))),
+        F.lit(3),
+    )
+    tagged = docs.withColumn("__b", b.cast("int"))
+    tmp = tempfile.mkdtemp(prefix="spark_ingest_")
+    try:
+        slices = os.path.join(tmp, "slices")
+        now = _time.time()
+        for k in range(3):
+            d = os.path.join(slices, f"b{k}")
+            tagged.where(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(d)
+            # strictly increasing mtimes (and lexicographic paths) pin the
+            # file-source arrival order: batch k is exactly md5 bucket k
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    t = now - 60 + 10 * k
+                    os.utime(os.path.join(d, f), (t, t))
+        out = streaming.stream_dedup_ingest(
+            spark,
+            f"{slices}/b*",
+            os.path.join(tmp, "out"),
+            schema=docs.schema,
+            n=JACCARD_N,
+            n_perm=MINHASH_PERMS,
+            bands=MINHASH_BANDS,
+            min_est=0.25,
+            seed=MINHASH_SEED,
+        )
+        # pin the rows into the block manager so the temp parquet backing
+        # them can be deleted before the caller materializes the frame
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics on a snapshot: a deterministic I/U/D change
     feed derived from orders applied to the customer dimension via
@@ -1235,6 +1288,68 @@ def _incremental_minhash_oracle(min_est: float = 0.25) -> str:
       join sc sb on sb.doc_id = corpus_doc_id)
     select new_doc_id, corpus_doc_id, est_jaccard
     from est where est_jaccard >= {min_est}
+    """
+
+
+def _stream_dedup_ingest_oracle(min_est: float = 0.25) -> str:
+    """Batch-sequential replay of the streaming incremental-dedup ingest:
+    batch k (md5 bucket of doc_id) survives iff its MinHash estimator
+    matches no SURVIVOR of an earlier batch — the store only grows
+    between micro-batches, so within-batch duplicates both survive,
+    exactly the foreachBatch contract in streaming/ops.py."""
+    coeffs = minhash_coefficients(MINHASH_PERMS, MINHASH_SEED)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_31})) as s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ", ".join(
+        "concat_ws(':', '{bi}', {vals})".format(
+            bi=bi,
+            vals=", ".join(f"s{bi * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for bi in range(MINHASH_BANDS)
+    )
+    match_sum = " + ".join(
+        f"(sa.s{i} = sb.s{i})::int" for i in range(MINHASH_PERMS)
+    )
+
+    def level(k: int, prev_surv: str) -> str:
+        # docs of batch k matching any survivor of earlier batches
+        return f"""
+    bn{k} as (select distinct doc_id, unnest([{band_exprs}]) as band_key
+              from sigs where b = {k}),
+    bs{k} as (select distinct doc_id, unnest([{band_exprs}]) as band_key
+              from {prev_surv}),
+    c{k} as (select distinct bn{k}.doc_id as nid, bs{k}.doc_id as cid
+             from bn{k} join bs{k} using (band_key)),
+    m{k} as (select distinct nid from c{k}
+             join sigs sa on sa.doc_id = nid
+             join sigs sb on sb.doc_id = cid
+             where round(({match_sum}) / {float(MINHASH_PERMS)}, 6) >= {min_est}),
+    surv{k} as (select * from sigs where b = {k}
+                and doc_id not in (select nid from m{k}))"""
+
+    return f"""
+    with {_SHINGLES_CTE},
+    hashed as (
+      select doc_id, shingles,
+             list_transform(shingles,
+               x -> ('0x' || substr(md5(x), 1, 15))::bigint % {MERSENNE_31}) as hs
+      from sh),
+    sigs as (
+      select doc_id,
+             ('0x' || substr(md5('ingest:' || doc_id::varchar), 1, 15))::bigint
+               % 3 as b,
+             {sig_cols}
+      from hashed),
+    surv0 as (select * from sigs where b = 0),
+    {level(1, "surv0")},
+    surv01 as (select * from surv0 union all select * from surv1),
+    {level(2, "surv01")}
+    select doc_id, 0::bigint as ingest_batch from surv0
+    union all select doc_id, 1::bigint from surv1
+    union all select doc_id, 2::bigint from surv2
     """
 
 
@@ -2822,6 +2937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        # new this round: streaming ingest with incremental dedup against a
+        # growing signature store (batch-sequential oracle)
+        "stream_dedup_ingest": q_stream_dedup_ingest,
         # -- (c) round-1-only driver evidence, oldest first
         "stg_projection": q_stg_projection,
         "bucket_case": q_bucket_case,
@@ -2854,15 +2972,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_agg": q_stream_enriched_agg,
         "stream_session_window": q_stream_session_window,
         "stream_stream_join": q_stream_stream_join,
-        "cdc_upsert": q_cdc_upsert,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "udtf_sentences": q_udtf_sentences,
         "dedup_exact": q_dedup_exact,
         # ---- driver gate window (50) ends here ----
         # evicted from the window to make room for this round's changed
-        # queries; all four are unchanged with green r01 driver rows and
+        # queries; all are unchanged with green r01 driver rows and
         # stay covered by the local gate mirror at sf0.01 + sf0.1
+        "cdc_upsert": q_cdc_upsert,
         "kmeans": q_kmeans,
         "gap_fill_daily": q_gap_fill_daily,
         "full_outer_recon": q_full_outer_recon,
@@ -3330,6 +3448,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_oracle(),
         "dedup_incremental": _incremental_minhash_oracle(),
+        "stream_dedup_ingest": _stream_dedup_ingest_oracle(),
         "simhash_pairs": f"""
             with fp as ({_simhash_oracle()}),
             banded as (

@@ -493,3 +493,103 @@ def stream_running_totals(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    slices_glob: str,
+    out_dir: str,
+    *,
+    schema,
+    n: int = 3,
+    n_perm: int = 8,
+    bands: int = 2,
+    min_est: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming corpus ingest with incremental dedup against a GROWING
+    signature store — the 100 TB continuous-ingest shape, composing the
+    streaming engine with the batch dedup kernels:
+
+    each micro-batch (one arriving file via ``maxFilesPerTrigger=1``) is
+    deduped against the persisted MinHash signature store
+    (``incremental_minhash_pairs``: batch signatures broadcast, store
+    scanned once, corpus text never re-read); the batch's SURVIVORS then
+    append their signatures to the store, so later batches dedup against
+    everything that survived before them. Exactly-once batch boundaries
+    come from the checkpointed file-source offsets (foreachBatch re-runs
+    are idempotent per batch id on restart-free availableNow runs).
+
+    Returns the (doc_id, ingest_batch) survivor table. Batch-sequential
+    semantics: a doc is dropped iff its signature matches (estimator
+    >= ``min_est``) a SURVIVOR of an earlier batch; within-batch
+    duplicates both survive (the store only grows between batches), the
+    same contract as the batch ``incremental_minhash_pairs`` operator.
+
+    Scale posture: per-batch cost = one store scan + a broadcast of the
+    new batch's banded signatures; the store is the only state and lives
+    as plain partitioned parquet — restartable, auditable, and shared
+    with the batch pipeline's ``minhash_signatures`` writer.
+    """
+    from credit_abs_oltp_to_mart_spark.operators import dedup as D
+
+    store_dir = os.path.join(out_dir, "signature_store")
+    surv_dir = os.path.join(out_dir, "survivors")
+    ck_dir = os.path.join(out_dir, "checkpoint")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            sess = batch_df.sparkSession
+            if os.path.isdir(store_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(store_dir)
+            ):
+                store = sess.read.parquet(store_dir)
+                matched = (
+                    D.incremental_minhash_pairs(
+                        batch_df,
+                        store,
+                        n=n,
+                        n_perm=n_perm,
+                        bands=bands,
+                        min_est=min_est,
+                        seed=seed,
+                    )
+                    .select(F.col("new_doc_id").alias("doc_id"))
+                    .distinct()
+                )
+                survivors = batch_df.join(matched, "doc_id", "left_anti")
+            else:
+                survivors = batch_df
+            # CHECKPOINT, not persist: the survivor plan references the
+            # store PATH (through the match anti-join), and appending this
+            # batch's signatures below invalidates any cache over that
+            # path — a persisted frame would silently recompute against
+            # the updated store, where every doc matches its own
+            # just-written signature and the survivor set collapses to
+            # empty. The eager localCheckpoint severs the lineage first.
+            survivors = survivors.localCheckpoint(eager=True)
+            D.minhash_signatures(
+                survivors, n=n, n_perm=n_perm, seed=seed
+            ).write.mode("append").parquet(store_dir)
+            survivors.select(
+                "doc_id",
+                F.lit(batch_id).cast("long").alias("ingest_batch"),
+            ).write.mode("append").parquet(surv_dir)
+        finally:
+            batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(slices_glob)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(surv_dir)

@@ -363,3 +363,53 @@ def test_restart_from_checkpoint_recovers_state_and_offsets(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 150
     ids = {r.event_id for r in got.collect()}
     assert ids == set(range(150))
+
+
+def test_stream_dedup_ingest_drops_cross_batch_dups(spark, tmp_path):
+    """Streaming incremental-dedup ingest: a later batch's near-copy of an
+    earlier SURVIVOR is dropped; unique docs survive; within-batch dups
+    both survive (the store only grows between batches). Also checks the
+    lineage-severing checkpoint: survivors must be computed against the
+    store state BEFORE the batch's own signatures are appended (a doc must
+    never be dropped for matching itself)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight nine"
+    text_c = "red orange yellow green blue indigo violet ultraviolet"
+    slices = [
+        # batch 0: two docs (1 and 2), plus a WITHIN-batch dup of doc 1
+        [Row(doc_id=1, text=text_a), Row(doc_id=2, text=text_b),
+         Row(doc_id=3, text=text_a)],
+        # batch 1: dup of batch-0 survivor (drop) + unique (survive)
+        [Row(doc_id=10, text=text_a), Row(doc_id=11, text=text_c)],
+        # batch 2: dup of batch-1 SURVIVOR (drop) — proves the store grew
+        [Row(doc_id=20, text=text_c)],
+    ]
+    src = tmp_path / "ingest_slices"
+    now = _time.time()
+    for k, rows in enumerate(slices):
+        d = str(src / f"b{k}")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                t = now - 60 + 10 * k
+                os.utime(os.path.join(d, f), (t, t))
+    out = streaming.stream_dedup_ingest(
+        spark,
+        f"{src}/b*",
+        str(tmp_path / "ingest_out"),
+        schema=spark.createDataFrame(slices[0]).schema,
+        n=3,
+        n_perm=8,
+        bands=2,
+        min_est=0.25,
+        seed=42,
+    )
+    got = {(r["doc_id"], r["ingest_batch"]) for r in out.collect()}
+    # 1, 2 and the within-batch dup 3 survive batch 0; 10 (copy of 1/3) is
+    # dropped; 11 survives batch 1; 20 (copy of survivor 11) is dropped
+    assert got == {(1, 0), (2, 0), (3, 0), (11, 1)}, got
