@@ -413,3 +413,50 @@ def test_stream_dedup_ingest_drops_cross_batch_dups(spark, tmp_path):
     # 1, 2 and the within-batch dup 3 survive batch 0; 10 (copy of 1/3) is
     # dropped; 11 survives batch 1; 20 (copy of survivor 11) is dropped
     assert got == {(1, 0), (2, 0), (3, 0), (11, 1)}, got
+
+
+def test_stream_dedup_ingest_resumes_across_runs(spark, tmp_path):
+    """Continuous ingest across process restarts: run the ingest over the
+    first two slices, then land a third slice and re-run with the SAME
+    checkpoint/store/output. The second run must process ONLY the new file
+    (offset-log recovery — no duplicate survivor rows for batches 0/1) and
+    dedup it against the store persisted by the first run."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_c = "red orange yellow green blue indigo violet ultraviolet"
+    src = tmp_path / "resume_slices"
+    out = str(tmp_path / "resume_out")
+    schema = spark.createDataFrame([Row(doc_id=1, text=text_a)]).schema
+    now = _time.time()
+
+    def land(k, rows):
+        d = str(src / f"b{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                t = now - 60 + 10 * k
+                os.utime(os.path.join(d, f), (t, t))
+
+    land(0, [Row(doc_id=1, text=text_a)])
+    land(1, [Row(doc_id=2, text=text_c)])
+    first = streaming.stream_dedup_ingest(
+        spark, f"{src}/b*", out, schema=schema, min_est=0.25
+    )
+    assert {(r["doc_id"], r["ingest_batch"]) for r in first.collect()} == {
+        (1, 0), (2, 1)
+    }
+    # a new slice lands after the first run shut down: one copy of a
+    # first-run survivor (drop) + one new doc (survive)
+    land(2, [Row(doc_id=30, text=text_a), Row(doc_id=31, text="brand new words never seen before at all")])
+    second = streaming.stream_dedup_ingest(
+        spark, f"{src}/b*", out, schema=schema, min_est=0.25
+    )
+    got = {(r["doc_id"], r["ingest_batch"]) for r in second.collect()}
+    # batches 0/1 NOT reprocessed (no duplicated rows); the resumed run's
+    # batch id continues from the checkpoint (2); doc 30 deduped against
+    # the store written by run 1
+    assert got == {(1, 0), (2, 1), (31, 2)}, got
