@@ -140,6 +140,111 @@ def ivf_topk(
     )
 
 
+def ivf_topk_trained(
+    emb: DataFrame,
+    query_ids: list[int],
+    *,
+    init_ids: list[int],
+    iterations: int = 3,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a TRAINED coarse codebook: Lloyd k-means on the embedding
+    table supplies the centroids, closing the "deterministic stand-in"
+    gap in ``ivf_topk`` — offline train, broadcast-probe, the production
+    IVF shape end-to-end.
+
+    Composition (all exact fixed-point, so engine-reproducible):
+      1. ``kmeans_train`` runs ``iterations`` Lloyd rounds; its final
+         ASSIGNMENT is the coarse quantization (by construction it equals
+         re-assigning every vector against the returned codebook — no
+         second assignment pass needed).
+      2. Queries rank the k centroids by the same integer score
+         (|c|^2 - 2<q,c>, centroid-id tiebreak) — the codebook is k*dim
+         driver-side literals, so probe selection is MAP-ONLY (array_sort
+         over k structs inside codegen, no join).
+      3. Probed clusters' members are scored by float cosine (rounded
+         6dp) with a total (cosine desc, id asc) order — identical output
+         shape and arithmetic to the other ANN operators.
+
+    At 100 TB: training cost is the Lloyd loop (assignment map-only,
+    update shuffles O(k*dim*partitions) partial sums); the search adds
+    one broadcast join of the probed queries against cluster members."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+        kmeans_train,
+    )
+
+    assign, cents = kmeans_train(
+        emb,
+        init_ids=init_ids,
+        iterations=iterations,
+        id_col="vec_id",
+        vec_col=vec_col,
+        fp_scale=FP_SCALE,
+    )
+    members = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), "cluster"),
+        "neighbor_id",
+    )
+    choices = []
+    for cid in sorted(cents):
+        c = cents[cid]
+        cc = sum(x * x for x in c)
+        lits = ", ".join(str(x) + "L" for x in c)
+        dot = (
+            f"aggregate(zip_with(__qa, array({lits}), (x, y) -> x * y),"
+            f" 0L, (acc, x) -> acc + x)"
+        )
+        choices.append(
+            F.struct(
+                F.expr(f"{cc}L - 2L * ({dot})").alias("score"),
+                F.lit(cid).cast("bigint").alias("cid"),
+            )
+        )
+    probes = (
+        emb.where(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _to_fp(vec_col, FP_SCALE).alias("__qa"),
+        )
+        # array_sort on (score, cid) structs IS the ranked probe list:
+        # lexicographic struct order = integer L2 score with id tiebreak
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(F.array_sort(F.array(*choices)), 1, nprobe)
+            ).alias("pr"),
+        )
+        .select("query_id", "qv", F.col("pr.cid").alias("cluster"))
+    )
+    scored = (
+        members.join(F.broadcast(probes), "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

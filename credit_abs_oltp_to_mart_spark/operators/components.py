@@ -80,6 +80,16 @@ def connected_components(
     # scheduler job per shuffle stage, which dominates wall time on the
     # (deliberately small) per-round state while optimizing nothing the
     # explicit repartition hasn't fixed.
+    #
+    # CONCURRENCY CONTRACT: SQLConf is session-global, so any query PLANNED
+    # on this SparkSession while the loop runs (parallel driver threads,
+    # streaming micro-batches) would be planned with AQE off and a
+    # vertex-sized partition count, and the finally-restore below is
+    # last-writer-wins. Callers running concurrent workloads should hand
+    # this loop its own isolated conf via `spark.newSession()` (shared
+    # SparkContext/cache, separate SQLConf) and build `edges`/`vertices`
+    # on that session; the single-query-at-a-time batch pipelines in this
+    # repo call it directly.
     old_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
     old_parts = sess.conf.get("spark.sql.shuffle.partitions", "200")
     sess.conf.set("spark.sql.adaptive.enabled", "false")

@@ -227,21 +227,43 @@ def incremental_minhash_pairs(
     bands: int = 2,
     min_est: float = 0.25,
     seed: int = 42,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against a persisted corpus signature store
     (built by ``minhash_signatures``) — the incremental path: corpus text
     is never re-read, re-shingled, or re-hashed.
 
-    Scale design: the new batch is small relative to the corpus, so its
-    banded signatures are BROADCAST; the store is scanned once, banded
-    inline (projection + explode, map-only), hash-joined against the
-    broadcast side, and never shuffled. Match quality is the standard
-    MinHash estimator — est_jaccard = fraction of agreeing signature
-    components — so verification needs no shingle sets from either side.
-    Returns (new_doc_id, corpus_doc_id, est_jaccard) with
-    est_jaccard >= ``min_est`` (granularity 1/n_perm)."""
+    Scale design, two physical modes on one logical plan:
+
+    * ``broadcast_batch=True`` (default) — the new batch is small relative
+      to the corpus, so its banded signatures are BROADCAST; the store is
+      scanned once, banded inline (projection + explode, map-only),
+      hash-joined against the broadcast side, and never shuffled. Right
+      whenever the batch's banded signatures fit the broadcast budget
+      (~10M docs per batch at 8 longs + key each).
+    * ``broadcast_batch=False`` — the large-slice fallback: a sort-merge
+      join on ``band_key`` (``merge`` hint pins the strategy, so neither
+      AQE nor size estimates can silently re-broadcast). Both sides
+      shuffle once on the band key; sort-merge spills instead of OOMing
+      when a slice is corpus-sized. If ``corpus_signatures`` arrives
+      PRE-BANDED (a ``band_key`` column alongside ``doc_id``/``s*`` —
+      e.g. a store table written ``bucketBy(band_key)`` via
+      ``sources.writers.write_bucketed``), the banding explode is skipped
+      and a bucketed scan feeds the join without a store-side exchange.
+
+    Match quality is the standard MinHash estimator — est_jaccard =
+    fraction of agreeing signature components — so verification needs no
+    shingle sets from either side. Returns (new_doc_id, corpus_doc_id,
+    est_jaccard) with est_jaccard >= ``min_est`` (granularity 1/n_perm)."""
 
     def _banded(sig: DataFrame, prefix: str) -> DataFrame:
+        keyed = [F.col(f"{prefix}_doc_id"), *[
+            F.col(f"s{i}").alias(f"{prefix}_s{i}") for i in range(n_perm)
+        ]]
+        if "band_key" in sig.columns:
+            return sig.withColumnRenamed("doc_id", f"{prefix}_doc_id").select(
+                *keyed, "band_key"
+            )
         return sig.select(
             F.col("doc_id").alias(f"{prefix}_doc_id"),
             *[F.col(f"s{i}").alias(f"{prefix}_s{i}") for i in range(n_perm)],
@@ -249,9 +271,12 @@ def incremental_minhash_pairs(
         )
 
     new_sigs = minhash_signatures(new_docs, n=n, n_perm=n_perm, seed=seed)
-    matched = _banded(corpus_signatures, "corpus").join(
-        F.broadcast(_banded(new_sigs, "new")), "band_key"
-    )
+    new_banded = _banded(new_sigs, "new")
+    if broadcast_batch:
+        new_banded = F.broadcast(new_banded)
+    else:
+        new_banded = new_banded.hint("merge")
+    matched = _banded(corpus_signatures, "corpus").join(new_banded, "band_key")
     est = sum(
         F.when(F.col(f"new_s{i}") == F.col(f"corpus_s{i}"), 1).otherwise(0)
         for i in range(n_perm)
@@ -358,11 +383,16 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64) -> DataFrame:
     # bits a, a+16, a+32, a+48 into four independent 16-bit counter lanes,
     # so the whole 60/64-bit vote costs 16 shift+AND ops per token row and
     # 16 SUM accumulators (vs 60-64 conditional sums: ~4x less per-row
-    # work, ~4x smaller partial-agg buffer through the shuffle). A lane
-    # overflows only past 2^16-1 DISTINCT tokens in one doc (hundreds of
-    # KB of unique words) — guarded with assert_true below rather than
-    # silently wrapping. shiftrightUNSIGNED so bit 63 of a signed xxhash64
-    # never smears sign bits across higher lanes.
+    # work, ~4x smaller partial-agg buffer through the shuffle). The guard
+    # below caps n at 2^15-1 DISTINCT tokens per doc (still hundreds of KB
+    # of unique words), one bit tighter than the 16-bit lane width: past
+    # 2^15 tokens the TOP lane (bits 48+) could push an intermediate
+    # partial SUM past Long.MAX, which under spark.sql.ansi.enabled throws
+    # an opaque ArithmeticException before any row-level check can fire —
+    # the tighter bound keeps every partial sum < 2^63 so the failure mode
+    # is always the intended assert_true message, ANSI or not.
+    # shiftrightUNSIGNED so bit 63 of a signed xxhash64 never smears sign
+    # bits across higher lanes.
     stride = 16
     lane_mask = 0x0001000100010001
     n_acc = min(n_bits, stride)
@@ -376,9 +406,9 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64) -> DataFrame:
         F.count(F.lit(1)).alias("n"), *packed
     )
     chk = F.assert_true(
-        F.col("n") < F.lit(1 << stride),
-        F.lit(f"simhash_fingerprints: > {(1 << stride) - 1} distinct tokens"
-              " in one doc overflows the packed vote counters"),
+        F.col("n") < F.lit(1 << (stride - 1)),
+        F.lit(f"simhash_fingerprints: > {(1 << (stride - 1)) - 1} distinct"
+              " tokens in one doc overflows the packed vote counters"),
     )
     acc = F.lit(0).cast("long")
     cmask = (1 << stride) - 1

@@ -60,6 +60,33 @@ def kmeans_assign(
     assignment rounds, centroids move to the truncated mean of their
     members; a cluster that loses all members keeps its previous centroid.
     """
+    assign, _ = kmeans_train(
+        emb,
+        init_ids=init_ids,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        fp_scale=fp_scale,
+    )
+    return assign
+
+
+def kmeans_train(
+    emb: DataFrame,
+    *,
+    init_ids: list[int],
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_scale: int = FP_SCALE,
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """``kmeans_assign`` plus the trained CODEBOOK: returns
+    (assignments, {cluster_id: fixed-point centroid}) where the codebook
+    is exactly the one that PRODUCED the final assignment round — so
+    re-assigning any vector against it (integer argmin, same tiebreak)
+    reproduces the returned assignment bit-for-bit. That equivalence is
+    what lets ``ann.ivf_topk_trained`` use the assignment AS the IVF
+    coarse quantization while probing queries against the codebook."""
     v = emb.select(
         F.col(id_col).alias("vid"), _to_fp(vec_col, fp_scale).alias("a")
     ).localCheckpoint(eager=True)
@@ -118,4 +145,4 @@ def kmeans_assign(
                 new[r["cluster"]][r["d"]] = r["c"]
             # empty clusters keep their previous centroid
             cents = {cid: new.get(cid, cents[cid]) for cid in cents}
-    return assign.select(F.col("vid").alias(id_col), "cluster")
+    return assign.select(F.col("vid").alias(id_col), "cluster"), cents

@@ -178,6 +178,11 @@ def decontaminate_train(
     )
     if broadcast_eval:
         ev_grams = F.broadcast(ev_grams)
+    else:
+        # merge hint PINS the fallback physics: without it the planner's
+        # size estimate (or AQE at runtime) quietly re-broadcasts the eval
+        # gram set, resurrecting the exact memory cliff this mode avoids
+        ev_grams = ev_grams.hint("merge")
     # ONE pass over the train grams: ev_grams has exactly one row per
     # distinct shingle, so the left join never duplicates a train row —
     # count(1) is the gram total and count(__hit) the overlap, from the

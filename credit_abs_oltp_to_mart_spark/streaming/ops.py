@@ -506,6 +506,8 @@ def stream_dedup_ingest(
     bands: int = 2,
     min_est: float = 0.25,
     seed: int = 42,
+    broadcast_batch: bool = True,
+    dedup_within_batch: bool = False,
 ) -> DataFrame:
     """Streaming corpus ingest with incremental dedup against a GROWING
     signature store — the 100 TB continuous-ingest shape, composing the
@@ -513,24 +515,45 @@ def stream_dedup_ingest(
 
     each micro-batch (one arriving file via ``maxFilesPerTrigger=1``) is
     deduped against the persisted MinHash signature store
-    (``incremental_minhash_pairs``: batch signatures broadcast, store
-    scanned once, corpus text never re-read); the batch's SURVIVORS then
-    append their signatures to the store, so later batches dedup against
-    everything that survived before them. Exactly-once batch boundaries
-    come from the checkpointed file-source offsets (foreachBatch re-runs
-    are idempotent per batch id on restart-free availableNow runs).
+    (``incremental_minhash_pairs``: store scanned once, corpus text never
+    re-read); the batch's SURVIVORS then write their signatures to the
+    store, so later batches dedup against everything that survived before
+    them. ``broadcast_batch`` picks the join physics for both the store
+    check and the within-batch pass: True broadcasts the batch's banded
+    signatures (the normal small-slice case), False falls back to a
+    sort-merge join on the band key for corpus-sized slices.
 
     Returns the (doc_id, ingest_batch) survivor table. Batch-sequential
     semantics: a doc is dropped iff its signature matches (estimator
-    >= ``min_est``) a SURVIVOR of an earlier batch; within-batch
-    duplicates both survive (the store only grows between batches), the
-    same contract as the batch ``incremental_minhash_pairs`` operator.
+    >= ``min_est``) a SURVIVOR of an earlier batch — and, with
+    ``dedup_within_batch=True``, additionally iff it matches ANY
+    smaller-doc_id doc of its OWN batch (whether or not that doc itself
+    survives — the drop sets are independent, which keeps the contract
+    order-free and exactly replayable by a batch engine). Exact
+    within-batch duplicates need no separate pass: identical text yields
+    an identical signature, estimator 1.0 >= ``min_est``. With the flag
+    off, within-batch duplicates all survive (the store only grows
+    between batches), the same contract as the batch
+    ``incremental_minhash_pairs`` operator.
 
-    Scale posture: per-batch cost = one store scan + a broadcast of the
-    new batch's banded signatures; the store is the only state and lives
-    as plain partitioned parquet — restartable, auditable, and shared
-    with the batch pipeline's ``minhash_signatures`` writer.
+    Crash-replay idempotency (exactly-once output): both sinks are
+    BATCH-ID-SCOPED partition overwrites — signatures land in
+    ``signature_store/batch=<id>/``, survivors in
+    ``survivors/ingest_batch=<id>/``, each written with
+    mode("overwrite") on its own partition path. A replayed batch (crash
+    after either write but before the checkpoint commit) first EXCLUDES
+    its own ``batch=<id>`` partition from the store scan — so it never
+    self-matches against its half-committed signatures — recomputes the
+    identical survivor set, and overwrites both partitions in place.
+
+    Scale posture: per-batch cost = one store scan + one join against the
+    batch's banded signatures; the store is the only state and lives as
+    plain partitioned parquet — restartable, auditable, DFS-friendly
+    (probed via the reader, not driver-local filesystem calls), and
+    shared with the batch pipeline's ``minhash_signatures`` writer.
     """
+    from pyspark.errors import AnalysisException
+
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
 
     store_dir = os.path.join(out_dir, "signature_store")
@@ -541,11 +564,23 @@ def stream_dedup_ingest(
         batch_df = batch_df.persist()
         try:
             sess = batch_df.sparkSession
-            if os.path.isdir(store_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(store_dir)
-            ):
-                store = sess.read.parquet(store_dir)
-                matched = (
+            try:
+                # reader-based probe (works on hdfs://, s3a://, local
+                # alike); a missing or still-empty store path raises
+                # AnalysisException. Excluding this batch's own partition
+                # is what makes crash REPLAY safe: a half-committed
+                # batch=<id> partition must not match the batch against
+                # itself. Partition pruning keeps the exclusion free.
+                store = (
+                    sess.read.parquet(store_dir)
+                    .where(F.col("batch") != batch_id)
+                    .drop("batch")
+                )
+            except AnalysisException:
+                store = None
+            drop = None
+            if store is not None:
+                drop = (
                     D.incremental_minhash_pairs(
                         batch_df,
                         store,
@@ -554,15 +589,36 @@ def stream_dedup_ingest(
                         bands=bands,
                         min_est=min_est,
                         seed=seed,
+                        broadcast_batch=broadcast_batch,
                     )
                     .select(F.col("new_doc_id").alias("doc_id"))
-                    .distinct()
                 )
-                survivors = batch_df.join(matched, "doc_id", "left_anti")
+            if dedup_within_batch:
+                within = (
+                    D.incremental_minhash_pairs(
+                        batch_df,
+                        D.minhash_signatures(
+                            batch_df, n=n, n_perm=n_perm, seed=seed
+                        ),
+                        n=n,
+                        n_perm=n_perm,
+                        bands=bands,
+                        min_est=min_est,
+                        seed=seed,
+                        broadcast_batch=broadcast_batch,
+                    )
+                    .where(F.col("new_doc_id") > F.col("corpus_doc_id"))
+                    .select(F.col("new_doc_id").alias("doc_id"))
+                )
+                drop = within if drop is None else drop.unionByName(within)
+            if drop is not None:
+                survivors = batch_df.join(
+                    drop.distinct(), "doc_id", "left_anti"
+                )
             else:
                 survivors = batch_df
             # CHECKPOINT, not persist: the survivor plan references the
-            # store PATH (through the match anti-join), and appending this
+            # store PATH (through the match anti-join), and writing this
             # batch's signatures below invalidates any cache over that
             # path — a persisted frame would silently recompute against
             # the updated store, where every doc matches its own
@@ -571,11 +627,12 @@ def stream_dedup_ingest(
             survivors = survivors.localCheckpoint(eager=True)
             D.minhash_signatures(
                 survivors, n=n, n_perm=n_perm, seed=seed
-            ).write.mode("append").parquet(store_dir)
-            survivors.select(
-                "doc_id",
-                F.lit(batch_id).cast("long").alias("ingest_batch"),
-            ).write.mode("append").parquet(surv_dir)
+            ).write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"batch={batch_id}")
+            )
+            survivors.select("doc_id").write.mode("overwrite").parquet(
+                os.path.join(surv_dir, f"ingest_batch={batch_id}")
+            )
         finally:
             batch_df.unpersist()
 
@@ -592,4 +649,6 @@ def stream_dedup_ingest(
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(surv_dir)
+    return spark.read.parquet(surv_dir).select(
+        "doc_id", F.col("ingest_batch").cast("long").alias("ingest_batch")
+    )

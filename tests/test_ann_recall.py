@@ -79,6 +79,26 @@ def test_ivf_recall_on_planted_neighbors(spark, planted):
     assert mean >= 0.85, f"IVF planted recall {mean:.3f} < 0.85"
 
 
+def test_ivf_trained_recall_on_planted_neighbors(spark, planted):
+    """The kmeans->IVF composition: centroids come from 3 Lloyd rounds
+    instead of member-vector stand-ins. A twin and its base vector land in
+    the same trained cell (or an adjacent probed one), so recall vs brute
+    force must clear 0.9 — the round-3 review's acceptance bar for the
+    offline-train -> broadcast-probe story."""
+    emb, qids = planted
+    exact = ann.brute_force_topk(emb, qids, k=1)
+    approx = ann.ivf_topk_trained(
+        emb,
+        qids,
+        init_ids=list(range(0, 64, 8)),
+        iterations=3,
+        k=1,
+        nprobe=4,
+    )
+    mean = _mean_recall(spark, approx, exact)
+    assert mean >= 0.9, f"trained-IVF planted recall {mean:.3f} < 0.9"
+
+
 @pytest.fixture(scope="module")
 def boundary_pairs(spark):
     """Near-dup corpus planted AT the 0.95 decision boundary (cosine

@@ -88,6 +88,42 @@ def test_train_decontaminated_against_eval(stages):
     assert frac.count() == 0
 
 
+def test_decontaminate_modes_agree(docs):
+    """broadcast_eval is join physics, not semantics: both modes must
+    produce the identical (doc_id, split) survivor set. The False mode is
+    the past-the-broadcast-budget fallback (eval grams too big to ship),
+    so its plan must contain NO BroadcastExchange on the gram join — a
+    sort-merge/shuffle join is the point."""
+    a = decontaminate_train(docs, broadcast_eval=True)
+    b = decontaminate_train(docs, broadcast_eval=False)
+    rows_a = sorted((r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect())
+    rows_b = sorted((r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect())
+    assert rows_a and rows_a == rows_b
+
+
+def test_decontaminate_no_broadcast_plan_in_fallback_mode(docs):
+    # the GRAM join (the memory cliff) must be sort-merge in fallback
+    # mode; the final doc-level anti-join against the dropped-id list is
+    # legitimately broadcast at any scale (it is bounded by dropped DOCS,
+    # not grams) and stays
+    p = (
+        decontaminate_train(docs, broadcast_eval=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin [shingle" in p, p
+    assert "BroadcastHashJoin [shingle" not in p, p
+    assert p.count("BroadcastExchange") == 1, p  # only the doc anti-join
+    pb = (
+        decontaminate_train(docs, broadcast_eval=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in pb
+
+
 def test_packed_chunks_respect_budget(stages):
     p = stages["packed"]
     assert p.where(F.col("n_tokens") > 64).count() == 0

@@ -1,0 +1,191 @@
+"""The large-slice ingest paths: incremental_minhash_pairs' non-broadcast
+(sort-merge on band_key) fallback, the pre-banded bucketed store layout,
+and stream_dedup_ingest's batch-id-scoped crash-replay idempotency +
+within-batch dedup contract."""
+
+from __future__ import annotations
+
+import os
+import time as _time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.operators.dedup import (
+    _band_key_col,
+    incremental_minhash_pairs,
+    minhash_signatures,
+)
+from credit_abs_oltp_to_mart_spark.streaming import ops as streaming
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus_and_batch(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return corpus, batch
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_broadcast_and_merge_modes_agree(spark):
+    """The physical knob must not change the answer: broadcast-batch and
+    sort-merge-fallback modes produce the identical pair set."""
+    corpus, batch = _corpus_and_batch(spark)
+    store = minhash_signatures(corpus)
+    a = incremental_minhash_pairs(batch, store, broadcast_batch=True)
+    b = incremental_minhash_pairs(batch, store, broadcast_batch=False)
+    ra, rb = _rows(a), _rows(b)
+    assert ra and ra == rb
+
+
+def test_merge_fallback_plan_has_no_batch_broadcast(spark):
+    """broadcast_batch=False is the corpus-sized-slice path: the band join
+    must be a SortMergeJoin (spillable) with NO BroadcastExchange — AQE or
+    size estimates silently re-broadcasting would resurrect the memory
+    cliff the flag exists to avoid."""
+    corpus, batch = _corpus_and_batch(spark)
+    store = minhash_signatures(corpus)
+    p = (
+        incremental_minhash_pairs(batch, store, broadcast_batch=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in p and "band_key" in p
+    assert "BroadcastExchange" not in p and "BroadcastHashJoin" not in p
+
+
+def test_prebanded_bucketed_store_skips_store_side_exchange(spark, tmp_path):
+    """A signature store written PRE-BANDED and bucketed by band_key feeds
+    the merge-mode join without a store-side shuffle: only the new batch
+    (and the candidate distinct) pay an Exchange. This is the shuffle-free
+    store side for recurring large-slice ingests."""
+    corpus, batch = _corpus_and_batch(spark)
+    n_perm, bands = 8, 2
+    banded_store = minhash_signatures(corpus, n_perm=n_perm).select(
+        "doc_id",
+        *[f"s{i}" for i in range(n_perm)],
+        _band_key_col(n_perm, bands),
+    )
+    from credit_abs_oltp_to_mart_spark.sources.writers import write_bucketed
+
+    write_bucketed(banded_store, "banded_sig_store", ["band_key"], n_buckets=8)
+    try:
+        store = spark.table("banded_sig_store")
+        got = incremental_minhash_pairs(batch, store, broadcast_batch=False)
+        # plan asserts BEFORE any action: post-execution AdaptiveSparkPlan
+        # prints final + initial plans, double-counting exchanges
+        p = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p
+        want = incremental_minhash_pairs(
+            batch, minhash_signatures(corpus), broadcast_batch=True
+        )
+        assert _rows(got) == _rows(want)
+        assert "SortMergeJoin" in p and "BroadcastExchange" not in p
+        # exchanges: batch side into the join + the pair distinct. The
+        # bucketed store side must contribute NONE.
+        n = p.count("Exchange hashpartitioning")
+        assert n <= 2, f"bucketed store side still shuffles:\n{p}"
+    finally:
+        spark.sql("drop table if exists banded_sig_store")
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest: crash replay + within-batch dedup
+# ---------------------------------------------------------------------------
+
+TEXT_A = "alpha beta gamma delta epsilon zeta eta theta"
+TEXT_B = "one two three four five six seven eight nine"
+TEXT_C = "red orange yellow green blue indigo violet ultraviolet"
+
+
+def _land(spark, src, schema, k, rows, t0):
+    d = str(src / f"b{k}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            t = t0 + 10 * k
+            os.utime(os.path.join(d, f), (t, t))
+
+
+def test_stream_dedup_ingest_replay_is_idempotent(spark, tmp_path):
+    """Crash between the sink writes and the checkpoint commit: deleting
+    commits/0 forces the engine to REPLAY batch 0 on restart. The replay
+    must (a) not self-match against its own half-committed signatures —
+    the silent-data-loss mode where every batch-0 doc estimates 1.0
+    against itself and the survivor set collapses to empty — and (b) not
+    duplicate survivor rows (partition overwrite, not append)."""
+    src = tmp_path / "replay_slices"
+    out = str(tmp_path / "replay_out")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A), Row(doc_id=2, text=TEXT_B)], t0)
+    first = streaming.stream_dedup_ingest(
+        spark, f"{src}/b*", out, schema=schema, min_est=0.25
+    )
+    assert _rows(first) == {(1, 0), (2, 0)}
+    # simulate the crash window: both sinks written, commit log not (a
+    # real crash never wrote either file — drop the hidden Hadoop-local
+    # .crc too, or the replay's commit rename collides with it)
+    commits = os.path.join(out, "checkpoint", "commits")
+    os.remove(os.path.join(commits, "0"))
+    crc = os.path.join(commits, ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _land(spark, src, schema, 1, [Row(doc_id=10, text=TEXT_A), Row(doc_id=11, text=TEXT_C)], t0)
+    second = streaming.stream_dedup_ingest(
+        spark, f"{src}/b*", out, schema=schema, min_est=0.25
+    )
+    # batch 0 replayed idempotently (same two rows, not zero, not four);
+    # batch 1 then dedups against the replay-consistent store
+    assert _rows(second) == {(1, 0), (2, 0), (11, 1)}
+
+
+def test_stream_dedup_ingest_within_batch_dedup(spark, tmp_path):
+    """dedup_within_batch=True: a doc also drops when it matches any
+    SMALLER-doc_id doc of its own batch — independent of the store check,
+    and independent of whether that smaller doc itself survives."""
+    src = tmp_path / "within_slices"
+    out = str(tmp_path / "within_out")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+
+    # batch 0 carries a within-batch dup (3 ~ 1); batch 1 carries a store
+    # dup (10 ~ 1), a fresh doc (11), a within-batch dup of it (12), and
+    # a doc (13) matching only the store-dropped 10 — still dropped,
+    # because the within-batch drop set is order-free by contract
+    _land(spark, src, schema, 0,
+          [Row(doc_id=1, text=TEXT_A), Row(doc_id=2, text=TEXT_B),
+           Row(doc_id=3, text=TEXT_A)], t0)
+    _land(spark, src, schema, 1,
+          [Row(doc_id=10, text=TEXT_A), Row(doc_id=11, text=TEXT_C),
+           Row(doc_id=12, text=TEXT_C), Row(doc_id=13, text=TEXT_A)], t0)
+    got = streaming.stream_dedup_ingest(
+        spark, f"{src}/b*", out, schema=schema, min_est=0.25,
+        dedup_within_batch=True,
+    )
+    assert _rows(got) == {(1, 0), (2, 0), (11, 1)}
+
+
+@pytest.mark.parametrize("broadcast_batch", [True, False])
+def test_stream_dedup_ingest_modes_agree(spark, tmp_path, broadcast_batch):
+    """The join-physics knob threads through the streaming ingest without
+    changing the survivor set."""
+    src = tmp_path / "mode_slices"
+    out = str(tmp_path / f"mode_out_{broadcast_batch}")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A), Row(doc_id=2, text=TEXT_B)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=10, text=TEXT_A), Row(doc_id=11, text=TEXT_C)], t0)
+    got = streaming.stream_dedup_ingest(
+        spark, f"{src}/b*", out, schema=schema, min_est=0.25,
+        broadcast_batch=broadcast_batch,
+    )
+    assert _rows(got) == {(1, 0), (2, 0), (11, 1)}

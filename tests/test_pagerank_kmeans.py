@@ -131,6 +131,47 @@ def test_kmeans_separated_clusters_recovered(spark):
     assert all(got[i] == 1 for i in range(1, 60, 2))
 
 
+def test_kmeans_train_codebook_reproduces_assignment(spark):
+    """kmeans_train's contract: the returned codebook is the one that
+    PRODUCED the final assignment — re-scoring every vector against it
+    (integer argmin, (score, cid) tiebreak) must reproduce the returned
+    clusters exactly. ivf_topk_trained's coarse quantization rests on
+    this equivalence."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        kmeans_train,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.uniform(-0.6, 0.6) for _ in range(8)]) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assign, cents = kmeans_train(df, init_ids=[0, 1, 2], iterations=3)
+    got = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+
+    def fp(x):
+        import math
+
+        return (
+            math.floor(x * FP_SCALE + 0.5)
+            if x >= 0
+            else -math.floor(-x * FP_SCALE + 0.5)
+        )
+
+    for vid, vec in ((r["vec_id"], list(r["embedding"])) for r in df.collect()):
+        a = [fp(float(x)) for x in vec]
+        best = min(
+            (
+                sum(c * c for c in cents[cid])
+                - 2 * sum(x * c for x, c in zip(a, cents[cid])),
+                cid,
+            )
+            for cid in cents
+        )[1]
+        assert best == got[vid], f"vec {vid}: codebook argmin {best} != {got[vid]}"
+
+
 def test_kmeans_partitioning_invariant(spark):
     rng = random.Random(9)
     rows = [

@@ -32,6 +32,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=20)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="also probe stream_dedup_ingest: one big slice vs --slices"
+        " small ones over the same scaled corpus",
+    )
+    ap.add_argument("--slices", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -97,6 +104,23 @@ def main() -> int:
             d.where(F.col("doc_id") % 20 == 0),
             dedup.minhash_signatures(d.where(F.col("doc_id") % 20 != 0)),
         ),
+        # corpus-sized slice (half the corpus): the regime the
+        # broadcast_batch=False sort-merge fallback exists for — compare
+        # the two modes' cost growth at the same slice size
+        "dedup_incremental_big_slice_broadcast": lambda d: (
+            dedup.incremental_minhash_pairs(
+                d.where(F.col("doc_id") % 2 == 0),
+                dedup.minhash_signatures(d.where(F.col("doc_id") % 2 != 0)),
+                broadcast_batch=True,
+            )
+        ),
+        "dedup_incremental_big_slice_merge": lambda d: (
+            dedup.incremental_minhash_pairs(
+                d.where(F.col("doc_id") % 2 == 0),
+                dedup.minhash_signatures(d.where(F.col("doc_id") % 2 != 0)),
+                broadcast_batch=False,
+            )
+        ),
     }
     results: dict[str, dict] = {}
     for name, build in probes.items():
@@ -114,6 +138,51 @@ def main() -> int:
             "time_ratio": round(times["tN"] / times["t1"], 2),
         }
         print(name, results[name], flush=True)
+
+    if args.stream:
+        # continuous-ingest overhead: the SAME corpus arrives as one big
+        # slice vs many small ones. Measures the fixed micro-batch +
+        # store-round-trip cost per slice against the one-off big-batch
+        # cost (and the merge fallback on the corpus-sized single slice,
+        # where broadcasting the whole batch is the anti-pattern).
+        from credit_abs_oltp_to_mart_spark.streaming.ops import (
+            stream_dedup_ingest,
+        )
+
+        def run_ingest(n_slices: int, tag: str, broadcast_batch: bool):
+            sdir = f"{tmp}/slices_{tag}"
+            now = time.time()
+            for k in range(n_slices):
+                part = dN.where(F.pmod(F.col("doc_id"), n_slices) == k)
+                path = f"{sdir}/b{k:03d}"
+                part.coalesce(max(1, 32 // n_slices)).write.parquet(path)
+                for f in os.listdir(path):
+                    if f.endswith(".parquet"):
+                        t = now - 600 + 10 * k
+                        os.utime(os.path.join(path, f), (t, t))
+            t0 = time.perf_counter()
+            stream_dedup_ingest(
+                spark,
+                f"{sdir}/b*",
+                f"{tmp}/ingest_out_{tag}",
+                schema=dN.schema,
+                broadcast_batch=broadcast_batch,
+            ).count()
+            return round(time.perf_counter() - t0, 3)
+
+        t_one = run_ingest(1, "one", True)
+        t_one_merge = run_ingest(1, "one_merge", False)
+        t_many = run_ingest(args.slices, f"many{args.slices}", True)
+        results["stream_ingest"] = {
+            "t_1slice_broadcast": t_one,
+            "t_1slice_merge": t_one_merge,
+            "t_nslices": t_many,
+            "n_slices": args.slices,
+            "per_slice_overhead": round(
+                (t_many - t_one) / max(1, args.slices - 1), 3
+            ),
+        }
+        print("stream_ingest", results["stream_ingest"], flush=True)
 
     out = {
         "n_docs_1x": n_base,
