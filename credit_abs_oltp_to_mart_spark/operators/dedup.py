@@ -256,6 +256,32 @@ def incremental_minhash_pairs(
     shingle sets from either side. Returns (new_doc_id, corpus_doc_id,
     est_jaccard) with est_jaccard >= ``min_est`` (granularity 1/n_perm)."""
 
+    return incremental_pairs_from_signatures(
+        minhash_signatures(new_docs, n=n, n_perm=n_perm, seed=seed),
+        corpus_signatures,
+        n_perm=n_perm,
+        bands=bands,
+        min_est=min_est,
+        broadcast_batch=broadcast_batch,
+    )
+
+
+def incremental_pairs_from_signatures(
+    new_sigs: DataFrame,
+    corpus_signatures: DataFrame,
+    *,
+    n_perm: int = 8,
+    bands: int = 2,
+    min_est: float = 0.25,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """``incremental_minhash_pairs`` when the NEW side is already a
+    signature table (doc_id, s0..s{n_perm-1}) — lets a caller that needs
+    the batch signatures anyway (e.g. the streaming ingest, which also
+    self-joins them for within-batch dedup and appends survivors' rows to
+    the store) pay the gram-extraction regex ONCE per batch instead of
+    once per consumer."""
+
     def _banded(sig: DataFrame, prefix: str) -> DataFrame:
         keyed = [F.col(f"{prefix}_doc_id"), *[
             F.col(f"s{i}").alias(f"{prefix}_s{i}") for i in range(n_perm)
@@ -270,7 +296,6 @@ def incremental_minhash_pairs(
             _band_key_col(n_perm, bands),
         )
 
-    new_sigs = minhash_signatures(new_docs, n=n, n_perm=n_perm, seed=seed)
     new_banded = _banded(new_sigs, "new")
     if broadcast_batch:
         new_banded = F.broadcast(new_banded)

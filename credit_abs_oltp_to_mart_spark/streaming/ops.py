@@ -562,6 +562,12 @@ def stream_dedup_ingest(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
+        # the gram-extraction regex dominates per-doc signature cost, and
+        # the batch signatures feed up to THREE consumers (store check,
+        # within-batch self-join, store append) — compute once, cache
+        batch_sigs = D.minhash_signatures(
+            batch_df, n=n, n_perm=n_perm, seed=seed
+        ).persist()
         try:
             sess = batch_df.sparkSession
             try:
@@ -581,30 +587,24 @@ def stream_dedup_ingest(
             drop = None
             if store is not None:
                 drop = (
-                    D.incremental_minhash_pairs(
-                        batch_df,
+                    D.incremental_pairs_from_signatures(
+                        batch_sigs,
                         store,
-                        n=n,
                         n_perm=n_perm,
                         bands=bands,
                         min_est=min_est,
-                        seed=seed,
                         broadcast_batch=broadcast_batch,
                     )
                     .select(F.col("new_doc_id").alias("doc_id"))
                 )
             if dedup_within_batch:
                 within = (
-                    D.incremental_minhash_pairs(
-                        batch_df,
-                        D.minhash_signatures(
-                            batch_df, n=n, n_perm=n_perm, seed=seed
-                        ),
-                        n=n,
+                    D.incremental_pairs_from_signatures(
+                        batch_sigs,
+                        batch_sigs,
                         n_perm=n_perm,
                         bands=bands,
                         min_est=min_est,
-                        seed=seed,
                         broadcast_batch=broadcast_batch,
                     )
                     .where(F.col("new_doc_id") > F.col("corpus_doc_id"))
@@ -625,8 +625,10 @@ def stream_dedup_ingest(
             # just-written signature and the survivor set collapses to
             # empty. The eager localCheckpoint severs the lineage first.
             survivors = survivors.localCheckpoint(eager=True)
-            D.minhash_signatures(
-                survivors, n=n, n_perm=n_perm, seed=seed
+            # survivors' signatures = the cached batch signatures filtered
+            # to the survivor ids — no second gram pass
+            batch_sigs.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
             ).write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
@@ -634,6 +636,7 @@ def stream_dedup_ingest(
                 os.path.join(surv_dir, f"ingest_batch={batch_id}")
             )
         finally:
+            batch_sigs.unpersist()
             batch_df.unpersist()
 
     stream = (
