@@ -536,15 +536,17 @@ def stream_dedup_ingest(
     between batches), the same contract as the batch
     ``incremental_minhash_pairs`` operator.
 
-    Crash-replay idempotency (exactly-once output): both sinks are
-    BATCH-ID-SCOPED partition overwrites — signatures land in
-    ``signature_store/batch=<id>/``, survivors in
-    ``survivors/ingest_batch=<id>/``, each written with
-    mode("overwrite") on its own partition path. A replayed batch (crash
-    after either write but before the checkpoint commit) first EXCLUDES
-    its own ``batch=<id>`` partition from the store scan — so it never
-    self-matches against its half-committed signatures — recomputes the
-    identical survivor set, and overwrites both partitions in place.
+    Crash-replay idempotency (exactly-once output): the ONE sink is a
+    BATCH-ID-SCOPED partition overwrite — survivors' signatures land in
+    ``signature_store/batch=<id>/`` with mode("overwrite") on that
+    partition path. A replayed batch (crash after the write but before
+    the checkpoint commit) first EXCLUDES its own ``batch=<id>``
+    partition from the store scan — so it never self-matches against its
+    half-committed signatures — recomputes the identical survivor set,
+    and overwrites the partition in place. There is no separate survivor
+    sink: the store partition IS the survivor list (it holds exactly the
+    surviving doc_ids), so the returned table is just a projection of
+    the store — one write per batch, one source of truth.
 
     Scale posture: per-batch cost = one store scan + one join against the
     batch's banded signatures; the store is the only state and lives as
@@ -557,7 +559,6 @@ def stream_dedup_ingest(
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
 
     store_dir = os.path.join(out_dir, "signature_store")
-    surv_dir = os.path.join(out_dir, "survivors")
     ck_dir = os.path.join(out_dir, "checkpoint")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -626,14 +627,12 @@ def stream_dedup_ingest(
             # empty. The eager localCheckpoint severs the lineage first.
             survivors = survivors.localCheckpoint(eager=True)
             # survivors' signatures = the cached batch signatures filtered
-            # to the survivor ids — no second gram pass
+            # to the survivor ids — no second gram pass, and the ONLY
+            # write: the store partition doubles as the survivor record
             batch_sigs.join(
                 survivors.select("doc_id"), "doc_id", "left_semi"
             ).write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
-            )
-            survivors.select("doc_id").write.mode("overwrite").parquet(
-                os.path.join(surv_dir, f"ingest_batch={batch_id}")
             )
         finally:
             batch_sigs.unpersist()
@@ -652,6 +651,6 @@ def stream_dedup_ingest(
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(surv_dir).select(
-        "doc_id", F.col("ingest_batch").cast("long").alias("ingest_batch")
+    return spark.read.parquet(store_dir).select(
+        "doc_id", F.col("batch").cast("long").alias("ingest_batch")
     )
