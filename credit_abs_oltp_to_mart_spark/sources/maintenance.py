@@ -21,6 +21,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def compact_dir(
@@ -76,6 +77,121 @@ def compact_dir(
     stats["compacted"] = True
     stats["files_after"] = len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return stats
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop API — works on any
+    scheme the cluster knows (file://, hdfs://, s3a://), unlike the
+    driver-local os calls the rest of this module uses for the test lake."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    target_files: int = 8,
+) -> dict:
+    """Merge the streaming dedup ingest's committed signature-store
+    partitions into one right-sized partition.
+
+    ``stream_dedup_ingest`` writes one ``batch=<id>`` partition per
+    micro-batch; a long-running ingest accretes thousands of small
+    partitions/files — at 100 TB that file count dominates scan-planning
+    time for every subsequent batch's store scan. Compaction folds all
+    partitions whose batch id is COMMITTED in the stream checkpoint into a
+    single ``batch=<max committed>`` partition of ``target_files`` files.
+
+    Correctness contract, and why only committed batches qualify: a
+    replayed batch excludes its OWN ``batch=<id>`` partition from the
+    store scan to avoid matching itself (see stream_dedup_ingest). A batch
+    with a commit-log entry can never replay, so folding it into another
+    partition id is safe; the (at most one) uncommitted trailing batch is
+    left untouched. Survivor labels are preserved because ``ingest_batch``
+    is a real column inside the files, not just the partition key.
+
+    Crash-safe, resumable protocol (all steps via the Hadoop FileSystem
+    API, so DFS paths work):
+
+      1. write the merged rows to ``.compact-<id>`` INSIDE the store —
+         dot-prefixed, so Spark's file index never reads it;
+      2. delete the source ``batch=<n>`` partitions (n <= id);
+      3. rename ``.compact-<id>`` to ``batch=<id>``.
+
+    A crash after step 1 is invisible; a crash during 2-3 leaves the
+    hidden dir in place, and the next call RESUMES at step 2 instead of
+    re-merging (the hidden dir, not the partitions, is then the truth).
+    Returns a stats dict; no-op when fewer than 2 committed partitions.
+    """
+    import re
+
+    store_dir = os.path.join(out_dir, "signature_store")
+    commits_dir = os.path.join(out_dir, "checkpoint", "commits")
+    fs, store_path = _hadoop_fs(spark, store_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+
+    def _ls(path: str) -> list[str]:
+        p = jvm_path(path)
+        if not fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in fs.listStatus(p)]
+
+    committed = [
+        int(name) for name in _ls(commits_dir) if re.fullmatch(r"\d+", name)
+    ]
+    stats = {"store": store_dir, "compacted": False}
+    if not committed:
+        return stats
+    upto = max(committed)
+
+    # resume a crashed attempt: the hidden dir IS the merged data
+    pending = sorted(
+        int(n.split("-", 1)[1])
+        for n in _ls(store_dir)
+        if re.fullmatch(r"\.compact-\d+", n)
+    )
+    parts = sorted(
+        int(n.split("=", 1)[1])
+        for n in _ls(store_dir)
+        if re.fullmatch(r"batch=\d+", n)
+    )
+    if pending:
+        cid = pending[-1]
+        for n in parts:
+            if n <= cid:
+                fs.delete(jvm_path(f"{store_dir}/batch={n}"), True)
+        fs.rename(
+            jvm_path(f"{store_dir}/.compact-{cid}"),
+            jvm_path(f"{store_dir}/batch={cid}"),
+        )
+        stats.update(compacted=True, resumed=True, merged_upto=cid)
+        return stats
+
+    merge = [n for n in parts if n <= upto]
+    stats["partitions_before"] = len(parts)
+    if len(merge) < 2:
+        return stats
+    merged = (
+        spark.read.parquet(store_dir)
+        .where(F.col("batch") <= upto)
+        .drop("batch")
+        .repartition(target_files)
+    )
+    hidden = f"{store_dir}/.compact-{upto}"
+    merged.write.mode("overwrite").parquet(hidden)
+    for n in merge:
+        fs.delete(jvm_path(f"{store_dir}/batch={n}"), True)
+    fs.rename(jvm_path(hidden), jvm_path(f"{store_dir}/batch={upto}"))
+    stats.update(
+        compacted=True,
+        resumed=False,
+        merged_upto=upto,
+        partitions_merged=len(merge),
+        partitions_after=len(parts) - len(merge) + 1,
     )
     return stats
 

@@ -628,9 +628,14 @@ def stream_dedup_ingest(
             survivors = survivors.localCheckpoint(eager=True)
             # survivors' signatures = the cached batch signatures filtered
             # to the survivor ids — no second gram pass, and the ONLY
-            # write: the store partition doubles as the survivor record
+            # write: the store partition doubles as the survivor record.
+            # ingest_batch rides INSIDE the files (not just the partition
+            # key) so store compaction can merge old partitions without
+            # losing the survivor labels.
             batch_sigs.join(
                 survivors.select("doc_id"), "doc_id", "left_semi"
+            ).withColumn(
+                "ingest_batch", F.lit(batch_id).cast("long")
             ).write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
@@ -651,6 +656,8 @@ def stream_dedup_ingest(
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(store_dir).select(
-        "doc_id", F.col("batch").cast("long").alias("ingest_batch")
-    )
+    # the in-file ingest_batch column, NOT the batch= partition key: after
+    # sources.maintenance.compact_signature_store merges committed
+    # partitions, the partition key no longer equals the original batch id
+    # but the column always does
+    return spark.read.parquet(store_dir).select("doc_id", "ingest_batch")

@@ -174,6 +174,93 @@ def test_stream_dedup_ingest_within_batch_dedup(spark, tmp_path):
     assert _rows(got) == {(1, 0), (2, 0), (11, 1)}
 
 
+def test_signature_store_compaction_preserves_semantics(spark, tmp_path):
+    """compact_signature_store folds all committed batch partitions into
+    one, preserving (a) the survivor table exactly (ingest_batch is a
+    real column, not just the partition key) and (b) dedup semantics for
+    every LATER ingest batch against the compacted store."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        compact_signature_store,
+    )
+
+    src = tmp_path / "cmp_slices"
+    out = str(tmp_path / "cmp_out")
+    store = os.path.join(out, "signature_store")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A), Row(doc_id=2, text=TEXT_B)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=10, text=TEXT_A), Row(doc_id=11, text=TEXT_C)], t0)
+    before = _rows(
+        streaming.stream_dedup_ingest(spark, f"{src}/b*", out, schema=schema, min_est=0.25)
+    )
+    assert before == {(1, 0), (2, 0), (11, 1)}
+
+    stats = compact_signature_store(spark, out, target_files=1)
+    assert stats["compacted"] and stats["partitions_merged"] == 2
+    # one partition dir left; survivor projection identical
+    parts = [d for d in os.listdir(store) if d.startswith("batch=")]
+    assert parts == ["batch=1"]
+    after = _rows(
+        spark.read.parquet(store).select("doc_id", "ingest_batch")
+    )
+    assert after == before
+
+    # a later slice still dedups against the compacted store, and the
+    # combined output keeps the original batch labels
+    _land(spark, src, schema, 2, [Row(doc_id=20, text=TEXT_C), Row(doc_id=21, text="totally fresh words nobody wrote down yet")], t0)
+    got = _rows(
+        streaming.stream_dedup_ingest(spark, f"{src}/b*", out, schema=schema, min_est=0.25)
+    )
+    assert got == {(1, 0), (2, 0), (11, 1), (21, 2)}
+
+    # second compaction folds the new batch in too
+    stats2 = compact_signature_store(spark, out, target_files=1)
+    assert stats2["compacted"]
+    assert [d for d in os.listdir(store) if d.startswith("batch=")] == ["batch=2"]
+    assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == got
+
+
+def test_signature_store_compaction_resumes_after_crash(spark, tmp_path):
+    """A crash between the partition deletes and the final rename leaves
+    the hidden .compact-<id> dir as the only copy of the merged data; the
+    next call must RESUME (finish deletes + rename), not re-merge from
+    now-incomplete partitions."""
+    import shutil
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        compact_signature_store,
+    )
+
+    src = tmp_path / "crash_slices"
+    out = str(tmp_path / "crash_out")
+    store = os.path.join(out, "signature_store")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=11, text=TEXT_C)], t0)
+    before = _rows(
+        streaming.stream_dedup_ingest(spark, f"{src}/b*", out, schema=schema, min_est=0.25)
+    )
+
+    # stage the mid-crash state by hand: merged data in the hidden dir,
+    # one source partition already deleted
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(store)
+        .where(F.col("batch") <= 1)
+        .drop("batch")
+        .repartition(1)
+        .write.parquet(os.path.join(store, ".compact-1"))
+    )
+    shutil.rmtree(os.path.join(store, "batch=0"))
+
+    stats = compact_signature_store(spark, out, target_files=1)
+    assert stats["compacted"] and stats.get("resumed") is True
+    assert [d for d in os.listdir(store) if d.startswith("batch=")] == ["batch=1"]
+    assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == before
+
+
 @pytest.mark.parametrize("broadcast_batch", [True, False])
 def test_stream_dedup_ingest_modes_agree(spark, tmp_path, broadcast_batch):
     """The join-physics knob threads through the streaming ingest without
