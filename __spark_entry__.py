@@ -1176,6 +1176,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(_t(spark, sf_dir, "documents"))
 
 
+def q_decontaminate_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decontamination: the held-out (non-train) docs' DISTINCT
+    gram set is the persisted blocklist store; the train split plays the
+    arriving ingest batch, checked per-doc against the store with the
+    0.5-overlap drop verdict — the fixed-eval-suite production shape
+    (store built once, batches never re-shingle the eval corpus)."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import split_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn("split", split_expr())
+    store = curation.build_eval_gram_store(
+        docs.where(F.col("split") != "train")
+    )
+    return curation.decontaminate_against_store(
+        docs.where(F.col("split") == "train").drop("split"), store
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.tfidf_topk(_t(spark, sf_dir, "documents"))
 
@@ -1758,6 +1775,32 @@ def _decontaminate_oracle() -> str:
            coalesce(c, 0)::int as n_contaminated,
            round(coalesce(c, 0)::double / n, 6) as contamination
     from tot left join hits on hits.doc_id = tot.doc_id
+    """
+
+
+def _decontaminate_store_oracle() -> str:
+    """Replay of build_eval_gram_store + decontaminate_against_store: the
+    non-train docs' distinct gram set is the blocklist; each train doc's
+    overlap share against it decides the 0.5-threshold drop verdict."""
+    t = curation.TRAIN_PCT
+    return f"""
+    with {_ngram_cte(curation.DECONTAM_N)},
+    splits as (
+      select doc_id,
+             case when {_split_bucket_sql("split:")} < {t} then 'train'
+                  else 'eval' end as is_train
+      from documents),
+    g as (select ngr.doc_id, is_train, unnest(grams) as gram
+          from ngr join splits using (doc_id)),
+    store as (select distinct gram from g where is_train <> 'train'),
+    tr as (select doc_id, gram from g where is_train = 'train'),
+    hits as (select doc_id, count(*) as c
+             from tr join store using (gram) group by 1),
+    tot as (select doc_id, count(*) as n from tr group by 1)
+    select tot.doc_id, n::int as n_grams, coalesce(c, 0)::int as n_hit,
+           round(coalesce(c, 0)::double / n, 6) as overlap,
+           (coalesce(c, 0)::double / n >= 0.5) as dropped
+    from tot left join hits using (doc_id)
     """
 
 
@@ -3041,6 +3084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_mode": q_median_mode,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        # incremental decontamination against a persisted eval-gram store
+        # (new this round)
+        "decontaminate_store": q_decontaminate_store,
         # -- (c) round-2 evidence, oldest-registered first
         "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
@@ -3079,11 +3125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "window_frames": q_window_frames,
         "unpivot_measures": q_unpivot_measures,
-        "array_hof": q_array_hof,
         # ---- driver gate window (50) ends here ----
         # r02-evidence remainder (2 rounds old after this round — front of
         # the round-5 window); all unchanged and covered by the local gate
         # mirror at sf0.01 + sf0.1
+        "array_hof": q_array_hof,
         "map_explode": q_map_explode,
         "array_agg_sorted": q_array_agg_sorted,
         "token_positions": q_token_positions,
@@ -3637,6 +3683,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle(),
         "doc_chunks": _doc_chunks_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "decontaminate_store": _decontaminate_store_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
         "pack_chunks": _pack_chunks_oracle(),

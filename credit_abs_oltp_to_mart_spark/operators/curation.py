@@ -188,6 +188,80 @@ def decontaminate(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
     )
 
 
+def build_eval_gram_store(eval_docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """(gram) — the DISTINCT word-n-gram set of the held-out eval docs, the
+    persistable contamination BLOCKLIST.
+
+    The production decontamination shape is incremental, exactly like the
+    MinHash signature store: the eval suites are fixed, so their gram set
+    is built ONCE (one distinct shuffle), written as parquet, and every
+    subsequent ingest batch is checked against it via
+    ``decontaminate_against_store`` without ever re-reading or
+    re-shingling the eval corpus."""
+    from credit_abs_oltp_to_mart_spark.operators.dedup import shingle_rows
+
+    return (
+        shingle_rows(eval_docs, n)
+        .withColumnRenamed("shingle", "gram")
+        .select("gram")
+        .distinct()
+    )
+
+
+def decontaminate_against_store(
+    docs: DataFrame,
+    gram_store: DataFrame,
+    *,
+    n: int = DECONTAM_N,
+    max_overlap: float = 0.5,
+    broadcast_store: bool = True,
+) -> DataFrame:
+    """Per-doc contamination of an INGEST batch against a persisted
+    eval-gram store (built by ``build_eval_gram_store``): the share of the
+    doc's n-grams present in the store, plus the ``dropped`` verdict at
+    ``max_overlap``. Callers keep ``where(~dropped)``.
+
+    ``broadcast_store=True`` (default): eval suites are fixed and small,
+    so the store ships to every executor and the batch is NEVER shuffled —
+    one map-side pass over the batch grams plus the per-doc aggregation.
+    ``=False`` is the oversized-store fallback (merge-hinted sort-merge
+    join on the gram key), same trade as
+    ``corpus.decontaminate_train(broadcast_eval=False)``.
+
+    The store must hold DISTINCT grams (the builder guarantees it): the
+    left join then never duplicates a batch gram row, so totals and hit
+    counts come from one aggregation."""
+    from credit_abs_oltp_to_mart_spark.operators.dedup import shingle_rows
+
+    store = gram_store.select("gram").withColumn("__hit", F.lit(1))
+    if broadcast_store:
+        store = F.broadcast(store)
+    else:
+        store = store.hint("merge")
+    grams = shingle_rows(docs, n).withColumnRenamed("shingle", "gram")
+    return (
+        grams.join(store, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.col("n_hit").cast("int").alias("n_hit"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("overlap"),
+            (
+                F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+                >= max_overlap
+            ).alias("dropped"),
+        )
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     """Top-k salient terms per document by tf * N / df.
 

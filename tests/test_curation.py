@@ -92,6 +92,38 @@ def test_decontaminate_covers_eval_only(docs):
     out.unpersist()
 
 
+def test_decontaminate_store_modes_agree_and_store_is_reusable(docs):
+    """The persisted-blocklist path: both join-physics modes produce the
+    identical verdicts, the fallback plan really is a sort-merge gram
+    join, and a store written to parquet and read back (the incremental
+    production flow) gives the same answer as the in-memory frame."""
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    batch = docs.where(F.col("doc_id") % 5 != 0)
+    store = curation.build_eval_gram_store(ev)
+    a = curation.decontaminate_against_store(batch, store, broadcast_store=True)
+    b = curation.decontaminate_against_store(batch, store, broadcast_store=False)
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a and rows_a == rows_b
+    p = (
+        curation.decontaminate_against_store(
+            batch, store, broadcast_store=False
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin [gram" in p and "BroadcastExchange" not in p
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store.write.parquet(f"{tmp}/gram_store")
+        reread = docs.sparkSession.read.parquet(f"{tmp}/gram_store")
+        c = curation.decontaminate_against_store(batch, reread)
+        assert sorted(tuple(r) for r in c.collect()) == rows_a
+
+
 def test_tfidf_ranks_are_dense_topk(docs):
     out = curation.tfidf_topk(docs, k=5).cache()
     per_doc = out.groupBy("doc_id").agg(
