@@ -1140,6 +1140,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-substring spans (token-level, k=8,
+    occurrences >= 2 anywhere incl. the doc itself) merged into maximal
+    per-doc intervals — the repeated-passage cut list that doc-level
+    near-dup detection structurally cannot produce."""
+    return textops.duplicate_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1775,6 +1783,36 @@ def _decontaminate_oracle() -> str:
            coalesce(c, 0)::int as n_contaminated,
            round(coalesce(c, 0)::double / n, 6) as contamination
     from tot left join hits on hits.doc_id = tot.doc_id
+    """
+
+
+def _dup_spans_oracle(k: int = 8, min_count: int = 2) -> str:
+    """Replay of textops.duplicate_spans: positional k-grams (md5 keys),
+    corpus-wide occurrence filter, gaps-and-islands interval merge."""
+    return f"""
+    with ntoks as (
+      select doc_id, string_split_regex(trim(text), ' +') as tk
+      from documents where trim(text) <> ''),
+    pg as (
+      select doc_id, i - 1 as pos,
+             md5(array_to_string(tk[i:i+{k - 1}], ' ')) as g
+      from ntoks, unnest(generate_series(1, len(tk) - {k - 1})) as s(i)
+      where len(tk) >= {k}),
+    dup as (select g from pg group by g having count(*) >= {min_count}),
+    m as (select doc_id, pos from pg where g in (select g from dup)),
+    l as (select doc_id, pos,
+                 lag(pos) over (partition by doc_id order by pos) as pp
+          from m),
+    mi as (select doc_id, pos,
+                  sum(case when pp is null or pos - pp > {k}
+                      then 1 else 0 end)
+                    over (partition by doc_id order by pos
+                          rows unbounded preceding) as isl
+           from l)
+    select doc_id, min(pos)::int as span_start,
+           (max(pos) + {k - 1})::int as span_end,
+           (max(pos) + {k} - min(pos))::int as n_tokens
+    from mi group by doc_id, isl
     """
 
 
@@ -3085,8 +3123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         # incremental decontamination against a persisted eval-gram store
-        # (new this round)
+        # and corpus-wide duplicated-substring spans (new this round)
         "decontaminate_store": q_decontaminate_store,
+        "dup_spans": q_dup_spans,
         # -- (c) round-2 evidence, oldest-registered first
         "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
@@ -3124,11 +3163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct": q_bitmap_distinct,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "window_frames": q_window_frames,
-        "unpivot_measures": q_unpivot_measures,
         # ---- driver gate window (50) ends here ----
         # r02-evidence remainder (2 rounds old after this round — front of
         # the round-5 window); all unchanged and covered by the local gate
         # mirror at sf0.01 + sf0.1
+        "unpivot_measures": q_unpivot_measures,
         "array_hof": q_array_hof,
         "map_explode": q_map_explode,
         "array_agg_sorted": q_array_agg_sorted,
@@ -3684,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _doc_chunks_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "decontaminate_store": _decontaminate_store_oracle(),
+        "dup_spans": _dup_spans_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
         "pack_chunks": _pack_chunks_oracle(),

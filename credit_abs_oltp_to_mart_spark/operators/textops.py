@@ -124,3 +124,71 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("top_bigram_share"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    *,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans at token level — the corpus-wide
+    repeated-passage detector behind substring-level dedup (cf. Lee et
+    al., "Deduplicating Training Data Makes Language Models Better":
+    boilerplate, licenses, and templated passages repeat VERBATIM across
+    documents that are not near-duplicates as wholes, so doc-level MinHash
+    never drops them; span-level detection finds the repeated text itself).
+
+    Definition: token position p of a doc is DUPLICATED iff the k-token
+    gram starting at p occurs >= ``min_count`` times across the whole
+    corpus (any doc, its own included). Overlapping or ADJACENT duplicated
+    positions (next start <= prev start + k) merge into maximal spans.
+    Returns (doc_id, span_start, span_end, n_tokens) with 0-based
+    INCLUSIVE token indices — the downstream cut list for a span-removal
+    rewrite.
+
+    Scale shape: positional k-grams come straight off the token array
+    (``transform`` + ``slice`` + ``array_join`` inside codegen — map-only,
+    no window over the token stream); grams shuffle as 16-byte md5 keys
+    for the occurrence count (partial-agg combines repeats map-side); the
+    duplicated-position filter is a semi-join on that key; the only other
+    shuffle is the per-doc window for interval merging. Nothing is ever
+    O(corpus^2): cost ~ total token count, like shingling."""
+    toks = ws_tokens(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("__tk")).where(
+        F.size("__tk") >= k
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(__tk) - {k}),"
+        f" i -> array_join(slice(__tk, i + 1, {k}), ' '))"
+    )
+    pg = base.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id", "pos", F.md5("gram").alias("g")
+    )
+    dup = (
+        pg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("g")
+    )
+    marked = pg.join(dup, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_span = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    spans = marked.withColumn(
+        "__isl",
+        F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        spans.groupBy("doc_id", "__isl")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("span_start"),
+            (F.col("e") + k - 1).cast("int").alias("span_end"),
+            (F.col("e") + k - F.col("s")).cast("int").alias("n_tokens"),
+        )
+    )

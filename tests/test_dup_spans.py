@@ -1,0 +1,74 @@
+"""duplicate_spans semantics on planted passages: exact boundaries,
+adjacency merging, within-doc repeats, and the no-false-positive case.
+(The contract query gates the operator bit-exactly vs DuckDB; these pin
+the interval arithmetic on hand-built corpora.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from credit_abs_oltp_to_mart_spark.operators.textops import duplicate_spans
+
+
+def _spans(spark, rows, k=4):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in duplicate_spans(df, k=k).collect()
+    }
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_shared_passage_exact_boundaries(spark):
+    # a 6-token passage shared by docs 1 and 2, embedded at different
+    # offsets in otherwise-unique text. With k=4, duplicated gram starts
+    # cover the passage's 3 windows -> one merged span per doc covering
+    # exactly the 6 passage tokens.
+    passage = "the quick brown fox jumps high"
+    rows = [
+        Row(doc_id=1, text=_words("a", 3) + " " + passage + " " + _words("b", 3)),
+        Row(doc_id=2, text=_words("c", 5) + " " + passage),
+        Row(doc_id=3, text=_words("d", 12)),
+    ]
+    got = _spans(spark, rows, k=4)
+    assert got == {
+        (1, 3, 8, 6),   # tokens 3..8 = the passage
+        (2, 5, 10, 6),  # tokens 5..10
+    }
+
+
+def test_within_doc_repeat_is_duplicated(spark):
+    # the SAME doc repeating a passage counts: both occurrences covered.
+    # (the two copies are non-adjacent: gap of 4 unique tokens > 0)
+    passage = "alpha beta gamma delta"
+    rows = [
+        Row(doc_id=1, text=passage + " " + _words("x", 4) + " " + passage),
+    ]
+    got = _spans(spark, rows, k=4)
+    assert got == {(1, 0, 3, 4), (1, 8, 11, 4)}
+
+
+def test_adjacent_spans_merge(spark):
+    # two shared passages sitting back-to-back in doc 1 merge into one
+    # maximal span (next start <= prev start + k)
+    p1 = "one two three four"
+    p2 = "five six seven eight"
+    rows = [
+        Row(doc_id=1, text=p1 + " " + p2),
+        Row(doc_id=2, text=_words("u", 4) + " " + p1),
+        Row(doc_id=3, text=p2 + " " + _words("v", 4)),
+    ]
+    got = _spans(spark, rows, k=4)
+    assert (1, 0, 7, 8) in got  # merged across both passages
+    assert (2, 4, 7, 4) in got and (3, 0, 3, 4) in got
+
+
+def test_unique_corpus_has_no_spans(spark):
+    rows = [
+        Row(doc_id=1, text=_words("a", 20)),
+        Row(doc_id=2, text=_words("b", 20)),
+    ]
+    assert _spans(spark, rows, k=4) == set()
