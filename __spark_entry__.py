@@ -1148,6 +1148,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.duplicate_spans(_t(spark, sf_dir, "documents"), k=8)
 
 
+def q_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring-level dedup: rewrite every doc with
+    its corpus-wide duplicated spans cut (detection feeds removal in one
+    composed plan; span-free docs keep their text byte-for-byte)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.remove_spans(docs, textops.duplicate_spans(docs, k=8))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1786,11 +1794,12 @@ def _decontaminate_oracle() -> str:
     """
 
 
-def _dup_spans_oracle(k: int = 8, min_count: int = 2) -> str:
-    """Replay of textops.duplicate_spans: positional k-grams (md5 keys),
-    corpus-wide occurrence filter, gaps-and-islands interval merge."""
+def _dup_spans_ctes(k: int = 8, min_count: int = 2) -> str:
+    """Shared replay CTEs for textops.duplicate_spans: positional k-grams
+    (md5 keys), corpus-wide occurrence filter, gaps-and-islands interval
+    merge — ends with sp(doc_id, span_start, span_end)."""
     return f"""
-    with ntoks as (
+    ntoks as (
       select doc_id, string_split_regex(trim(text), ' +') as tk
       from documents where trim(text) <> ''),
     pg as (
@@ -1808,11 +1817,47 @@ def _dup_spans_oracle(k: int = 8, min_count: int = 2) -> str:
                       then 1 else 0 end)
                     over (partition by doc_id order by pos
                           rows unbounded preceding) as isl
-           from l)
-    select doc_id, min(pos)::int as span_start,
-           (max(pos) + {k - 1})::int as span_end,
-           (max(pos) + {k} - min(pos))::int as n_tokens
-    from mi group by doc_id, isl
+           from l),
+    sp as (select doc_id, min(pos) as span_start, max(pos) + {k - 1} as span_end
+           from mi group by doc_id, isl)"""
+
+
+def _dup_spans_oracle(k: int = 8, min_count: int = 2) -> str:
+    return f"""
+    with {_dup_spans_ctes(k, min_count)}
+    select doc_id, span_start::int as span_start, span_end::int as span_end,
+           (span_end - span_start + 1)::int as n_tokens
+    from sp
+    """
+
+
+def _dup_spans_removed_oracle(k: int = 8, min_count: int = 2) -> str:
+    """Replay of textops.remove_spans over duplicate_spans output: docs
+    with spans are rebuilt from the surviving tokens (ordered string_agg),
+    docs without keep their text untouched."""
+    return f"""
+    with {_dup_spans_ctes(k, min_count)},
+    alltok as (
+      select doc_id, i - 1 as pos, tk[i] as tok
+      from ntoks, unnest(generate_series(1, len(tk))) as s(i)),
+    kept as (
+      select a.doc_id, a.pos, a.tok from alltok a
+      where not exists (select 1 from sp
+                        where sp.doc_id = a.doc_id
+                          and a.pos between sp.span_start and sp.span_end)),
+    reb as (select doc_id, string_agg(tok, ' ' order by pos) as text
+            from kept group by doc_id),
+    hs as (select distinct doc_id from sp),
+    rem as (select doc_id, sum(span_end - span_start + 1) as n_removed
+            from sp group by doc_id)
+    select d.doc_id,
+           case when hs.doc_id is not null then coalesce(reb.text, '')
+                else d.text end as text,
+           coalesce(rem.n_removed, 0)::int as n_removed
+    from documents d
+    left join hs using (doc_id)
+    left join reb on reb.doc_id = d.doc_id
+    left join rem on rem.doc_id = d.doc_id
     """
 
 
@@ -3126,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and corpus-wide duplicated-substring spans (new this round)
         "decontaminate_store": q_decontaminate_store,
         "dup_spans": q_dup_spans,
+        "dup_spans_removed": q_dup_spans_removed,
         # -- (c) round-2 evidence, oldest-registered first
         "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
@@ -3162,11 +3208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stats": q_profile_stats,
         "bitmap_distinct": q_bitmap_distinct,
         "grouping_sets_revenue": q_grouping_sets_revenue,
-        "window_frames": q_window_frames,
         # ---- driver gate window (50) ends here ----
         # r02-evidence remainder (2 rounds old after this round — front of
         # the round-5 window); all unchanged and covered by the local gate
         # mirror at sf0.01 + sf0.1
+        "window_frames": q_window_frames,
         "unpivot_measures": q_unpivot_measures,
         "array_hof": q_array_hof,
         "map_explode": q_map_explode,
@@ -3724,6 +3770,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle(),
         "decontaminate_store": _decontaminate_store_oracle(),
         "dup_spans": _dup_spans_oracle(),
+        "dup_spans_removed": _dup_spans_removed_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
         "pack_chunks": _pack_chunks_oracle(),

@@ -192,3 +192,43 @@ def duplicate_spans(
             (F.col("e") + k - F.col("s")).cast("int").alias("n_tokens"),
         )
     )
+
+
+def remove_spans(
+    docs: DataFrame, spans: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Rewrite each doc with the given token spans CUT — the removal half
+    of substring-level dedup (feed it ``duplicate_spans`` output, or any
+    filtered policy over it, e.g. keep-first-occurrence).
+
+    Returns (doc_id, text, n_removed). Docs with no spans keep their text
+    byte-for-byte; docs with spans are rebuilt from the surviving tokens
+    (single-space joined — a token-level rewrite is whitespace-normalized
+    by construction).
+
+    Scale shape: the span list groups to one array per doc (it is tiny —
+    bounded by duplicated regions, not corpus size), joins onto the docs,
+    and the cut itself is a single indexed ``filter`` higher-order
+    function over the token array — map-only, no explode, no window."""
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    toks = ws_tokens(F.col(text_col))
+    kept = F.expr(
+        "array_join(filter(__tk, (t, i) -> not exists(__sp,"
+        " s -> i >= s.span_start and i <= s.span_end)), ' ')"
+    )
+    n_removed = F.expr(
+        "aggregate(__sp, 0, (acc, s) -> acc + s.span_end - s.span_start + 1)"
+    )
+    return (
+        docs.select("doc_id", F.col(text_col), toks.alias("__tk"))
+        .join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__sp").isNull(), F.col(text_col))
+            .otherwise(kept)
+            .alias("text"),
+            F.coalesce(n_removed, F.lit(0)).cast("int").alias("n_removed"),
+        )
+    )

@@ -72,3 +72,22 @@ def test_unique_corpus_has_no_spans(spark):
         Row(doc_id=2, text=_words("b", 20)),
     ]
     assert _spans(spark, rows, k=4) == set()
+
+
+def test_remove_spans_cuts_exactly_and_preserves_clean_docs(spark):
+    from credit_abs_oltp_to_mart_spark.operators.textops import remove_spans
+
+    passage = "the quick brown fox jumps high"
+    dirty = "a0  a1\ta2 " + passage  # messy whitespace, preserved iff no span
+    rows = [
+        Row(doc_id=1, text="x0 x1 " + passage + " y0 y1"),
+        Row(doc_id=2, text=passage),
+        Row(doc_id=3, text=dirty.replace(passage, "z0 z1 z2 z3 z4 z5")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, k=4)
+    got = {r.doc_id: (r.text, r.n_removed) for r in remove_spans(df, spans).collect()}
+    assert got[1] == ("x0 x1 y0 y1", 6)
+    assert got[2] == ("", 6)  # whole doc was the shared passage
+    # doc 3 shares nothing: text byte-identical incl. the messy whitespace
+    assert got[3] == (rows[2].text, 0)
