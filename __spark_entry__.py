@@ -1110,6 +1110,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic diversity sampling: k-means clusters the embedding table
+    (3 exact fixed-point Lloyd rounds), then a deterministic md5-ranked
+    sample keeps 25 vectors per cluster — cluster-balanced mixing that
+    flattens the corpus's semantic mode distribution."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_assign
+
+    assign = kmeans_assign(
+        _t(spark, sf_dir, "embeddings"),
+        init_ids=KMEANS_INIT_IDS,
+        iterations=KMEANS_ITERS,
+    )
+    return curation.cluster_balanced_sample(assign, 25)
+
+
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search whose coarse codebook comes from the k-means training
     loop (3 Lloyd rounds, exact fixed point) instead of caller-picked
@@ -2832,6 +2847,25 @@ def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
     return _kmeans_ctes(iters) + f" select vid as vec_id, cluster from a{iters}"
 
 
+def _cluster_sample_oracle(
+    iters: int = KMEANS_ITERS, n_per_cluster: int = 25
+) -> str:
+    """Replay of curation.cluster_balanced_sample over kmeans_assign:
+    per-cluster row_number on md5('cbs:' || id) with id tiebreak."""
+    return f"""
+    {_kmeans_ctes(iters)},
+    rk as (
+      select vid, cluster,
+             row_number() over (
+               partition by cluster
+               order by ('0x' || substr(md5('cbs:' || vid::varchar), 1, 15))
+                          ::bigint asc, vid asc) as rank
+      from a{iters})
+    select vid as vec_id, cluster, rank::int as rank
+    from rk where rank <= {n_per_cluster}
+    """
+
+
 def _ann_ivf_trained_oracle(
     iters: int = KMEANS_ITERS, nprobe: int = IVF_NPROBE
 ) -> str:
@@ -3172,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_store": q_decontaminate_store,
         "dup_spans": q_dup_spans,
         "dup_spans_removed": q_dup_spans_removed,
+        "cluster_sample": q_cluster_sample,
         # -- (c) round-2 evidence, oldest-registered first
         "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
@@ -3207,8 +3242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "profile_stats": q_profile_stats,
         "bitmap_distinct": q_bitmap_distinct,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
         # ---- driver gate window (50) ends here ----
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         # r02-evidence remainder (2 rounds old after this round — front of
         # the round-5 window); all unchanged and covered by the local gate
         # mirror at sf0.01 + sf0.1
@@ -3771,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_store": _decontaminate_store_oracle(),
         "dup_spans": _dup_spans_oracle(),
         "dup_spans_removed": _dup_spans_removed_oracle(),
+        "cluster_sample": _cluster_sample_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
         "pack_chunks": _pack_chunks_oracle(),

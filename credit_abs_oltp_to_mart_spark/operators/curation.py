@@ -262,6 +262,36 @@ def decontaminate_against_store(
     )
 
 
+def cluster_balanced_sample(
+    assign: DataFrame,
+    n_per_cluster: int,
+    *,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    salt: str = "cbs",
+) -> DataFrame:
+    """Diversity sampling: keep up to ``n_per_cluster`` rows PER CLUSTER of
+    any (id, cluster) assignment — e.g. ``kmeans.kmeans_assign`` over the
+    embedding table. Uniform sampling over-represents the dominant
+    semantic modes; sampling a fixed budget per k-means cell flattens the
+    distribution (cluster-balanced mixing, the standard semantic-diversity
+    curation move).
+
+    Deterministic pseudo-randomness: rows rank by md5(salt || id) with an
+    id tiebreak — reproducible in any engine, independent of partitioning.
+    One window shuffle on the cluster key; the assignment itself carries
+    whatever cost its producer had (k-means assignment is map-only)."""
+    rnd = md5_long(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(cluster_col).orderBy(rnd.asc(), F.col(id_col).asc())
+    return (
+        assign.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_per_cluster)
+        .select(id_col, cluster_col, F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     """Top-k salient terms per document by tf * N / df.
 
