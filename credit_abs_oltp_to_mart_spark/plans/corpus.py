@@ -211,28 +211,52 @@ def build_corpus(
     chunk_tokens: int = 64,
     bin_tokens: int = 256,
     shards: int = 8,
+    cut_dup_spans: bool = False,
+    span_k: int = 8,
 ) -> dict[str, DataFrame]:
     """Full pipeline; returns every stage so callers can write or audit any
     of them. ``packed`` is the trainer-facing output: train-split chunks
-    laid end-to-end per shard with fixed-width bin assignment."""
+    laid end-to-end per shard with fixed-width bin assignment.
+
+    ``cut_dup_spans=True`` inserts substring-level dedup between the
+    quality gate and doc-level dedup: corpus-wide duplicated ``span_k``-
+    token passages (boilerplate, licenses, templates — text doc-level
+    MinHash cannot drop because the surrounding docs differ) are CUT from
+    every document (``textops.duplicate_spans`` + ``remove_spans``). Runs
+    before doc-level dedup on purpose: span removal can collapse
+    near-dups into exact dups, which the cheaper exact pass then takes."""
     # persisted BEFORE dedup: the dedup stage eagerly materializes its
     # verified pair set (localCheckpoint inside dedup_documents), which
     # would otherwise re-run the full regex-heavy filter gate once for the
     # pair chain and once more per downstream stage. First eager use
     # populates the cache; every later stage reads it back.
     filtered = filter_documents(docs).persist()
-    deduped = dedup_documents(filtered)
+    stages = {"filtered": filtered}
+    gated = filtered
+    if cut_dup_spans:
+        from credit_abs_oltp_to_mart_spark.operators.textops import (
+            duplicate_spans,
+            remove_spans,
+        )
+
+        spans = duplicate_spans(filtered, k=span_k)
+        rewritten = remove_spans(filtered, spans)
+        # rejoin the rewrite onto the doc's other columns; persist — it
+        # feeds the dedup pair chain and every later stage, like filtered
+        gated = (
+            filtered.drop("text")
+            .join(rewritten.drop("n_removed"), "doc_id")
+            .persist()
+        )
+        stages["spancut"] = gated
+    deduped = dedup_documents(gated)
     clean = decontaminate_train(deduped)
     train = clean.where(F.col("split") == "train")
     packed = pack_chunks(
         train, chunk_tokens=chunk_tokens, bin_tokens=bin_tokens, shards=shards
     ).join(train.select("doc_id", "split"), "doc_id")
-    return {
-        "filtered": filtered,
-        "deduped": deduped,
-        "clean": clean,
-        "packed": packed,
-    }
+    stages.update(deduped=deduped, clean=clean, packed=packed)
+    return stages
 
 
 def run_corpus_pipeline(
