@@ -204,7 +204,10 @@ def remove_spans(
     Returns (doc_id, text, n_removed). Docs with no spans keep their text
     byte-for-byte; docs with spans are rebuilt from the surviving tokens
     (single-space joined — a token-level rewrite is whitespace-normalized
-    by construction).
+    by construction). Spans are assumed NON-OVERLAPPING per doc
+    (``duplicate_spans`` emits maximal merged intervals, and any filter
+    over its output stays non-overlapping); overlapping spans would cut
+    correctly but double-count ``n_removed``.
 
     Scale shape: the span list groups to one array per doc (it is tiny —
     bounded by duplicated regions, not corpus size), joins onto the docs,

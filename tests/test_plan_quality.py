@@ -371,3 +371,31 @@ def test_corpus_exact_dedup_single_shuffle(spark):
     )
     p = exact._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_dup_spans_gram_build_is_map_only_and_bounded(spark):
+    # positional k-grams must come straight off the token array (no window
+    # over the token stream); the whole detector is a fixed number of
+    # shuffles: gram count, duplicate semi-join, doc window + span agg —
+    # a regression to the lead()-chain form would add a doc_id sort
+    # shuffle before any aggregation
+    p = _plan(spark, "dup_spans")
+    assert "CartesianProduct" not in p
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 5, f"dup_spans has {n} hash exchanges:\n{p}"
+
+
+def test_decontaminate_store_broadcasts_store(spark):
+    # default mode: the persisted gram store is the broadcast side; the
+    # ingest batch must never shuffle on the gram key
+    p = _plan(spark, "decontaminate_store")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_cluster_sample_single_window_shuffle(spark):
+    # after the (map-only) k-means assignment, the ranked pick is ONE
+    # cluster-key window — no joins, no extra exchanges
+    p = _plan(spark, "cluster_sample")
+    assert "CartesianProduct" not in p and "Join" not in p
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 1, f"cluster_sample has {n} hash exchanges:\n{p}"
