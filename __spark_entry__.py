@@ -1110,6 +1110,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture building: per-language md5-ordered prefix until the running
+    token total reaches 5000 — "N tokens per domain", the deterministic
+    training-data recipe primitive (first doc over the line kept)."""
+    return curation.sample_to_token_budget(
+        _t(spark, sf_dir, "documents"), 5000
+    )
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic diversity sampling: k-means clusters the embedding table
     (3 exact fixed-point Lloyd rounds), then a deterministic md5-ranked
@@ -2847,6 +2856,27 @@ def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
     return _kmeans_ctes(iters) + f" select vid as vec_id, cluster from a{iters}"
 
 
+def _token_budget_oracle(budget: int = 5000) -> str:
+    """Replay of curation.sample_to_token_budget: per-lang running token
+    sum over the md5 order, keep rows whose preceding total < budget."""
+    return f"""
+    with t as (
+      select doc_id, lang,
+             case when trim(text) = '' then 0
+                  else len(string_split_regex(trim(text), ' +')) end
+               as n_tokens,
+             ('0x' || substr(md5('budget:' || doc_id::varchar), 1, 15))
+               ::bigint as rnd
+      from documents),
+    c as (select doc_id, lang, n_tokens,
+                 sum(n_tokens) over (partition by lang order by rnd, doc_id
+                                     rows unbounded preceding) as cum
+          from t)
+    select doc_id, lang, n_tokens::int as n_tokens, cum::bigint as cum_tokens
+    from c where cum - n_tokens < {budget}
+    """
+
+
 def _cluster_sample_oracle(
     iters: int = KMEANS_ITERS, n_per_cluster: int = 25
 ) -> str:
@@ -3207,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_spans_removed": q_dup_spans_removed,
         "cluster_sample": q_cluster_sample,
+        "token_budget_sample": q_token_budget_sample,
         # -- (c) round-2 evidence, oldest-registered first
         "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
@@ -3241,8 +3272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_changelog": q_scd2_changelog,
         "kmv_distinct": q_kmv_distinct,
         "profile_stats": q_profile_stats,
-        "bitmap_distinct": q_bitmap_distinct,
         # ---- driver gate window (50) ends here ----
+        "bitmap_distinct": q_bitmap_distinct,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         # r02-evidence remainder (2 rounds old after this round — front of
         # the round-5 window); all unchanged and covered by the local gate
@@ -3807,6 +3838,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_oracle(),
         "dup_spans_removed": _dup_spans_removed_oracle(),
         "cluster_sample": _cluster_sample_oracle(),
+        "token_budget_sample": _token_budget_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
         "pack_chunks": _pack_chunks_oracle(),

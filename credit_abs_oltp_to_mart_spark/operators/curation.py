@@ -29,7 +29,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
-from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
+from credit_abs_oltp_to_mart_spark.functions.text import (
+    ws_token_count,
+    ws_tokens,
+)
 
 SPLIT_BUCKETS = 100
 TRAIN_PCT = 80  # buckets [0, 80) -> train
@@ -259,6 +262,47 @@ def decontaminate_against_store(
                 >= max_overlap
             ).alias("dropped"),
         )
+    )
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    by: str = "lang",
+    text_col: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Token-budget sampling: per ``by``-group, keep a deterministic
+    md5-ordered prefix of docs until the group's running token total
+    reaches ``budget_tokens`` — "give me ~1B tokens per language", the
+    mixture-building primitive for training-data recipes. The first doc
+    crossing the line is KEPT (its preceding total was under budget), so
+    each group lands within one document of the target; callers needing a
+    hard token cap chop chunks downstream.
+
+    Deterministic in any engine (md5 order + doc_id tiebreak, independent
+    of partitioning). One window shuffle on the group key; token counts
+    are a map-side expression. Returns (doc_id, group, n_tokens,
+    cum_tokens) for the kept prefix."""
+    rnd = md5_long(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+    n_tok = ws_token_count(F.col(text_col))
+    w = Window.partitionBy("grp").orderBy(rnd.asc(), F.col("doc_id").asc())
+    staged = docs.select(
+        "doc_id", F.col(by).alias("grp"), n_tok.alias("n_tokens")
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return staged.where(
+        F.col("cum_tokens") - F.col("n_tokens") < budget_tokens
+    ).select(
+        "doc_id",
+        F.col("grp").alias(by),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
 
 
