@@ -196,6 +196,70 @@ def compact_signature_store(
     return stats
 
 
+def audit_signature_store(spark: SparkSession, out_dir: str) -> dict:
+    """Consistency report for a ``stream_dedup_ingest`` signature store —
+    the operational check a long-running ingest runs between batches or
+    after incidents. Detects:
+
+    * ``duplicate_doc_ids`` — a doc_id present in more than one partition:
+      the replay-idempotency or compaction contract was violated somewhere
+      (e.g. a partition restored from backup next to its compacted copy).
+    * ``mislabeled_rows`` — rows whose in-file ``ingest_batch`` EXCEEDS
+      their partition id: impossible under both the writer (column ==
+      partition) and compaction (column <= merged partition id).
+    * ``orphan_partitions`` — partition ids beyond every batch the
+      checkpoint's offset log has ever started: leftovers of a run whose
+      checkpoint was deleted or swapped.
+
+    A report, not a gate — returns counts plus the offending ids so an
+    operator can decide; empty store returns zeros."""
+    import re
+
+    from pyspark.errors import AnalysisException
+
+    store_dir = os.path.join(out_dir, "signature_store")
+    offsets_dir = os.path.join(out_dir, "checkpoint", "offsets")
+    fs, _ = _hadoop_fs(spark, store_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+
+    def _ls(path: str) -> list[str]:
+        p = jvm_path(path)
+        if not fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in fs.listStatus(p)]
+
+    report = {
+        "store": store_dir,
+        "duplicate_doc_ids": 0,
+        "mislabeled_rows": 0,
+        "orphan_partitions": [],
+    }
+    try:
+        store = spark.read.parquet(store_dir)
+    except AnalysisException:
+        return report
+    dup = (
+        store.groupBy("doc_id")
+        .count()
+        .where(F.col("count") > 1)
+    )
+    report["duplicate_doc_ids"] = dup.count()
+    report["mislabeled_rows"] = store.where(
+        F.col("ingest_batch") > F.col("batch")
+    ).count()
+    started = [
+        int(n) for n in _ls(offsets_dir) if re.fullmatch(r"\d+", n)
+    ]
+    max_started = max(started) if started else -1
+    parts = [
+        int(n.split("=", 1)[1])
+        for n in _ls(store_dir)
+        if re.fullmatch(r"batch=\d+", n)
+    ]
+    report["orphan_partitions"] = sorted(n for n in parts if n > max_started)
+    return report
+
+
 def compact_table(
     spark: SparkSession,
     table_dir: str,

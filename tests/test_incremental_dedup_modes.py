@@ -276,3 +276,47 @@ def test_stream_dedup_ingest_modes_agree(spark, tmp_path, broadcast_batch):
         broadcast_batch=broadcast_batch,
     )
     assert _rows(got) == {(1, 0), (2, 0), (11, 1)}
+
+
+def test_signature_store_audit(spark, tmp_path):
+    """audit_signature_store: clean after an ingest AND after compaction;
+    detects planted duplicate doc_ids, mislabeled rows, and orphan
+    partitions."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        audit_signature_store,
+        compact_signature_store,
+    )
+
+    src = tmp_path / "audit_slices"
+    out = str(tmp_path / "audit_out")
+    store = os.path.join(out, "signature_store")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=11, text=TEXT_C)], t0)
+    streaming.stream_dedup_ingest(spark, f"{src}/b*", out, schema=schema, min_est=0.25)
+
+    clean = audit_signature_store(spark, out)
+    assert (clean["duplicate_doc_ids"], clean["mislabeled_rows"], clean["orphan_partitions"]) == (0, 0, [])
+    compact_signature_store(spark, out, target_files=1)
+    clean2 = audit_signature_store(spark, out)
+    assert (clean2["duplicate_doc_ids"], clean2["mislabeled_rows"], clean2["orphan_partitions"]) == (0, 0, [])
+
+    # plant every anomaly: copy the compacted partition to an id beyond
+    # the offset log (orphan + duplicate docs + column > partition? no —
+    # copied rows keep ingest_batch <= 1 < 99, so NOT mislabeled; plant a
+    # mislabeled row separately)
+    shutil.copytree(os.path.join(store, "batch=1"), os.path.join(store, "batch=99"))
+    spark.createDataFrame(
+        [(777, *[0] * 8, 5)],
+        "doc_id long, s0 long, s1 long, s2 long, s3 long, s4 long, s5 long,"
+        " s6 long, s7 long, ingest_batch long",
+    ).write.mode("append").parquet(os.path.join(store, "batch=1"))
+    bad = audit_signature_store(spark, out)
+    assert bad["duplicate_doc_ids"] == 2  # docs 1 and 11 in both partitions
+    assert bad["mislabeled_rows"] == 1  # ingest_batch 5 > partition 1
+    assert bad["orphan_partitions"] == [99]
