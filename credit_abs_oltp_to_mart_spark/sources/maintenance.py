@@ -126,6 +126,11 @@ def compact_signature_store(
     hidden dir in place, and the next call RESUMES at step 2 instead of
     re-merging (the hidden dir, not the partitions, is then the truth).
     Returns a stats dict; no-op when fewer than 2 committed partitions.
+
+    Run BETWEEN ingest runs: the ingest's per-batch store scan lists
+    files at plan time, so swapping partitions under a concurrently
+    RUNNING ingest can fail that batch's scan transiently (committed
+    data is never at risk — the swap is rerun-safe either way).
     """
     import re
 
@@ -160,7 +165,11 @@ def compact_signature_store(
         if re.fullmatch(r"batch=\d+", n)
     )
     if pending:
+        # newest hidden dir wins; older crashed attempts are strict
+        # subsets of it (same protocol, smaller upto) — drop them
         cid = pending[-1]
+        for stale in pending[:-1]:
+            fs.delete(jvm_path(f"{store_dir}/.compact-{stale}"), True)
         for n in parts:
             if n <= cid:
                 fs.delete(jvm_path(f"{store_dir}/batch={n}"), True)
