@@ -174,6 +174,7 @@ def ivf_topk_trained(
     from credit_abs_oltp_to_mart_spark.operators.kmeans import (
         FP_SCALE,
         _to_fp,
+        centroid_score_structs,
         kmeans_train,
     )
 
@@ -191,21 +192,9 @@ def ivf_topk_trained(
         assign.select(F.col("vec_id").alias("neighbor_id"), "cluster"),
         "neighbor_id",
     )
-    choices = []
-    for cid in sorted(cents):
-        c = cents[cid]
-        cc = sum(x * x for x in c)
-        lits = ", ".join(str(x) + "L" for x in c)
-        dot = (
-            f"aggregate(zip_with(__qa, array({lits}), (x, y) -> x * y),"
-            f" 0L, (acc, x) -> acc + x)"
-        )
-        choices.append(
-            F.struct(
-                F.expr(f"{cc}L - 2L * ({dot})").alias("score"),
-                F.lit(cid).cast("bigint").alias("cid"),
-            )
-        )
+    # SAME scoring builder as the Lloyd loop (see centroid_score_structs):
+    # probe ranking must rank by the exact expression assignment used
+    choices = centroid_score_structs(cents, "__qa")
     probes = (
         emb.where(F.col("vec_id").isin(query_ids))
         .select(

@@ -287,6 +287,27 @@ def incremental_pairs_from_signatures(
             F.col(f"s{i}").alias(f"{prefix}_s{i}") for i in range(n_perm)
         ]]
         if "band_key" in sig.columns:
+            # a pre-banded store built with a different `bands` would
+            # structurally never collide with the new side's keys — a
+            # silent full dedup bypass. Validate the key SHAPE per row
+            # (component count = band index + rows_per_band) so that
+            # mismatch fails loudly instead. The assert rides on the
+            # doc_id projection, NOT the join key: wrapping band_key in
+            # an expression would discard the bucketed scan's
+            # HashPartitioning and re-introduce the store-side exchange
+            # the pre-banded layout exists to avoid. (assert_true is null
+            # on pass, so the coalesce is the identity.)
+            width = 1 + n_perm // bands
+            chk = F.assert_true(
+                F.size(F.split(F.col("band_key"), ":")) == width,
+                F.lit(
+                    "pre-banded signature store band_key does not match "
+                    f"bands={bands}, n_perm={n_perm}"
+                ),
+            )
+            keyed[0] = F.coalesce(
+                chk.cast("long"), F.col(f"{prefix}_doc_id")
+            ).alias(f"{prefix}_doc_id")
             return sig.withColumnRenamed("doc_id", f"{prefix}_doc_id").select(
                 *keyed, "band_key"
             )
@@ -410,12 +431,14 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64) -> DataFrame:
     # 16 SUM accumulators (vs 60-64 conditional sums: ~4x less per-row
     # work, ~4x smaller partial-agg buffer through the shuffle). The guard
     # below caps n at 2^15-1 DISTINCT tokens per doc (still hundreds of KB
-    # of unique words), one bit tighter than the 16-bit lane width: past
-    # 2^15 tokens the TOP lane (bits 48+) could push an intermediate
-    # partial SUM past Long.MAX, which under spark.sql.ansi.enabled throws
-    # an opaque ArithmeticException before any row-level check can fire —
-    # the tighter bound keeps every partial sum < 2^63 so the failure mode
-    # is always the intended assert_true message, ANSI or not.
+    # of unique words), one bit tighter than the 16-bit lane width: it
+    # guarantees that any doc which PASSES the guard kept every partial
+    # SUM below Long.MAX (top lane, bits 48+, included), so passing docs
+    # can never overflow, in ANSI mode or out. A doc that VIOLATES the
+    # bound may still die with the raw ArithmeticException under
+    # spark.sql.ansi.enabled before the post-agg assert column evaluates
+    # (the overflow happens inside the aggregation itself); non-ANSI mode
+    # wraps benignly and reaches the intended assert_true message.
     # shiftrightUNSIGNED so bit 63 of a signed xxhash64 never smears sign
     # bits across higher lanes.
     stride = 16

@@ -71,6 +71,35 @@ def kmeans_assign(
     return assign
 
 
+def centroid_score_structs(
+    cents: dict[int, list[int]], arr_col: str
+) -> list[Column]:
+    """(score, cid) structs — the integer L2 score |c|^2 - 2<v,c> of the
+    fixed-point vector column ``arr_col`` against every codebook
+    centroid, with the cid tiebreak baked into struct order (struct
+    comparison is lexicographic). Shared by the Lloyd assignment loop and
+    ``ann.ivf_topk_trained``'s probe ranking so the two scoring
+    expressions can never drift — the trained-IVF equivalence
+    "assignment == re-assignment against the codebook" depends on them
+    being identical."""
+    out = []
+    for cid in sorted(cents):
+        c = cents[cid]
+        cc = sum(x * x for x in c)  # exact python int, fits bigint
+        lits = ", ".join(str(x) + "L" for x in c)
+        dot = (
+            f"aggregate(zip_with({arr_col}, array({lits}), (x, y) -> x * y),"
+            f" 0L, (acc, x) -> acc + x)"
+        )
+        out.append(
+            F.struct(
+                F.expr(f"{cc}L - 2L * ({dot})").alias("score"),
+                F.lit(cid).cast("bigint").alias("cid"),
+            )
+        )
+    return out
+
+
 def kmeans_train(
     emb: DataFrame,
     *,
@@ -100,21 +129,7 @@ def kmeans_train(
 
     assign = None
     for it in range(iterations):
-        choices = []
-        for cid in sorted(cents):
-            c = cents[cid]
-            cc = sum(x * x for x in c)  # exact python int, fits bigint
-            lits = ", ".join(str(x) + "L" for x in c)
-            dot = (
-                f"aggregate(zip_with(a, array({lits}), (x, y) -> x * y),"
-                f" 0L, (acc, x) -> acc + x)"
-            )
-            choices.append(
-                F.struct(
-                    F.expr(f"{cc}L - 2L * ({dot})").alias("score"),
-                    F.lit(cid).cast("bigint").alias("cid"),
-                )
-            )
+        choices = centroid_score_structs(cents, "a")
         assign = v.select(
             "vid", "a", F.array_min(F.array(*choices))["cid"].alias("cluster")
         )

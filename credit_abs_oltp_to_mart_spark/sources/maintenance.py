@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 
 from pyspark.sql import SparkSession
@@ -90,6 +91,67 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
+def _fs_names(fs, jvm_path, path: str) -> list[str]:
+    """Child names of ``path`` via the Hadoop FS, [] when absent."""
+    p = jvm_path(path)
+    if not fs.exists(p):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(p)]
+
+
+def resume_pending_compaction(spark: SparkSession, store_dir: str) -> dict | None:
+    """Heal a signature store left mid-compaction by a crash; None if no
+    ``.compact-*`` dir is pending.
+
+    The protocol invariant that makes this safe: source partitions are
+    deleted ONLY after the hidden merge dir is completely written (its
+    ``_SUCCESS`` marker exists). Therefore:
+
+    * a hidden dir WITHOUT ``_SUCCESS`` is a crashed step-1 write — the
+      partitions are untouched, so the partial dir is simply deleted;
+    * a hidden dir WITH ``_SUCCESS`` is the single source of truth for
+      batches <= its id (the partition deletes may be anywhere between
+      not-started and done) — finish the swap: delete the remaining
+      merged partitions, rename the hidden dir into place.
+
+    ``stream_dedup_ingest`` calls this before starting, so an ingest
+    restarted over a half-swapped store repairs it instead of silently
+    dedup-ing against a store missing its merged history."""
+    fs, _ = _hadoop_fs(spark, store_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    pending = sorted(
+        int(n.split("-", 1)[1])
+        for n in _fs_names(fs, jvm_path, store_dir)
+        if re.fullmatch(r"\.compact-\d+", n)
+    )
+    if not pending:
+        return None
+    result = {"resumed": False, "dropped_partials": []}
+    complete = [
+        cid
+        for cid in pending
+        if fs.exists(jvm_path(f"{store_dir}/.compact-{cid}/_SUCCESS"))
+    ]
+    for cid in pending:
+        if cid not in complete or cid != max(complete, default=-1):
+            # crashed mid-write (partitions intact), or superseded by a
+            # newer complete attempt — never partition-deleted, safe to drop
+            fs.delete(jvm_path(f"{store_dir}/.compact-{cid}"), True)
+            if cid not in complete:
+                result["dropped_partials"].append(cid)
+    if complete:
+        cid = max(complete)
+        for n in _fs_names(fs, jvm_path, store_dir):
+            if re.fullmatch(r"batch=\d+", n) and int(n.split("=", 1)[1]) <= cid:
+                fs.delete(jvm_path(f"{store_dir}/{n}"), True)
+        fs.rename(
+            jvm_path(f"{store_dir}/.compact-{cid}"),
+            jvm_path(f"{store_dir}/batch={cid}"),
+        )
+        result.update(resumed=True, merged_upto=cid)
+    return result
+
+
 def compact_signature_store(
     spark: SparkSession,
     out_dir: str,
@@ -122,64 +184,45 @@ def compact_signature_store(
       2. delete the source ``batch=<n>`` partitions (n <= id);
       3. rename ``.compact-<id>`` to ``batch=<id>``.
 
-    A crash after step 1 is invisible; a crash during 2-3 leaves the
-    hidden dir in place, and the next call RESUMES at step 2 instead of
-    re-merging (the hidden dir, not the partitions, is then the truth).
-    Returns a stats dict; no-op when fewer than 2 committed partitions.
+    A crash DURING step 1 leaves a hidden dir without its ``_SUCCESS``
+    marker and the partitions untouched — the next call (or the ingest's
+    startup healing) deletes the partial dir and re-merges. A crash
+    during 2-3 leaves a COMPLETE hidden dir, which is then the single
+    source of truth: the next call resumes at step 2 instead of
+    re-merging. Returns a stats dict; no-op when fewer than 2 committed
+    partitions.
 
     Run BETWEEN ingest runs: the ingest's per-batch store scan lists
     files at plan time, so swapping partitions under a concurrently
     RUNNING ingest can fail that batch's scan transiently (committed
     data is never at risk — the swap is rerun-safe either way).
     """
-    import re
-
     store_dir = os.path.join(out_dir, "signature_store")
     commits_dir = os.path.join(out_dir, "checkpoint", "commits")
-    fs, store_path = _hadoop_fs(spark, store_dir)
+    fs, _ = _hadoop_fs(spark, store_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
 
-    def _ls(path: str) -> list[str]:
-        p = jvm_path(path)
-        if not fs.exists(p):
-            return []
-        return [s.getPath().getName() for s in fs.listStatus(p)]
-
     committed = [
-        int(name) for name in _ls(commits_dir) if re.fullmatch(r"\d+", name)
+        int(name)
+        for name in _fs_names(fs, jvm_path, commits_dir)
+        if re.fullmatch(r"\d+", name)
     ]
     stats = {"store": store_dir, "compacted": False}
     if not committed:
         return stats
     upto = max(committed)
 
-    # resume a crashed attempt: the hidden dir IS the merged data
-    pending = sorted(
-        int(n.split("-", 1)[1])
-        for n in _ls(store_dir)
-        if re.fullmatch(r"\.compact-\d+", n)
-    )
-    parts = sorted(
-        int(n.split("=", 1)[1])
-        for n in _ls(store_dir)
-        if re.fullmatch(r"batch=\d+", n)
-    )
-    if pending:
-        # newest hidden dir wins; older crashed attempts are strict
-        # subsets of it (same protocol, smaller upto) — drop them
-        cid = pending[-1]
-        for stale in pending[:-1]:
-            fs.delete(jvm_path(f"{store_dir}/.compact-{stale}"), True)
-        for n in parts:
-            if n <= cid:
-                fs.delete(jvm_path(f"{store_dir}/batch={n}"), True)
-        fs.rename(
-            jvm_path(f"{store_dir}/.compact-{cid}"),
-            jvm_path(f"{store_dir}/batch={cid}"),
-        )
-        stats.update(compacted=True, resumed=True, merged_upto=cid)
+    healed = resume_pending_compaction(spark, store_dir)
+    if healed and healed.get("resumed"):
+        stats.update(compacted=True, resumed=True,
+                     merged_upto=healed["merged_upto"])
         return stats
 
+    parts = sorted(
+        int(n.split("=", 1)[1])
+        for n in _fs_names(fs, jvm_path, store_dir)
+        if re.fullmatch(r"batch=\d+", n)
+    )
     merge = [n for n in parts if n <= upto]
     stats["partitions_before"] = len(parts)
     if len(merge) < 2:
@@ -192,6 +235,15 @@ def compact_signature_store(
     )
     hidden = f"{store_dir}/.compact-{upto}"
     merged.write.mode("overwrite").parquet(hidden)
+    # the deletes below are ONLY safe once the hidden dir is provably
+    # complete — resume_pending_compaction keys on this marker to decide
+    # between finish-the-swap and drop-the-partial
+    if not fs.exists(jvm_path(f"{hidden}/_SUCCESS")):
+        raise RuntimeError(
+            f"compaction write to {hidden} left no _SUCCESS marker "
+            "(committer configured without job markers?) — refusing to "
+            "delete source partitions"
+        )
     for n in merge:
         fs.delete(jvm_path(f"{store_dir}/batch={n}"), True)
     fs.rename(jvm_path(hidden), jvm_path(f"{store_dir}/batch={upto}"))
@@ -219,11 +271,13 @@ def audit_signature_store(spark: SparkSession, out_dir: str) -> dict:
     * ``orphan_partitions`` — partition ids beyond every batch the
       checkpoint's offset log has ever started: leftovers of a run whose
       checkpoint was deleted or swapped.
+    * ``pending_compaction`` / ``unreadable_store`` — a ``.compact-*``
+      dir awaiting `resume_pending_compaction`, and the
+      partitions-exist-but-cannot-be-read incident state (wiped files,
+      mid-crash store) — the LISTING checks still run in that case.
 
     A report, not a gate — returns counts plus the offending ids so an
     operator can decide; empty store returns zeros."""
-    import re
-
     from pyspark.errors import AnalysisException
 
     store_dir = os.path.join(out_dir, "signature_store")
@@ -231,41 +285,40 @@ def audit_signature_store(spark: SparkSession, out_dir: str) -> dict:
     fs, _ = _hadoop_fs(spark, store_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
 
-    def _ls(path: str) -> list[str]:
-        p = jvm_path(path)
-        if not fs.exists(p):
-            return []
-        return [s.getPath().getName() for s in fs.listStatus(p)]
-
+    names = _fs_names(fs, jvm_path, store_dir)
+    parts = [
+        int(n.split("=", 1)[1]) for n in names if re.fullmatch(r"batch=\d+", n)
+    ]
+    started = [
+        int(n)
+        for n in _fs_names(fs, jvm_path, offsets_dir)
+        if re.fullmatch(r"\d+", n)
+    ]
+    max_started = max(started) if started else -1
     report = {
         "store": store_dir,
         "duplicate_doc_ids": 0,
         "mislabeled_rows": 0,
-        "orphan_partitions": [],
+        "orphan_partitions": sorted(n for n in parts if n > max_started),
+        "pending_compaction": sorted(
+            int(n.split("-", 1)[1])
+            for n in names
+            if re.fullmatch(r"\.compact-\d+", n)
+        ),
+        "unreadable_store": False,
     }
     try:
         store = spark.read.parquet(store_dir)
+        report["duplicate_doc_ids"] = (
+            store.groupBy("doc_id").count().where(F.col("count") > 1).count()
+        )
+        report["mislabeled_rows"] = store.where(
+            F.col("ingest_batch") > F.col("batch")
+        ).count()
     except AnalysisException:
-        return report
-    dup = (
-        store.groupBy("doc_id")
-        .count()
-        .where(F.col("count") > 1)
-    )
-    report["duplicate_doc_ids"] = dup.count()
-    report["mislabeled_rows"] = store.where(
-        F.col("ingest_batch") > F.col("batch")
-    ).count()
-    started = [
-        int(n) for n in _ls(offsets_dir) if re.fullmatch(r"\d+", n)
-    ]
-    max_started = max(started) if started else -1
-    parts = [
-        int(n.split("=", 1)[1])
-        for n in _ls(store_dir)
-        if re.fullmatch(r"batch=\d+", n)
-    ]
-    report["orphan_partitions"] = sorted(n for n in parts if n > max_started)
+        # the audit's whole point is surfacing broken stores: report the
+        # listing-based findings instead of pretending health
+        report["unreadable_store"] = bool(parts)
     return report
 
 

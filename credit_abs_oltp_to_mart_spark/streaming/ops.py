@@ -557,9 +557,18 @@ def stream_dedup_ingest(
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        resume_pending_compaction,
+    )
 
     store_dir = os.path.join(out_dir, "signature_store")
     ck_dir = os.path.join(out_dir, "checkpoint")
+    # heal a store left mid-compaction by a crash BEFORE reading it:
+    # between compaction's partition deletes and its final rename, the
+    # only copy of the merged history lives in a dot-prefixed dir Spark's
+    # file index ignores — dedup-ing against that half-swapped store
+    # would silently re-admit every previously-committed near-duplicate
+    resume_pending_compaction(spark, store_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()

@@ -320,3 +320,87 @@ def test_signature_store_audit(spark, tmp_path):
     assert bad["duplicate_doc_ids"] == 2  # docs 1 and 11 in both partitions
     assert bad["mislabeled_rows"] == 1  # ingest_batch 5 > partition 1
     assert bad["orphan_partitions"] == [99]
+
+
+def test_compaction_drops_partial_hidden_dir_and_remerges(spark, tmp_path):
+    """A hidden dir WITHOUT _SUCCESS is a crashed mid-write (partitions
+    intact): compaction must drop it and re-merge — trusting it would
+    swap a partial file set over the committed store (data loss)."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        audit_signature_store,
+        compact_signature_store,
+    )
+
+    src = tmp_path / "partial_slices"
+    out = str(tmp_path / "partial_out")
+    store = os.path.join(out, "signature_store")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=11, text=TEXT_C)], t0)
+    before = _rows(
+        streaming.stream_dedup_ingest(spark, f"{src}/b*", out, schema=schema, min_est=0.25)
+    )
+    # stage a crashed-mid-write attempt: hidden dir, garbage file, NO _SUCCESS
+    os.makedirs(os.path.join(store, ".compact-1"))
+    with open(os.path.join(store, ".compact-1", "part-zzz.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert audit_signature_store(spark, out)["pending_compaction"] == [1]
+    stats = compact_signature_store(spark, out, target_files=1)
+    assert stats["compacted"] and stats.get("resumed") is False
+    assert [d for d in os.listdir(store) if d.startswith("batch=")] == ["batch=1"]
+    assert not any(d.startswith(".compact") for d in os.listdir(store))
+    assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == before
+
+
+def test_ingest_heals_half_swapped_store(spark, tmp_path):
+    """Crash between compaction's partition deletes and the rename: the
+    only copy of merged history is the hidden dir. A restarted ingest
+    must heal the swap BEFORE dedup-ing, or previously-committed
+    near-duplicates would be silently re-admitted."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "heal_slices"
+    out = str(tmp_path / "heal_out")
+    store = os.path.join(out, "signature_store")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=11, text=TEXT_C)], t0)
+    streaming.stream_dedup_ingest(spark, f"{src}/b*", out, schema=schema, min_est=0.25)
+    # stage the half-swapped state: COMPLETE hidden dir (spark write =>
+    # _SUCCESS), all source partitions already deleted
+    (
+        spark.read.parquet(store)
+        .where(F.col("batch") <= 1)
+        .drop("batch")
+        .repartition(1)
+        .write.parquet(os.path.join(store, ".compact-1"))
+    )
+    shutil.rmtree(os.path.join(store, "batch=0"))
+    shutil.rmtree(os.path.join(store, "batch=1"))
+    # a new slice carrying a dup of batch-0's survivor arrives
+    _land(spark, src, schema, 2, [Row(doc_id=20, text=TEXT_A), Row(doc_id=21, text="fresh never seen words entirely new here")], t0)
+    got = _rows(
+        streaming.stream_dedup_ingest(spark, f"{src}/b*", out, schema=schema, min_est=0.25)
+    )
+    # doc 20 dropped against the HEALED store; without healing the store
+    # read would miss batches 0-1 and 20 would survive
+    assert got == {(1, 0), (11, 1), (21, 2)}
+
+
+def test_prebanded_store_band_mismatch_fails_loudly(spark):
+    """A pre-banded store built with a different `bands` must raise, not
+    silently produce zero candidate pairs (a full dedup bypass)."""
+    corpus, batch = _corpus_and_batch(spark)
+    wrong = minhash_signatures(corpus, n_perm=8).select(
+        "doc_id",
+        *[f"s{i}" for i in range(8)],
+        _band_key_col(8, 4),
+    )
+    with pytest.raises(Exception, match="band_key does not match"):
+        incremental_minhash_pairs(
+            batch, wrong, bands=2, broadcast_batch=False
+        ).collect()

@@ -155,7 +155,11 @@ def main() -> int:
             for k in range(n_slices):
                 part = dN.where(F.pmod(F.col("doc_id"), n_slices) == k)
                 path = f"{sdir}/b{k:03d}"
-                part.coalesce(max(1, 32 // n_slices)).write.parquet(path)
+                # ONE file per slice: the ingest's maxFilesPerTrigger=1
+                # makes every file its own micro-batch, so micro-batch
+                # count must equal slice count or the per-slice-overhead
+                # number measures nothing
+                part.coalesce(1).write.parquet(path)
                 for f in os.listdir(path):
                     if f.endswith(".parquet"):
                         t = now - 600 + 10 * k
