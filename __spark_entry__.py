@@ -1180,6 +1180,14 @@ def q_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.remove_spans(docs, textops.duplicate_spans(docs, k=8))
 
 
+def q_token_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency fluency scoring (engine-portable LM-filter core):
+    per doc, the mean corpus-wide occurrence count of its tokens and the
+    share of near-unique tokens — rational arithmetic instead of log
+    perplexity so any engine reproduces it bit-for-bit."""
+    return textops.token_frequency_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1815,6 +1823,24 @@ def _decontaminate_oracle() -> str:
            coalesce(c, 0)::int as n_contaminated,
            round(coalesce(c, 0)::double / n, 6) as contamination
     from tot left join hits on hits.doc_id = tot.doc_id
+    """
+
+
+def _token_freq_oracle(rare_max: int = 2) -> str:
+    """Replay of textops.token_frequency_stats: global token counts joined
+    back onto the token stream, per-doc rational averages."""
+    return f"""
+    with t as (
+      select doc_id, unnest(string_split_regex(trim(text), ' +')) as tok
+      from documents where trim(text) <> ''),
+    f as (select tok, count(*) as cnt from t group by 1),
+    pd as (select doc_id, count(*) as n, sum(cnt) as s,
+                  count(case when cnt <= {rare_max} then 1 end) as r
+           from t join f using (tok) group by 1)
+    select d.doc_id, coalesce(n, 0)::int as n_tokens,
+           round(s::double / n, 6) as avg_token_freq,
+           round(r::double / n, 6) as rare_token_share
+    from documents d left join pd using (doc_id)
     """
 
 
@@ -3238,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_removed": q_dup_spans_removed,
         "cluster_sample": q_cluster_sample,
         "token_budget_sample": q_token_budget_sample,
+        "token_freq_stats": q_token_freq_stats,
         # -- (c) round-2 evidence, oldest-registered first
         "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
@@ -3271,8 +3298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "scd2_changelog": q_scd2_changelog,
         "kmv_distinct": q_kmv_distinct,
-        "profile_stats": q_profile_stats,
         # ---- driver gate window (50) ends here ----
+        "profile_stats": q_profile_stats,
         "bitmap_distinct": q_bitmap_distinct,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         # r02-evidence remainder (2 rounds old after this round — front of
@@ -3839,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_removed": _dup_spans_removed_oracle(),
         "cluster_sample": _cluster_sample_oracle(),
         "token_budget_sample": _token_budget_oracle(),
+        "token_freq_stats": _token_freq_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
         "pack_chunks": _pack_chunks_oracle(),

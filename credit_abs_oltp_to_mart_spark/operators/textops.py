@@ -235,3 +235,52 @@ def remove_spans(
             F.coalesce(n_removed, F.lit(0)).cast("int").alias("n_removed"),
         )
     )
+
+
+def token_frequency_stats(docs: DataFrame, *, rare_max: int = 2,
+                          text_col: str = "text") -> DataFrame:
+    """Corpus-frequency fluency signals per doc — the engine-portable core
+    of an LM-perplexity-style quality filter (cf. CCNet's reference-LM
+    scoring): fluent text is built mostly from tokens the corpus uses
+    often, while gibberish/OCR noise is dominated by near-unique tokens.
+
+    Per doc (over ALL token occurrences, not the distinct set):
+      * ``avg_token_freq`` — mean corpus-wide occurrence count of the
+        doc's tokens (rational arithmetic, no log: a ratio of exact
+        integers rounds identically in any engine, where log-based
+        perplexity would drift in the last ulp across libms);
+      * ``rare_token_share`` — fraction of tokens whose corpus count is
+        <= ``rare_max``.
+
+    Scale shape: one token-explode, one corpus-wide (token, count)
+    aggregation (partial-agg combines repeats map-side), one shuffle join
+    of the token stream to its counts (vocabulary is unbounded at 100 TB,
+    so the count table is NOT broadcast by design), one per-doc
+    aggregation. Empty docs keep n_tokens=0 with null ratios."""
+    toked = docs.where(F.size(ws_tokens(F.col(text_col))) > 0).select(
+        "doc_id", F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    )
+    freq = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        toked.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("s"),
+            F.count(F.when(F.col("cnt") <= rare_max, 1)).alias("r"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"), 6
+            ).alias("avg_token_freq"),
+            F.round(
+                F.col("r").cast("double") / F.col("n").cast("double"), 6
+            ).alias("rare_token_share"),
+        )
+    )
