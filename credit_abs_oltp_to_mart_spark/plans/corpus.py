@@ -260,12 +260,16 @@ def build_corpus(
 
 
 def run_corpus_pipeline(
-    spark: SparkSession, docs_path: str, out_dir: str
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    *,
+    cut_dup_spans: bool = False,
 ) -> dict[str, int]:
     """CLI flow: read a documents parquet, run the pipeline, write the packed
     shards partitioned by shard, return per-stage row counts."""
     docs = spark.read.parquet(docs_path)
-    stages = build_corpus(docs)
+    stages = build_corpus(docs, cut_dup_spans=cut_dup_spans)
     # persist each stage before the write + counts: the stages chain off one
     # another, so un-persisted counts would re-run the whole upstream
     # (LSH self-join, iterative components) once per stage — ~5x the work
@@ -286,10 +290,17 @@ def run_corpus_pipeline(
 def main(argv: list[str]) -> int:
     from credit_abs_oltp_to_mart_spark.session import get_spark
 
-    docs_path, out_dir = argv[1], argv[2]
-    counts = run_corpus_pipeline(get_spark(app_name="corpus"), docs_path, out_dir)
-    for k in ("input", "filtered", "deduped", "clean", "packed"):
-        print(f"{k}: {counts[k]}")
+    args = [a for a in argv[1:] if a != "--cut-dup-spans"]
+    docs_path, out_dir = args[0], args[1]
+    counts = run_corpus_pipeline(
+        get_spark(app_name="corpus"),
+        docs_path,
+        out_dir,
+        cut_dup_spans="--cut-dup-spans" in argv,
+    )
+    for k in ("input", "filtered", "spancut", "deduped", "clean", "packed"):
+        if k in counts:
+            print(f"{k}: {counts[k]}")
     return 0
 
 
