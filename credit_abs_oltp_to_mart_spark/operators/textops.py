@@ -252,11 +252,16 @@ def token_frequency_stats(docs: DataFrame, *, rare_max: int = 2,
       * ``rare_token_share`` — fraction of tokens whose corpus count is
         <= ``rare_max``.
 
-    Scale shape: one token-explode, one corpus-wide (token, count)
-    aggregation (partial-agg combines repeats map-side), one shuffle join
-    of the token stream to its counts (vocabulary is unbounded at 100 TB,
-    so the count table is NOT broadcast by design), one per-doc
-    aggregation. Empty docs keep n_tokens=0 with null ratios."""
+    Scale shape: the tokenize+explode projection feeds TWO consumers (the
+    corpus-wide (token, count) aggregation and the join side), so the
+    regex scan of the corpus runs twice as written — at 100 TB persist or
+    checkpoint the exploded token stream between the two (left to the
+    caller: an operator-internal persist has no unpersist point once a
+    lazy frame is returned). The count aggregation partial-aggs map-side;
+    the token stream joins to its counts with one shuffle (vocabulary is
+    unbounded at 100 TB, so the count table is NOT broadcast by design);
+    one per-doc aggregation. Empty docs keep n_tokens=0 with null
+    ratios."""
     toked = docs.where(F.size(ws_tokens(F.col(text_col))) > 0).select(
         "doc_id", F.explode(ws_tokens(F.col(text_col))).alias("tok")
     )

@@ -213,6 +213,7 @@ def build_corpus(
     shards: int = 8,
     cut_dup_spans: bool = False,
     span_k: int = 8,
+    min_tokens: int = 8,
 ) -> dict[str, DataFrame]:
     """Full pipeline; returns every stage so callers can write or audit any
     of them. ``packed`` is the trainer-facing output: train-split chunks
@@ -230,7 +231,7 @@ def build_corpus(
     # would otherwise re-run the full regex-heavy filter gate once for the
     # pair chain and once more per downstream stage. First eager use
     # populates the cache; every later stage reads it back.
-    filtered = filter_documents(docs).persist()
+    filtered = filter_documents(docs, min_tokens=min_tokens).persist()
     stages = {"filtered": filtered}
     gated = filtered
     if cut_dup_spans:
@@ -242,10 +243,15 @@ def build_corpus(
         spans = duplicate_spans(filtered, k=span_k)
         rewritten = remove_spans(filtered, spans)
         # rejoin the rewrite onto the doc's other columns; persist — it
-        # feeds the dedup pair chain and every later stage, like filtered
+        # feeds the dedup pair chain and every later stage, like filtered.
+        # The length gate is RE-APPLIED after the cut: a doc whose text was
+        # mostly duplicated spans can come back below the token floor (or
+        # fully empty — all such docs would otherwise collapse to one
+        # surviving empty doc in dedup and reach the packed output).
         gated = (
             filtered.drop("text")
             .join(rewritten.drop("n_removed"), "doc_id")
+            .where(ws_token_count(F.col("text")) >= min_tokens)
             .persist()
         )
         stages["spancut"] = gated

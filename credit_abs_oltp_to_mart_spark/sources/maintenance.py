@@ -188,9 +188,10 @@ def compact_signature_store(
     marker and the partitions untouched — the next call (or the ingest's
     startup healing) deletes the partial dir and re-merges. A crash
     during 2-3 leaves a COMPLETE hidden dir, which is then the single
-    source of truth: the next call resumes at step 2 instead of
-    re-merging. Returns a stats dict; no-op when fewer than 2 committed
-    partitions.
+    source of truth: the next call first finishes that swap, THEN falls
+    through to a fresh merge pass over whatever committed partitions
+    remain — one call always performs the compaction it was asked for.
+    Returns a stats dict; no-op when fewer than 2 committed partitions.
 
     Run BETWEEN ingest runs: the ingest's per-batch store scan lists
     files at plan time, so swapping partitions under a concurrently
@@ -212,11 +213,17 @@ def compact_signature_store(
         return stats
     upto = max(committed)
 
+    # a resumed crashed swap only FINISHES the old attempt — fall through
+    # to a fresh merge pass afterwards so one call always delivers the
+    # compaction it was asked for (the resumed partition simply becomes
+    # one of the merge sources, or the single survivor when nothing else
+    # is committed)
+    resumed = False
     healed = resume_pending_compaction(spark, store_dir)
     if healed and healed.get("resumed"):
+        resumed = True
         stats.update(compacted=True, resumed=True,
                      merged_upto=healed["merged_upto"])
-        return stats
 
     parts = sorted(
         int(n.split("=", 1)[1])
@@ -249,7 +256,7 @@ def compact_signature_store(
     fs.rename(jvm_path(hidden), jvm_path(f"{store_dir}/batch={upto}"))
     stats.update(
         compacted=True,
-        resumed=False,
+        resumed=resumed,
         merged_upto=upto,
         partitions_merged=len(merge),
         partitions_after=len(parts) - len(merge) + 1,

@@ -149,21 +149,50 @@ def test_build_corpus_span_cut_stage(docs):
     )
     from credit_abs_oltp_to_mart_spark.plans.corpus import filter_documents
 
+    from credit_abs_oltp_to_mart_spark.functions.text import ws_token_count
+
     stages = build_corpus(docs, cut_dup_spans=True)
     assert "spancut" in stages
     filtered = filter_documents(docs)
-    expected = remove_spans(filtered, duplicate_spans(filtered, k=8))
-    exp = {r["doc_id"]: (r["text"], r["n_removed"]) for r in expected.collect()}
+    rewritten = remove_spans(filtered, duplicate_spans(filtered, k=8))
+    pre = {r["doc_id"]: (r["text"], r["n_removed"]) for r in rewritten.collect()}
+    # the test corpus does contain shared passages...
+    assert any(n > 0 for _, n in pre.values())
+    # ...and the stage equals the rewrite with the token gate RE-APPLIED
+    # post-cut (fully-cut docs must not survive as empty rows)
+    expected = rewritten.where(ws_token_count(F.col("text")) >= 8)
+    exp = {r["doc_id"]: r["text"] for r in expected.collect()}
     got = {r["doc_id"]: r["text"] for r in stages["spancut"].select("doc_id", "text").collect()}
-    assert set(got) == set(exp)
-    n_rewritten = 0
-    for did, text in got.items():
-        assert text == exp[did][0]
-        n_rewritten += exp[did][1] > 0
-    assert n_rewritten > 0  # the test corpus does contain shared passages
+    assert got == exp
     # downstream consumed the rewrite: no deduped doc still carries a
     # duplicated span FROM THE SPANCUT INPUT (spans were cut corpus-wide)
     n_dups_in_clean = duplicate_spans(
         stages["spancut"].select("doc_id", "text"), k=8
     ).count()
     assert n_dups_in_clean == 0
+
+
+def test_span_cut_drops_fully_cut_docs(spark):
+    """Docs whose ENTIRE text is a corpus-wide duplicated span rewrite to
+    empty; the re-applied token gate must drop them before dedup so no
+    empty doc can reach the packed output (ADVICE r04)."""
+    boiler = (
+        "this is the standard license text that all of these pages share "
+        "and it repeats the same words in the same order every single time "
+        "so that the quality gate still sees a long enough document while "
+        "the whole body remains one corpus wide duplicated span of tokens"
+    )
+    uniq = "a genuinely original passage about small boats on the river at dawn"
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, f"{uniq} {boiler}")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    stages = build_corpus(docs, cut_dup_spans=True)
+    # docs 1 and 2 are pure boilerplate -> fully cut -> gated out; doc 3
+    # keeps its original passage
+    kept = {r["doc_id"] for r in stages["spancut"].select("doc_id").collect()}
+    assert kept == {3}
+    assert stages["spancut"].where(F.trim(F.col("text")) == "").count() == 0
+    # the packed output exists and every chunk carries real tokens
+    packed = stages["packed"].collect()
+    assert packed and all(r["n_tokens"] > 0 for r in packed)

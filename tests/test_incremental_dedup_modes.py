@@ -261,6 +261,48 @@ def test_signature_store_compaction_resumes_after_crash(spark, tmp_path):
     assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == before
 
 
+def test_compaction_resume_falls_through_to_fresh_merge(spark, tmp_path):
+    """A call that resumes a crashed swap must ALSO deliver the compaction
+    it was asked for: with a complete .compact-1 pending (batches 0-1) and
+    a committed batch=2 outside it, ONE call both finishes the swap and
+    folds the resumed partition with batch=2."""
+    import shutil
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        compact_signature_store,
+    )
+
+    src = tmp_path / "resume_merge_slices"
+    out = str(tmp_path / "resume_merge_out")
+    store = os.path.join(out, "signature_store")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=11, text=TEXT_B)], t0)
+    _land(spark, src, schema, 2, [Row(doc_id=21, text=TEXT_C)], t0)
+    before = _rows(
+        streaming.stream_dedup_ingest(spark, f"{src}/b*", out, schema=schema, min_est=0.25)
+    )
+
+    # stage the mid-crash state of a 0..1 compaction: merged data complete
+    # in the hidden dir, one source partition already deleted
+    (
+        spark.read.parquet(store)
+        .where(F.col("batch") <= 1)
+        .drop("batch")
+        .repartition(1)
+        .write.parquet(os.path.join(store, ".compact-1"))
+    )
+    shutil.rmtree(os.path.join(store, "batch=0"))
+
+    stats = compact_signature_store(spark, out, target_files=1)
+    assert stats["compacted"] and stats.get("resumed") is True
+    # NOT just the resumed batch=1: the same call folded it with batch=2
+    assert stats["merged_upto"] == 2 and stats["partitions_merged"] == 2
+    assert [d for d in os.listdir(store) if d.startswith("batch=")] == ["batch=2"]
+    assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == before
+
+
 @pytest.mark.parametrize("broadcast_batch", [True, False])
 def test_stream_dedup_ingest_modes_agree(spark, tmp_path, broadcast_batch):
     """The join-physics knob threads through the streaming ingest without
