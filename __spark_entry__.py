@@ -1180,6 +1180,18 @@ def q_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.remove_spans(docs, textops.duplicate_spans(docs, k=8))
 
 
+def q_dup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-occurrence span policy end-to-end: per duplicated gram
+    the earliest (doc_id, pos) occurrence is NOT cut, so one copy of
+    every boilerplate passage survives the rewrite byte-identical and
+    only later copies are removed — the production substring-dedup shape
+    (cutting ALL copies kills the first legitimate occurrence too)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.remove_spans(
+        docs, textops.duplicate_spans(docs, k=8, keep_first=True)
+    )
+
+
 def q_token_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency fluency scoring (engine-portable LM-filter core):
     per doc, the mean corpus-wide occurrence count of its tokens and the
@@ -1844,10 +1856,24 @@ def _token_freq_oracle(rare_max: int = 2) -> str:
     """
 
 
-def _dup_spans_ctes(k: int = 8, min_count: int = 2) -> str:
+def _dup_spans_ctes(k: int = 8, min_count: int = 2, keep_first: bool = False) -> str:
     """Shared replay CTEs for textops.duplicate_spans: positional k-grams
-    (md5 keys), corpus-wide occurrence filter, gaps-and-islands interval
-    merge — ends with sp(doc_id, span_start, span_end)."""
+    (md5 keys), corpus-wide occurrence filter (``keep_first`` additionally
+    excludes each gram's earliest (doc_id, pos) occurrence), gaps-and-
+    islands interval merge — ends with sp(doc_id, span_start, span_end)."""
+    if keep_first:
+        marked = f"""
+    m as (select doc_id, pos from (
+            select doc_id, pos,
+                   count(*) over (partition by g) as c,
+                   row_number() over (partition by g
+                                      order by doc_id, pos) as rn
+            from pg)
+          where c >= {min_count} and rn > 1),"""
+    else:
+        marked = f"""
+    dup as (select g from pg group by g having count(*) >= {min_count}),
+    m as (select doc_id, pos from pg where g in (select g from dup)),"""
     return f"""
     ntoks as (
       select doc_id, string_split_regex(trim(text), ' +') as tk
@@ -1857,8 +1883,7 @@ def _dup_spans_ctes(k: int = 8, min_count: int = 2) -> str:
              md5(array_to_string(tk[i:i+{k - 1}], ' ')) as g
       from ntoks, unnest(generate_series(1, len(tk) - {k - 1})) as s(i)
       where len(tk) >= {k}),
-    dup as (select g from pg group by g having count(*) >= {min_count}),
-    m as (select doc_id, pos from pg where g in (select g from dup)),
+    {marked}
     l as (select doc_id, pos,
                  lag(pos) over (partition by doc_id order by pos) as pp
           from m),
@@ -1881,12 +1906,14 @@ def _dup_spans_oracle(k: int = 8, min_count: int = 2) -> str:
     """
 
 
-def _dup_spans_removed_oracle(k: int = 8, min_count: int = 2) -> str:
+def _dup_spans_removed_oracle(
+    k: int = 8, min_count: int = 2, keep_first: bool = False
+) -> str:
     """Replay of textops.remove_spans over duplicate_spans output: docs
     with spans are rebuilt from the surviving tokens (ordered string_agg),
     docs without keep their text untouched."""
     return f"""
-    with {_dup_spans_ctes(k, min_count)},
+    with {_dup_spans_ctes(k, min_count, keep_first)},
     alltok as (
       select doc_id, i - 1 as pos, tk[i] as tok
       from ntoks, unnest(generate_series(1, len(tk))) as s(i)),
@@ -3262,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_store": q_decontaminate_store,
         "dup_spans": q_dup_spans,
         "dup_spans_removed": q_dup_spans_removed,
+        "dup_spans_keep_first": q_dup_spans_keep_first,
         "cluster_sample": q_cluster_sample,
         "token_budget_sample": q_token_budget_sample,
         "token_freq_stats": q_token_freq_stats,
@@ -3864,6 +3892,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_store": _decontaminate_store_oracle(),
         "dup_spans": _dup_spans_oracle(),
         "dup_spans_removed": _dup_spans_removed_oracle(),
+        "dup_spans_keep_first": _dup_spans_removed_oracle(keep_first=True),
         "cluster_sample": _cluster_sample_oracle(),
         "token_budget_sample": _token_budget_oracle(),
         "token_freq_stats": _token_freq_oracle(),

@@ -131,6 +131,7 @@ def duplicate_spans(
     k: int = 8,
     *,
     min_count: int = 2,
+    keep_first: bool = False,
     text_col: str = "text",
 ) -> DataFrame:
     """Exact duplicated-substring spans at token level — the corpus-wide
@@ -148,13 +149,23 @@ def duplicate_spans(
     INCLUSIVE token indices — the downstream cut list for a span-removal
     rewrite.
 
+    ``keep_first=True`` is the policy a production pipeline actually
+    wants: per duplicated gram, the EARLIEST occurrence (min (doc_id,
+    pos) over the corpus — a total order) is NOT marked, so one copy of
+    every boilerplate passage survives ``remove_spans`` byte-identical
+    and only later copies are cut. With the flag off, EVERY occurrence
+    is marked (the pure detector — the caller sees all duplicated text).
+
     Scale shape: positional k-grams come straight off the token array
     (``transform`` + ``slice`` + ``array_join`` inside codegen — map-only,
     no window over the token stream); grams shuffle as 16-byte md5 keys
     for the occurrence count (partial-agg combines repeats map-side); the
-    duplicated-position filter is a semi-join on that key; the only other
-    shuffle is the per-doc window for interval merging. Nothing is ever
-    O(corpus^2): cost ~ total token count, like shingling."""
+    duplicated-position filter is a semi-join on that key (keep_first
+    carries the gram's argmin occurrence on the same aggregation — one
+    extra 12-byte struct per distinct duplicated gram, same shuffle); the
+    only other shuffle is the per-doc window for interval merging.
+    Nothing is ever O(corpus^2): cost ~ total token count, like
+    shingling."""
     toks = ws_tokens(F.col(text_col))
     base = docs.select("doc_id", toks.alias("__tk")).where(
         F.size("__tk") >= k
@@ -166,13 +177,35 @@ def duplicate_spans(
     pg = base.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
         "doc_id", "pos", F.md5("gram").alias("g")
     )
-    dup = (
-        pg.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("g")
-    )
-    marked = pg.join(dup, "g", "left_semi").select("doc_id", "pos")
+    if keep_first:
+        # the argmin occurrence rides the SAME count aggregation (min over
+        # a (doc_id, pos) struct is the lexicographic total order); the
+        # inner join then excludes exactly that one occurrence per gram
+        occ = (
+            pg.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min(F.struct("doc_id", "pos")).alias("first"),
+            )
+            .where(F.col("c") >= min_count)
+            .select("g", "first")
+        )
+        marked = (
+            pg.join(occ, "g")
+            .where(
+                (F.col("doc_id") != F.col("first.doc_id"))
+                | (F.col("pos") != F.col("first.pos"))
+            )
+            .select("doc_id", "pos")
+        )
+    else:
+        dup = (
+            pg.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= min_count)
+            .select("g")
+        )
+        marked = pg.join(dup, "g", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     new_span = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
@@ -198,8 +231,9 @@ def remove_spans(
     docs: DataFrame, spans: DataFrame, *, text_col: str = "text"
 ) -> DataFrame:
     """Rewrite each doc with the given token spans CUT — the removal half
-    of substring-level dedup (feed it ``duplicate_spans`` output, or any
-    filtered policy over it, e.g. keep-first-occurrence).
+    of substring-level dedup (feed it ``duplicate_spans`` output: the
+    pure detector cuts every copy, ``keep_first=True`` preserves the
+    earliest occurrence of each duplicated passage).
 
     Returns (doc_id, text, n_removed). Docs with no spans keep their text
     byte-for-byte; docs with spans are rebuilt from the surviving tokens

@@ -213,6 +213,7 @@ def build_corpus(
     shards: int = 8,
     cut_dup_spans: bool = False,
     span_k: int = 8,
+    keep_first_span: bool = False,
     min_tokens: int = 8,
 ) -> dict[str, DataFrame]:
     """Full pipeline; returns every stage so callers can write or audit any
@@ -223,9 +224,11 @@ def build_corpus(
     quality gate and doc-level dedup: corpus-wide duplicated ``span_k``-
     token passages (boilerplate, licenses, templates — text doc-level
     MinHash cannot drop because the surrounding docs differ) are CUT from
-    every document (``textops.duplicate_spans`` + ``remove_spans``). Runs
-    before doc-level dedup on purpose: span removal can collapse
-    near-dups into exact dups, which the cheaper exact pass then takes."""
+    every document (``textops.duplicate_spans`` + ``remove_spans``);
+    ``keep_first_span=True`` preserves the earliest occurrence of each
+    duplicated passage and cuts only the later copies. Runs before
+    doc-level dedup on purpose: span removal can collapse near-dups into
+    exact dups, which the cheaper exact pass then takes."""
     # persisted BEFORE dedup: the dedup stage eagerly materializes its
     # verified pair set (localCheckpoint inside dedup_documents), which
     # would otherwise re-run the full regex-heavy filter gate once for the
@@ -240,7 +243,7 @@ def build_corpus(
             remove_spans,
         )
 
-        spans = duplicate_spans(filtered, k=span_k)
+        spans = duplicate_spans(filtered, k=span_k, keep_first=keep_first_span)
         rewritten = remove_spans(filtered, spans)
         # rejoin the rewrite onto the doc's other columns; persist — it
         # feeds the dedup pair chain and every later stage, like filtered.
@@ -271,11 +274,14 @@ def run_corpus_pipeline(
     out_dir: str,
     *,
     cut_dup_spans: bool = False,
+    keep_first_span: bool = False,
 ) -> dict[str, int]:
     """CLI flow: read a documents parquet, run the pipeline, write the packed
     shards partitioned by shard, return per-stage row counts."""
     docs = spark.read.parquet(docs_path)
-    stages = build_corpus(docs, cut_dup_spans=cut_dup_spans)
+    stages = build_corpus(
+        docs, cut_dup_spans=cut_dup_spans, keep_first_span=keep_first_span
+    )
     # persist each stage before the write + counts: the stages chain off one
     # another, so un-persisted counts would re-run the whole upstream
     # (LSH self-join, iterative components) once per stage — ~5x the work
@@ -296,13 +302,15 @@ def run_corpus_pipeline(
 def main(argv: list[str]) -> int:
     from credit_abs_oltp_to_mart_spark.session import get_spark
 
-    args = [a for a in argv[1:] if a != "--cut-dup-spans"]
+    flags = ("--cut-dup-spans", "--keep-first-span")
+    args = [a for a in argv[1:] if a not in flags]
     docs_path, out_dir = args[0], args[1]
     counts = run_corpus_pipeline(
         get_spark(app_name="corpus"),
         docs_path,
         out_dir,
         cut_dup_spans="--cut-dup-spans" in argv,
+        keep_first_span="--keep-first-span" in argv,
     )
     for k in ("input", "filtered", "spancut", "deduped", "clean", "packed"):
         if k in counts:

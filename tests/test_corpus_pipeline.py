@@ -196,3 +196,10 @@ def test_span_cut_drops_fully_cut_docs(spark):
     # the packed output exists and every chunk carries real tokens
     packed = stages["packed"].collect()
     assert packed and all(r["n_tokens"] > 0 for r in packed)
+    # keep_first_span=True: doc 1 owns every boiler gram's earliest
+    # occurrence and survives byte-identical; its exact copy doc 2 is
+    # fully cut; doc 3 keeps only its original passage
+    kf = build_corpus(docs, cut_dup_spans=True, keep_first_span=True)
+    got = {r["doc_id"]: r["text"] for r in kf["spancut"].select("doc_id", "text").collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == boiler and got[3] == uniq

@@ -74,6 +74,43 @@ def test_unique_corpus_has_no_spans(spark):
     assert _spans(spark, rows, k=4) == set()
 
 
+def test_keep_first_preserves_earliest_occurrence_byte_identical(spark):
+    """keep_first=True: per duplicated gram the min (doc_id, pos)
+    occurrence is not marked — the FIRST copy of a shared passage
+    survives remove_spans byte-identical, later copies are cut."""
+    from credit_abs_oltp_to_mart_spark.operators.textops import remove_spans
+
+    passage = "the quick brown fox jumps high"
+    first = "x0 x1 " + passage + " y0 y1"
+    rows = [
+        Row(doc_id=1, text=first),
+        Row(doc_id=2, text=_words("c", 5) + " " + passage),
+        Row(doc_id=3, text=passage + " " + _words("d", 5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, k=4, keep_first=True)
+    # no span lands in doc 1 (it owns every gram's earliest occurrence)
+    assert {r.doc_id for r in spans.collect()} == {2, 3}
+    got = {r.doc_id: (r.text, r.n_removed) for r in remove_spans(df, spans).collect()}
+    assert got[1] == (first, 0)  # byte-identical survival
+    assert got[2] == (_words("c", 5), 6)
+    assert got[3] == (_words("d", 5), 6)
+
+
+def test_keep_first_within_doc_keeps_first_copy_only(spark):
+    # the SAME doc repeating a passage: earliest in-doc occurrence kept
+    passage = "alpha beta gamma delta"
+    rows = [
+        Row(doc_id=1, text=passage + " " + _words("x", 4) + " " + passage),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in duplicate_spans(df, k=4, keep_first=True).collect()
+    }
+    assert got == {(1, 8, 11, 4)}
+
+
 def test_remove_spans_cuts_exactly_and_preserves_clean_docs(spark):
     from credit_abs_oltp_to_mart_spark.operators.textops import remove_spans
 
