@@ -149,6 +149,7 @@ def ivf_topk_trained(
     k: int = 5,
     nprobe: int = 2,
     vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
 ) -> DataFrame:
     """IVF with a TRAINED coarse codebook: Lloyd k-means on the embedding
     table supplies the centroids, closing the "deterministic stand-in"
@@ -170,12 +171,19 @@ def ivf_topk_trained(
 
     At 100 TB: training cost is the Lloyd loop (assignment map-only,
     update shuffles O(k*dim*partitions) partial sums); the search adds
-    one broadcast join of the probed queries against cluster members."""
+    one broadcast join of the probed queries against cluster members.
+    ``codebook_as_literals`` picks the codebook transport for BOTH the
+    Lloyd loop and the probe ranking (None = auto by k*dim): literals
+    for coarse k, a one-row broadcast codebook frame past a few thousand
+    centroids — bit-parity either way (same integer score + tiebreak)."""
     from credit_abs_oltp_to_mart_spark.operators.kmeans import (
         FP_SCALE,
         _to_fp,
         centroid_score_structs,
+        codebook_frame,
+        codebook_score_structs_expr,
         kmeans_train,
+        use_literal_codebook,
     )
 
     assign, cents = kmeans_train(
@@ -185,6 +193,7 @@ def ivf_topk_trained(
         id_col="vec_id",
         vec_col=vec_col,
         fp_scale=FP_SCALE,
+        codebook_as_literals=codebook_as_literals,
     )
     members = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("nv")
@@ -192,24 +201,28 @@ def ivf_topk_trained(
         assign.select(F.col("vec_id").alias("neighbor_id"), "cluster"),
         "neighbor_id",
     )
-    # SAME scoring builder as the Lloyd loop (see centroid_score_structs):
-    # probe ranking must rank by the exact expression assignment used
-    choices = centroid_score_structs(cents, "__qa")
-    probes = (
-        emb.where(F.col("vec_id").isin(query_ids))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            _to_fp(vec_col, FP_SCALE).alias("__qa"),
+    # SAME scoring builder family as the Lloyd loop (see
+    # centroid_score_structs / codebook_score_structs_expr): probe
+    # ranking must rank by the exact expression assignment used
+    qsrc = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _to_fp(vec_col, FP_SCALE).alias("__qa"),
+    )
+    if use_literal_codebook(cents, codebook_as_literals):
+        ranked = F.array_sort(F.array(*centroid_score_structs(cents, "__qa")))
+    else:
+        qsrc = qsrc.crossJoin(
+            F.broadcast(codebook_frame(emb.sparkSession, cents))
         )
+        ranked = F.array_sort(codebook_score_structs_expr("__qa"))
+    probes = (
         # array_sort on (score, cid) structs IS the ranked probe list:
         # lexicographic struct order = integer L2 score with id tiebreak
-        .select(
+        qsrc.select(
             "query_id",
             "qv",
-            F.explode(
-                F.slice(F.array_sort(F.array(*choices)), 1, nprobe)
-            ).alias("pr"),
+            F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
         )
         .select("query_id", "qv", F.col("pr.cid").alias("cluster"))
     )

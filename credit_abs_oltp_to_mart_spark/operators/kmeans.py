@@ -19,20 +19,34 @@ half-away-from-zero rounded once on ingest):
 so a fixed iteration count gives bit-identical assignments in any engine.
 
 Scale shape (the canonical Lloyd-on-Spark loop): the codebook is k*dim
-numbers — it lives on the driver and ships to executors as literals, so
-ASSIGNMENT IS MAP-ONLY (whole-stage-codegen fold per centroid, no join, no
-shuffle). The update step shuffles (cluster, dim, partial-sum) rows — with
+numbers — it lives on the driver and ships to executors either as plan
+LITERALS (small k: whole-stage-codegen fold per centroid, no join) or as a
+one-row BROADCAST frame (large k: a BroadcastNestedLoopJoin of exactly one
+row — the codebook enters the executors through the broadcast manager
+instead of the serialized plan, which falls over past a few thousand
+centroids). BOTH paths are map-only over the vectors: no shuffle, no
+per-vector row explosion (the broadcast side is one array of structs, and
+the argmin is a higher-order-function fold over it). The integer
+arithmetic is identical expression-for-expression, so the paths are
+bit-parity interchangeable; ``codebook_as_literals=None`` auto-selects by
+k*dim. The update step shuffles (cluster, dim, partial-sum) rows — with
 map-side combine that is O(k * dim * partitions) wire traffic, independent
-of row count. Vectors are fixed-pointed once and localCheckpoint'd;
-iterations never re-read or re-scale the source.
+of row count — and collects O(k*dim) to the driver per round (fine for
+coarse-IVF k; an extreme-k codebook would keep the update distributed
+too). Vectors are fixed-pointed once and localCheckpoint'd; iterations
+never re-read or re-scale the source.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FP_SCALE = 10**6
+
+# literal-codebook ceiling: past ~4096 centroid VALUES (k * dim) the plan
+# string and codegen blow up — auto-switch to the broadcast-frame path
+LITERAL_CODEBOOK_MAX_VALUES = 4096
 
 
 def _to_fp(col: str, scale: int) -> Column:
@@ -53,6 +67,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fp_scale: int = FP_SCALE,
+    codebook_as_literals: bool | None = None,
 ) -> DataFrame:
     """(vec_id, cluster) after ``iterations`` assignment rounds.
 
@@ -67,6 +82,7 @@ def kmeans_assign(
         id_col=id_col,
         vec_col=vec_col,
         fp_scale=fp_scale,
+        codebook_as_literals=codebook_as_literals,
     )
     return assign
 
@@ -100,6 +116,49 @@ def centroid_score_structs(
     return out
 
 
+def use_literal_codebook(
+    cents: dict[int, list[int]], codebook_as_literals: bool | None
+) -> bool:
+    """Resolve the literal-vs-broadcast codebook choice: explicit flag
+    wins; ``None`` auto-selects literals only while k*dim stays under
+    ``LITERAL_CODEBOOK_MAX_VALUES``."""
+    if codebook_as_literals is not None:
+        return codebook_as_literals
+    dim = len(next(iter(cents.values())))
+    return len(cents) * dim <= LITERAL_CODEBOOK_MAX_VALUES
+
+
+def codebook_frame(
+    spark: SparkSession, cents: dict[int, list[int]]
+) -> DataFrame:
+    """The codebook as a ONE-ROW frame: ``__cbk`` is an array of
+    (cid, cc, arr) structs sorted by cid (cc = |c|^2, exact). Cross-joined
+    under ``F.broadcast`` this is a BroadcastNestedLoopJoin of exactly one
+    row — the large-k codebook transport (broadcast manager, not plan
+    literals), with no effect on the vector side's partitioning."""
+    row = [
+        (int(cid), int(sum(x * x for x in cents[cid])), [int(x) for x in cents[cid]])
+        for cid in sorted(cents)
+    ]
+    return spark.createDataFrame(
+        [(row,)], "__cbk array<struct<cid:bigint,cc:bigint,arr:array<bigint>>>"
+    )
+
+
+def codebook_score_structs_expr(arr_col: str) -> Column:
+    """(score, cid) structs against a joined ``__cbk`` codebook column —
+    the broadcast-path twin of ``centroid_score_structs``: same integer
+    L2 score |c|^2 - 2<v,c>, same lexicographic (score, cid) tiebreak,
+    evaluated as a higher-order-function fold instead of per-centroid
+    literal expressions. Bit-parity with the literal path is load-bearing
+    (the trained-IVF equivalence rides on it) and pinned by tests."""
+    return F.expr(
+        f"transform(__cbk, c -> struct("
+        f"c.cc - 2L * aggregate(zip_with({arr_col}, c.arr, (x, y) -> x * y),"
+        f" 0L, (acc, x) -> acc + x) as score, c.cid as cid))"
+    )
+
+
 def kmeans_train(
     emb: DataFrame,
     *,
@@ -108,6 +167,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fp_scale: int = FP_SCALE,
+    codebook_as_literals: bool | None = None,
 ) -> tuple[DataFrame, dict[int, list[int]]]:
     """``kmeans_assign`` plus the trained CODEBOOK: returns
     (assignments, {cluster_id: fixed-point centroid}) where the codebook
@@ -127,12 +187,19 @@ def kmeans_train(
         missing = set(init_ids) - set(cents)
         raise ValueError(f"init ids not found in input: {sorted(missing)}")
 
+    literals = use_literal_codebook(cents, codebook_as_literals)
     assign = None
     for it in range(iterations):
-        choices = centroid_score_structs(cents, "a")
-        assign = v.select(
-            "vid", "a", F.array_min(F.array(*choices))["cid"].alias("cluster")
-        )
+        if literals:
+            choices = centroid_score_structs(cents, "a")
+            cluster = F.array_min(F.array(*choices))["cid"]
+            scored = v
+        else:
+            cluster = F.array_min(codebook_score_structs_expr("a"))["cid"]
+            scored = v.crossJoin(
+                F.broadcast(codebook_frame(v.sparkSession, cents))
+            )
+        assign = scored.select("vid", "a", cluster.alias("cluster"))
         if it < iterations - 1:
             sums = (
                 assign.select(

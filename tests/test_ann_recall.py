@@ -99,6 +99,19 @@ def test_ivf_trained_recall_on_planted_neighbors(spark, planted):
     assert mean >= 0.9, f"trained-IVF planted recall {mean:.3f} < 0.9"
 
 
+def test_ivf_trained_codebook_paths_agree(spark, planted):
+    """The codebook-transport knob (literals vs one-row broadcast frame)
+    threads through train AND probe ranking without changing a single
+    output row."""
+    emb, qids = planted
+    kw = dict(init_ids=list(range(0, 64, 8)), iterations=3, k=1, nprobe=4)
+    lit = ann.ivf_topk_trained(emb, qids, codebook_as_literals=True, **kw)
+    bc = ann.ivf_topk_trained(emb, qids, codebook_as_literals=False, **kw)
+    a = {tuple(r) for r in lit.collect()}
+    b = {tuple(r) for r in bc.collect()}
+    assert a and a == b
+
+
 @pytest.fixture(scope="module")
 def boundary_pairs(spark):
     """Near-dup corpus planted AT the 0.95 decision boundary (cosine

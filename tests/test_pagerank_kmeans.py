@@ -131,6 +131,52 @@ def test_kmeans_separated_clusters_recovered(spark):
     assert all(got[i] == 1 for i in range(1, 60, 2))
 
 
+def test_kmeans_codebook_paths_bit_parity(spark):
+    """Literal vs broadcast-frame codebook transport: identical integer
+    arithmetic, so BOTH the per-round assignments and the trained
+    codebook must match bit-for-bit (the large-k path is a pure physics
+    swap)."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+
+    rng = random.Random(47)
+    rows = [
+        (i, [rng.uniform(-0.6, 0.6) for _ in range(8)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    a_lit, c_lit = kmeans_train(
+        df, init_ids=[0, 1, 2], iterations=3, codebook_as_literals=True
+    )
+    a_bc, c_bc = kmeans_train(
+        df, init_ids=[0, 1, 2], iterations=3, codebook_as_literals=False
+    )
+    assert c_lit == c_bc
+    assert {tuple(r) for r in a_lit.collect()} == {
+        tuple(r) for r in a_bc.collect()
+    }
+
+
+def test_kmeans_broadcast_codebook_plan_never_shuffles_vectors(spark):
+    """Plan gate for the large-k path: the codebook must enter through a
+    broadcast (BroadcastNestedLoopJoin of the ONE-row codebook frame) and
+    the vector side must stay map-only — any shuffle Exchange here would
+    mean the assignment no longer scales with the vector count."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+
+    rng = random.Random(53)
+    rows = [
+        (i, [rng.uniform(-0.6, 0.6) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assign, _ = kmeans_train(
+        df, init_ids=[0, 1], iterations=1, codebook_as_literals=False
+    )
+    p = assign._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p, p
+    # every Exchange is the codebook broadcast — zero shuffle exchanges
+    assert p.count("Exchange") == p.count("BroadcastExchange"), p
+    assert p.count("BroadcastExchange") == 1, p
+
+
 def test_kmeans_train_codebook_reproduces_assignment(spark):
     """kmeans_train's contract: the returned codebook is the one that
     PRODUCED the final assignment — re-scoring every vector against it
