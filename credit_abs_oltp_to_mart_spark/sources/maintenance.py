@@ -316,8 +316,21 @@ def audit_signature_store(spark: SparkSession, out_dir: str) -> dict:
     }
     try:
         store = spark.read.parquet(store_dir)
+        # a PRE-BANDED store legitimately holds one row per (doc, band):
+        # a doc is duplicated iff it has more rows than distinct band
+        # keys (re-appearing in another partition, or appended twice,
+        # repeats its band keys). Plain stores degrade to count > 1.
+        key = (
+            F.col("band_key") if "band_key" in store.columns else F.lit("")
+        )
         report["duplicate_doc_ids"] = (
-            store.groupBy("doc_id").count().where(F.col("count") > 1).count()
+            store.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(key).alias("d"),
+            )
+            .where(F.col("n") > F.col("d"))
+            .count()
         )
         report["mislabeled_rows"] = store.where(
             F.col("ingest_batch") > F.col("batch")

@@ -508,6 +508,7 @@ def stream_dedup_ingest(
     seed: int = 42,
     broadcast_batch: bool = True,
     dedup_within_batch: bool = False,
+    store_prebanded: bool = False,
 ) -> DataFrame:
     """Streaming corpus ingest with incremental dedup against a GROWING
     signature store — the 100 TB continuous-ingest shape, composing the
@@ -522,6 +523,13 @@ def stream_dedup_ingest(
     check and the within-batch pass: True broadcasts the batch's banded
     signatures (the normal small-slice case), False falls back to a
     sort-merge join on the band key for corpus-sized slices.
+    ``store_prebanded=True`` writes the LSH ``band_key`` INTO the store
+    partitions (``bands`` rows per surviving doc instead of one), so every
+    later batch's store scan skips the band explode entirely — the store
+    side feeds the join straight off the scan, the batch operator's
+    pre-banded layout (``dedup.py``) applied to the growing streaming
+    store. The band shape is validated per row on scan, so a store
+    written with different (n_perm, bands) fails loudly.
 
     Returns the (doc_id, ingest_batch) survivor table. Batch-sequential
     semantics: a doc is dropped iff its signature matches (estimator
@@ -641,11 +649,17 @@ def stream_dedup_ingest(
             # ingest_batch rides INSIDE the files (not just the partition
             # key) so store compaction can merge old partitions without
             # losing the survivor labels.
-            batch_sigs.join(
+            surv_sigs = batch_sigs.join(
                 survivors.select("doc_id"), "doc_id", "left_semi"
-            ).withColumn(
-                "ingest_batch", F.lit(batch_id).cast("long")
-            ).write.mode("overwrite").parquet(
+            ).withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            if store_prebanded:
+                # bake the band explode into the store ONCE at write time
+                # (bands rows per doc) — every later batch's scan then
+                # skips it
+                surv_sigs = surv_sigs.select(
+                    "*", D._band_key_col(n_perm, bands)
+                )
+            surv_sigs.write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
         finally:
@@ -669,4 +683,6 @@ def stream_dedup_ingest(
     # sources.maintenance.compact_signature_store merges committed
     # partitions, the partition key no longer equals the original batch id
     # but the column always does
-    return spark.read.parquet(store_dir).select("doc_id", "ingest_batch")
+    out = spark.read.parquet(store_dir).select("doc_id", "ingest_batch")
+    # a pre-banded store holds `bands` rows per surviving doc
+    return out.distinct() if store_prebanded else out

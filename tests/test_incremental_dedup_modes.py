@@ -320,6 +320,63 @@ def test_stream_dedup_ingest_modes_agree(spark, tmp_path, broadcast_batch):
     assert _rows(got) == {(1, 0), (2, 0), (11, 1)}
 
 
+def test_stream_dedup_ingest_prebanded_store(spark, tmp_path):
+    """store_prebanded=True: identical survivor set, band_key baked into
+    the store partitions (bands rows per doc), store-side scans feed the
+    band join with NO explode, and compaction + audit still hold."""
+    from credit_abs_oltp_to_mart_spark.operators import dedup as D
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        audit_signature_store,
+        compact_signature_store,
+    )
+
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    results = {}
+    for mode in (False, True):
+        src = tmp_path / f"preband_slices_{mode}"
+        out = str(tmp_path / f"preband_out_{mode}")
+        _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A), Row(doc_id=2, text=TEXT_B)], t0)
+        _land(spark, src, schema, 1, [Row(doc_id=10, text=TEXT_A), Row(doc_id=11, text=TEXT_C)], t0)
+        results[mode] = _rows(
+            streaming.stream_dedup_ingest(
+                spark, f"{src}/b*", out, schema=schema, min_est=0.25,
+                store_prebanded=mode,
+            )
+        )
+    assert results[True] == results[False] == {(1, 0), (2, 0), (11, 1)}
+
+    out = str(tmp_path / "preband_out_True")
+    store = spark.read.parquet(os.path.join(out, "signature_store"))
+    assert "band_key" in store.columns
+    # bands=2 -> exactly 2 rows per surviving doc
+    assert store.groupBy("doc_id").count().where(F.col("count") != 2).count() == 0
+    rep = audit_signature_store(spark, out)
+    assert (rep["duplicate_doc_ids"], rep["mislabeled_rows"]) == (0, 0)
+
+    # plan gate: ONLY the new batch explodes its bands; the pre-banded
+    # store side feeds the sort-merge join straight off the scan
+    batch = spark.createDataFrame([Row(doc_id=99, text=TEXT_A)], schema)
+    pairs = D.incremental_minhash_pairs(
+        batch, store.drop("batch"), broadcast_batch=False
+    )
+    p = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p, p
+    assert p.count("Generate") == 1, p
+
+    # compaction folds pre-banded partitions; survivor projection intact
+    stats = compact_signature_store(spark, out, target_files=1)
+    assert stats["compacted"]
+    rep2 = audit_signature_store(spark, out)
+    assert (rep2["duplicate_doc_ids"], rep2["mislabeled_rows"]) == (0, 0)
+    got = _rows(
+        spark.read.parquet(os.path.join(out, "signature_store"))
+        .select("doc_id", "ingest_batch")
+        .distinct()
+    )
+    assert got == results[True]
+
+
 def test_signature_store_audit(spark, tmp_path):
     """audit_signature_store: clean after an ingest AND after compaction;
     detects planted duplicate doc_ids, mislabeled rows, and orphan
