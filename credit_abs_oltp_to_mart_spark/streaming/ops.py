@@ -495,6 +495,49 @@ def stream_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _dedup_drop_ids(
+    batch_sigs: DataFrame,
+    store: DataFrame | None,
+    *,
+    n_perm: int,
+    bands: int,
+    min_est: float,
+    broadcast_batch: bool,
+    dedup_within_batch: bool,
+):
+    """The per-micro-batch drop set shared by the streaming ingests: docs
+    matching a store signature (estimator >= min_est), plus — with
+    ``dedup_within_batch`` — docs matching any SMALLER-doc_id doc of
+    their own batch. None when neither source applies."""
+    from credit_abs_oltp_to_mart_spark.operators import dedup as D
+
+    drop = None
+    if store is not None:
+        drop = D.incremental_pairs_from_signatures(
+            batch_sigs,
+            store,
+            n_perm=n_perm,
+            bands=bands,
+            min_est=min_est,
+            broadcast_batch=broadcast_batch,
+        ).select(F.col("new_doc_id").alias("doc_id"))
+    if dedup_within_batch:
+        within = (
+            D.incremental_pairs_from_signatures(
+                batch_sigs,
+                batch_sigs,
+                n_perm=n_perm,
+                bands=bands,
+                min_est=min_est,
+                broadcast_batch=broadcast_batch,
+            )
+            .where(F.col("new_doc_id") > F.col("corpus_doc_id"))
+            .select(F.col("new_doc_id").alias("doc_id"))
+        )
+        drop = within if drop is None else drop.unionByName(within)
+    return drop
+
+
 def stream_dedup_ingest(
     spark: SparkSession,
     slices_glob: str,
@@ -602,33 +645,15 @@ def stream_dedup_ingest(
                 )
             except AnalysisException:
                 store = None
-            drop = None
-            if store is not None:
-                drop = (
-                    D.incremental_pairs_from_signatures(
-                        batch_sigs,
-                        store,
-                        n_perm=n_perm,
-                        bands=bands,
-                        min_est=min_est,
-                        broadcast_batch=broadcast_batch,
-                    )
-                    .select(F.col("new_doc_id").alias("doc_id"))
-                )
-            if dedup_within_batch:
-                within = (
-                    D.incremental_pairs_from_signatures(
-                        batch_sigs,
-                        batch_sigs,
-                        n_perm=n_perm,
-                        bands=bands,
-                        min_est=min_est,
-                        broadcast_batch=broadcast_batch,
-                    )
-                    .where(F.col("new_doc_id") > F.col("corpus_doc_id"))
-                    .select(F.col("new_doc_id").alias("doc_id"))
-                )
-                drop = within if drop is None else drop.unionByName(within)
+            drop = _dedup_drop_ids(
+                batch_sigs,
+                store,
+                n_perm=n_perm,
+                bands=bands,
+                min_est=min_est,
+                broadcast_batch=broadcast_batch,
+                dedup_within_batch=dedup_within_batch,
+            )
             if drop is not None:
                 survivors = batch_df.join(
                     drop.distinct(), "doc_id", "left_anti"
@@ -686,3 +711,180 @@ def stream_dedup_ingest(
     out = spark.read.parquet(store_dir).select("doc_id", "ingest_batch")
     # a pre-banded store holds `bands` rows per surviving doc
     return out.distinct() if store_prebanded else out
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    slices_glob: str,
+    out_dir: str,
+    *,
+    schema,
+    gram_store_path: str | None = None,
+    n: int = 3,
+    n_perm: int = 8,
+    bands: int = 2,
+    min_est: float = 0.25,
+    seed: int = 42,
+    decontam_n: int | None = None,
+    max_overlap: float = 0.5,
+    min_quality: float = 0.3,
+    min_tokens: int = 8,
+    keep_langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+    chunk_tokens: int = 64,
+    bin_tokens: int = 256,
+    shards: int = 8,
+    broadcast_batch: bool = True,
+    broadcast_gram_store: bool = True,
+    dedup_within_batch: bool = True,
+) -> DataFrame:
+    """The COMPLETE incremental corpus pipeline per arriving micro-batch —
+    the actual shape of a continuous 100 TB pretraining ingest, composing
+    the batch pipeline's stages (``plans/corpus.py``) with the streaming
+    engine's exactly-once machinery (``stream_dedup_ingest``):
+
+      filter   — the fused map-only language/quality/length/PII gate
+                 (``corpus.filter_documents``) applied to the raw batch;
+      dedup    — the gated docs' MinHash signatures checked against the
+                 GROWING signature store (earlier batches' ADMITTED docs)
+                 and, with ``dedup_within_batch``, against same-batch
+                 smaller-doc_id docs — same contract as
+                 ``stream_dedup_ingest``;
+      decontam — dedup survivors checked against a PERSISTED eval-gram
+                 blocklist (``curation.build_eval_gram_store`` parquet at
+                 ``gram_store_path``; the production fixed-eval shape);
+                 docs with gram overlap >= ``max_overlap`` are dropped.
+                 ``None`` skips the stage (no eval suites yet);
+      pack     — admitted docs chunked + sequence-packed
+                 (``curation.pack_chunks``: md5 shard routing, per-shard
+                 end-to-end layout, fixed-width token bins — bin offsets
+                 restart per batch, the streaming-trainer shard shape)
+                 and written under ``packed/batch=<id>/``.
+
+    Store semantics: the signature store holds ADMITTED docs only (passed
+    ALL three gates) — the store IS the corpus, so later near-dups of an
+    admitted doc dedup away, while near-dups of a decontam-rejected doc
+    are re-judged on their own text (and rejected by the same fixed
+    blocklist). Crash-replay idempotency is ``stream_dedup_ingest``'s:
+    both sinks are batch-id-scoped partition overwrites, the store scan
+    excludes the batch's own partition, and a half-swapped compaction is
+    healed at startup. Returns (doc_id, ingest_batch, n_chunks) for every
+    admitted doc — a projection of the two sinks.
+
+    Scale posture: per batch, ONE map-only filter pass, one signature
+    projection (cached, three consumers), one store scan + band join
+    (``broadcast_batch`` picks broadcast vs sort-merge), one gram
+    semi-join against the blocklist (``broadcast_gram_store`` False =
+    merge-hinted fallback), one shard shuffle for packing. State is plain
+    partitioned parquet; the eval gram store is built once, offline."""
+    from pyspark.errors import AnalysisException
+
+    from credit_abs_oltp_to_mart_spark.operators import dedup as D
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        DECONTAM_N,
+        decontaminate_against_store,
+        pack_chunks,
+    )
+    from credit_abs_oltp_to_mart_spark.plans.corpus import filter_documents
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        resume_pending_compaction,
+    )
+
+    n_grams = DECONTAM_N if decontam_n is None else decontam_n
+    store_dir = os.path.join(out_dir, "signature_store")
+    packed_dir = os.path.join(out_dir, "packed")
+    ck_dir = os.path.join(out_dir, "checkpoint")
+    resume_pending_compaction(spark, store_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        gated = filter_documents(
+            batch_df,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
+            keep_langs=keep_langs,
+        ).persist()
+        batch_sigs = D.minhash_signatures(
+            gated, n=n, n_perm=n_perm, seed=seed
+        ).persist()
+        try:
+            try:
+                store = (
+                    sess.read.parquet(store_dir)
+                    .where(F.col("batch") != batch_id)
+                    .drop("batch")
+                )
+            except AnalysisException:
+                store = None
+            drop = _dedup_drop_ids(
+                batch_sigs,
+                store,
+                n_perm=n_perm,
+                bands=bands,
+                min_est=min_est,
+                broadcast_batch=broadcast_batch,
+                dedup_within_batch=dedup_within_batch,
+            )
+            if drop is not None:
+                survivors = gated.join(drop.distinct(), "doc_id", "left_anti")
+            else:
+                survivors = gated
+            if gram_store_path is not None:
+                verdicts = decontaminate_against_store(
+                    survivors,
+                    sess.read.parquet(gram_store_path),
+                    n=n_grams,
+                    max_overlap=max_overlap,
+                    broadcast_store=broadcast_gram_store,
+                )
+                admitted = survivors.join(
+                    verdicts.where(F.col("dropped")).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+            else:
+                admitted = survivors
+            # same lineage-severing checkpoint as stream_dedup_ingest:
+            # the admitted plan reads the store path, which the signature
+            # write below invalidates
+            admitted = admitted.localCheckpoint(eager=True)
+            pack_chunks(
+                admitted,
+                chunk_tokens=chunk_tokens,
+                bin_tokens=bin_tokens,
+                shards=shards,
+            ).withColumn(
+                "ingest_batch", F.lit(batch_id).cast("long")
+            ).write.mode("overwrite").parquet(
+                os.path.join(packed_dir, f"batch={batch_id}")
+            )
+            batch_sigs.join(
+                admitted.select("doc_id"), "doc_id", "left_semi"
+            ).withColumn(
+                "ingest_batch", F.lit(batch_id).cast("long")
+            ).write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"batch={batch_id}")
+            )
+        finally:
+            batch_sigs.unpersist()
+            gated.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(slices_glob)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    admitted = spark.read.parquet(store_dir).select("doc_id", "ingest_batch")
+    chunks = (
+        spark.read.parquet(packed_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_chunks"))
+    )
+    return admitted.join(chunks, "doc_id")

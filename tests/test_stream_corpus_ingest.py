@@ -1,0 +1,139 @@
+"""stream_corpus_ingest: the per-batch filter -> store-dedup -> decontam
+-> pack composition. Planted docs exercise every drop reason; the crash
+replay must recompute the identical admitted set (batch-scoped overwrite
+sinks). The contract query gates the full pipeline hash-exact vs a
+batch-sequential DuckDB replay; these tests pin the stage semantics on a
+hand-built corpus."""
+
+from __future__ import annotations
+
+import os
+import time as _time
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.operators.curation import (
+    build_eval_gram_store,
+)
+from credit_abs_oltp_to_mart_spark.streaming import ops as streaming
+
+# all >= 150 chars (quality >= 0.3), >= 8 tokens, English stopwords, no PII
+GOOD_A = (
+    "the quick brown fox jumps over the lazy dog and then it runs far away "
+    "to find a quiet place in the woods where it can rest for the day and "
+    "watch the river flow past the old stone bridge"
+)
+# exact copy: signature-identical (estimator 1.0), so the store-dedup
+# drop is deterministic regardless of LSH band luck
+DUP_A = GOOD_A
+FRESH = (
+    "a completely different story about sailing ships and the captains of "
+    "the northern fleet who charted the islands in the cold sea and kept "
+    "careful logs of the wind and the tide for every voyage"
+)
+EVAL_DOC = (
+    "the held out benchmark passage that is part of the evaluation suite "
+    "and must never appear in the training corpus because it would leak "
+    "the answers of the test set into the model weights"
+)
+JUNK = "too short"
+
+
+def _land(spark, src, schema, k, rows, t0):
+    d = str(src / f"b{k}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            t = t0 + 10 * k
+            os.utime(os.path.join(d, f), (t, t))
+
+
+def _run(spark, src, out, schema, gram_store):
+    return streaming.stream_corpus_ingest(
+        spark,
+        f"{src}/b*",
+        out,
+        schema=schema,
+        gram_store_path=gram_store,
+        min_est=0.25,
+        chunk_tokens=8,
+        dedup_within_batch=True,
+    )
+
+
+def test_stream_corpus_ingest_every_drop_reason(spark, tmp_path):
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    gram_store = str(tmp_path / "eval_grams")
+    build_eval_gram_store(
+        spark.createDataFrame([Row(doc_id=900, text=EVAL_DOC)], schema)
+    ).write.parquet(gram_store)
+
+    src = tmp_path / "slices"
+    t0 = _time.time() - 120
+    # batch 0: one admitted doc + one filter-gate drop
+    _land(spark, src, schema, 0, [
+        Row(doc_id=1, text=GOOD_A),
+        Row(doc_id=2, text=JUNK),
+    ], t0)
+    # batch 1: exact copy of admitted doc 1 (store dedup), a copy of the
+    # eval passage (decontam), an exact within-batch dup pair, one fresh
+    _land(spark, src, schema, 1, [
+        Row(doc_id=10, text=DUP_A),
+        Row(doc_id=11, text=EVAL_DOC),
+        Row(doc_id=12, text=FRESH),
+        Row(doc_id=13, text=FRESH),
+    ], t0)
+
+    out = str(tmp_path / "out")
+    got = {
+        (r.doc_id, r.ingest_batch, r.n_chunks)
+        for r in _run(spark, src, out, schema, gram_store).collect()
+    }
+    n_a = len(GOOD_A.split())
+    n_f = len(FRESH.split())
+    assert got == {
+        (1, 0, -(-n_a // 8)),   # admitted batch 0
+        (12, 1, -(-n_f // 8)),  # fresh survivor; 13 died within-batch
+    }
+    # packed sink: chunk budget respected, batch-scoped partitions exist
+    packed = spark.read.parquet(os.path.join(out, "packed"))
+    assert packed.where(F.col("n_tokens") > 8).count() == 0
+    assert {r.doc_id for r in packed.select("doc_id").distinct().collect()} == {1, 12}
+
+
+def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
+    """Crash after the sinks but before the checkpoint commit: replaying
+    the last batch must reproduce the identical admitted set with no
+    duplicated rows (both sinks are batch-id-scoped overwrites; the store
+    scan excludes the replaying batch's own partition)."""
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    gram_store = str(tmp_path / "eval_grams")
+    build_eval_gram_store(
+        spark.createDataFrame([Row(doc_id=900, text=EVAL_DOC)], schema)
+    ).write.parquet(gram_store)
+    src = tmp_path / "slices"
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=GOOD_A)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=10, text=DUP_A), Row(doc_id=12, text=FRESH)], t0)
+
+    out = str(tmp_path / "out")
+    first = {tuple(r) for r in _run(spark, src, out, schema, gram_store).collect()}
+    n_a = -(-len(GOOD_A.split()) // 8)
+    n_f = -(-len(FRESH.split()) // 8)
+    assert first == {(1, 0, n_a), (12, 1, n_f)}
+
+    # simulate the crash window: both sinks written, commit 1 never was
+    # (drop the hidden Hadoop-local .crc too, or the replay's commit
+    # rename collides with it); batch 1 replays on the next start
+    commits = os.path.join(out, "checkpoint", "commits")
+    os.remove(os.path.join(commits, "1"))
+    crc = os.path.join(commits, ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _land(spark, src, schema, 2, [Row(doc_id=20, text=EVAL_DOC)], t0)
+    again = [tuple(r) for r in _run(spark, src, out, schema, gram_store).collect()]
+    # batch 1 replayed idempotently (doc 12 once, doc 10 still dropped);
+    # batch 2's eval-copy doc is decontam-dropped against the same store
+    assert set(again) == first
+    assert len(again) == len(set(again))  # no duplicated survivor rows
