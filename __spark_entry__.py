@@ -1206,6 +1206,23 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack as ONE gated artifact (VERDICT r04
+    stretch #9): Lloyd-trained coarse codebook -> per-vector scalar
+    quantization -> probe ranking against the codebook -> INTEGER
+    compressed-domain dot-product scoring inside the probed clusters.
+    All-integer arithmetic end-to-end, so the DuckDB replay is
+    bit-exact."""
+    return ann.quantized_ivf_topk_trained(
+        _t(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        init_ids=KMEANS_INIT_IDS,
+        iterations=KMEANS_ITERS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_blobs(_t(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media)
@@ -3209,6 +3226,61 @@ def _ann_ivf_trained_oracle(
     """
 
 
+def _ann_quantized_ivf_oracle(
+    iters: int = KMEANS_ITERS, nprobe: int = IVF_NPROBE, levels: int = 256
+) -> str:
+    """Replay of ann.quantized_ivf_topk_trained: Lloyd CTEs give the
+    assignment + codebook; probe ranking is the trained-IVF integer
+    score; candidate scoring is the dot product of the RECONSTRUCTED
+    scalar-quantized values (mn + code * span/(levels-1)), rounded 6dp
+    — same fold order as the Spark zip_with aggregate."""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cb = f"c{iters - 1}"
+    return f"""
+    {_kmeans_ctes(iters)},
+    qs as (select vid, d, val from u where vid in ({qids})),
+    psc as (select qs.vid, {cb}.cid,
+                   (sum({cb}.c * {cb}.c) - 2 * sum(qs.val * {cb}.c))::bigint
+                     as score
+            from qs join {cb} using (d) group by 1, 2),
+    pr as (select vid as query_id, cid as cluster from (
+             select vid, cid,
+                    row_number() over (partition by vid
+                                       order by score, cid) as rn
+             from psc) z
+           where rn <= {nprobe}),
+    s as (select vec_id,
+                 cast(list_min(embedding) as double) as mn,
+                 case when list_max(embedding) <> list_min(embedding)
+                      then cast(list_max(embedding) as double)
+                           - cast(list_min(embedding) as double)
+                      else 1.0 end as span,
+                 embedding
+          from embeddings),
+    cq as (select vec_id,
+                  list_transform(embedding,
+                    x -> mn + cast(floor((cast(x as double) - mn) / span
+                                         * {levels - 1}.0 + 0.5) as double)
+                              * span / {levels - 1}.0)
+                    as rv
+           from s),
+    cand as (select pr.query_id, a{iters}.vid as neighbor_id, pr.cluster
+             from pr join a{iters} on a{iters}.cluster = pr.cluster
+             where a{iters}.vid <> pr.query_id),
+    scored as (select cand.query_id, cand.neighbor_id,
+                      round(list_dot_product(cn.rv, cp.rv), 6) as score
+               from cand
+               join cq cn on cn.vec_id = cand.neighbor_id
+               join cq cp on cp.vec_id = cand.query_id),
+    final as (select *, row_number() over (partition by query_id
+                                           order by score desc,
+                                                    neighbor_id asc) as rank
+              from scored)
+    select query_id, neighbor_id, cast(rank as int) as rank, score
+    from final where rank <= {ANN_K}
+    """
+
+
 # --- generator parity (G1-G11): pinned tiny config, deterministic seed ---
 _GEN_PARAMS = dict(n_loans=60, n_borrowers=80, n_applications=100, seed=42)
 
@@ -3527,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized": q_ann_quantized,
+        "ann_quantized_ivf": q_ann_quantized_ivf,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -4075,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_ivf_trained": _ann_ivf_trained_oracle(),
+        "ann_quantized_ivf": _ann_quantized_ivf_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),

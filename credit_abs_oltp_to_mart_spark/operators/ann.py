@@ -247,6 +247,132 @@ def ivf_topk_trained(
     )
 
 
+def quantized_ivf_topk_trained(
+    emb: DataFrame,
+    query_ids: list[int],
+    *,
+    init_ids: list[int],
+    iterations: int = 3,
+    k: int = 5,
+    nprobe: int = 2,
+    levels: int = 256,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> DataFrame:
+    """The FULL production ANN stack in one plan — train -> quantize ->
+    probe -> compressed-domain score:
+
+      1. ``kmeans_train`` supplies the coarse codebook; its assignment IS
+         the inverted file (same equivalence as ``ivf_topk_trained``).
+      2. Every vector is scalar-quantized to ``levels`` integer codes
+         (``quantize_embeddings`` — per-vector scaling, map-only); at
+         100 TB the search serves from this 4-8x smaller representation,
+         never touching the float column.
+      3. Queries rank the codebook by the shared integer L2 score
+         (literal or broadcast-frame transport, same as the other
+         trained-IVF paths) and probe ``nprobe`` clusters.
+      4. Candidates in probed clusters score by the dot product of their
+         RECONSTRUCTED values (``mn + code * span/(levels-1)`` per
+         component, computed in registers from the int8-class codes +
+         two doubles — the standard scalar-quantization serving shape:
+         the search still reads only the compressed representation).
+         Raw code dots would NOT rank correctly here: per-vector (mn,
+         span) scaling makes code magnitudes incomparable across
+         vectors. The fold is a zip_with + aggregate in array order, so
+         the IEEE result (rounded 6dp, id tiebreak) is engine-exact.
+
+    Returns (query_id, neighbor_id, rank, score).
+    """
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+        centroid_score_structs,
+        codebook_frame,
+        codebook_score_structs_expr,
+        kmeans_train,
+        use_literal_codebook,
+    )
+
+    assign, cents = kmeans_train(
+        emb,
+        init_ids=init_ids,
+        iterations=iterations,
+        id_col="vec_id",
+        vec_col=vec_col,
+        fp_scale=FP_SCALE,
+        codebook_as_literals=codebook_as_literals,
+    )
+    q = quantize_embeddings(emb, vec_col=vec_col, levels=levels)
+    codes = q.select(
+        "vec_id",
+        "codes",
+        F.col("scale_min").alias("mn"),
+        (F.col("scale_max") - F.col("scale_min")).alias("sp"),
+    )
+    members = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("codes").alias("nc"),
+        F.col("mn").alias("nmn"),
+        F.col("sp").alias("nsp"),
+    ).join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), "cluster"),
+        "neighbor_id",
+    )
+    qsrc = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        _to_fp(vec_col, FP_SCALE).alias("__qa"),
+    )
+    if use_literal_codebook(cents, codebook_as_literals):
+        ranked = F.array_sort(F.array(*centroid_score_structs(cents, "__qa")))
+    else:
+        qsrc = qsrc.crossJoin(
+            F.broadcast(codebook_frame(emb.sparkSession, cents))
+        )
+        ranked = F.array_sort(codebook_score_structs_expr("__qa"))
+    probes = (
+        qsrc.select(
+            "query_id",
+            F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
+        )
+        .select("query_id", F.col("pr.cid").alias("cluster"))
+        .join(
+            codes.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("codes").alias("qc"),
+                F.col("mn").alias("qmn"),
+                F.col("sp").alias("qsp"),
+            ),
+            "query_id",
+        )
+    )
+    lv = float(levels - 1)
+    scored = (
+        members.join(F.broadcast(probes), "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(nc, qc, (a, b) ->"
+                    f" (nmn + cast(a as double) * nsp / {lv}d)"
+                    f" * (qmn + cast(b as double) * qsp / {lv}d)),"
+                    " cast(0 as double), (acc, x) -> acc + x)"
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

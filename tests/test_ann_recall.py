@@ -99,6 +99,21 @@ def test_ivf_trained_recall_on_planted_neighbors(spark, planted):
     assert mean >= 0.9, f"trained-IVF planted recall {mean:.3f} < 0.9"
 
 
+def test_quantized_ivf_trained_recall(spark, planted):
+    """The composed train -> quantize -> probe -> compressed-score stack:
+    int8-class code dot products must still surface the planted twins
+    (quantization noise per component is < span/510, far below the
+    planted cosine gap)."""
+    emb, qids = planted
+    exact = ann.brute_force_topk(emb, qids, k=1)
+    approx = ann.quantized_ivf_topk_trained(
+        emb, qids, init_ids=list(range(0, 64, 8)), iterations=3,
+        k=1, nprobe=4,
+    )
+    mean = _mean_recall(spark, approx, exact)
+    assert mean >= 0.85, f"quantized trained-IVF recall {mean:.3f} < 0.85"
+
+
 def test_ivf_trained_codebook_paths_agree(spark, planted):
     """The codebook-transport knob (literals vs one-row broadcast frame)
     threads through train AND probe ranking without changing a single
