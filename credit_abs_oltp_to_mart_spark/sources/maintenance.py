@@ -152,6 +152,116 @@ def resume_pending_compaction(spark: SparkSession, store_dir: str) -> dict | Non
     return result
 
 
+def compact_keyed_store(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    upto: int,
+    target_files: int = 8,
+    dedup_cols: list[str] | None = None,
+) -> dict:
+    """Crash-safe hidden-dir compaction of ANY ``batch=<id>``-partitioned
+    parquet store — the protocol ``compact_signature_store`` pioneered,
+    factored out so every long-running keyed store (MinHash signatures,
+    eval-gram blocklists, any accreting partitioned state) shares one
+    audited implementation:
+
+      1. heal any pending swap (``resume_pending_compaction``);
+      2. write partitions with id <= ``upto`` merged (optionally
+         deduplicated on ``dedup_cols`` — cross-batch appends of a
+         set-semantics store repeat keys, and compaction is exactly the
+         moment to fold them) into a hidden ``.compact-<upto>`` dir;
+      3. delete the sources, rename the hidden dir to ``batch=<upto>``.
+
+    The caller decides ``upto`` = the highest batch id that can never be
+    rewritten (for a streaming sink: the checkpoint's max committed id;
+    for a write-once blocklist: the max partition present). Returns a
+    stats dict; no-op when fewer than 2 partitions qualify."""
+    fs, _ = _hadoop_fs(spark, store_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+
+    stats = {"store": store_dir, "compacted": False}
+    resumed = False
+    healed = resume_pending_compaction(spark, store_dir)
+    if healed and healed.get("resumed"):
+        resumed = True
+        stats.update(compacted=True, resumed=True,
+                     merged_upto=healed["merged_upto"])
+
+    parts = sorted(
+        int(n.split("=", 1)[1])
+        for n in _fs_names(fs, jvm_path, store_dir)
+        if re.fullmatch(r"batch=\d+", n)
+    )
+    merge = [n for n in parts if n <= upto]
+    stats["partitions_before"] = len(parts)
+    if len(merge) < 2:
+        return stats
+    merged = (
+        spark.read.parquet(store_dir)
+        .where(F.col("batch") <= upto)
+        .drop("batch")
+    )
+    if dedup_cols is not None:
+        merged = merged.dropDuplicates(dedup_cols)
+    merged = merged.repartition(target_files)
+    hidden = f"{store_dir}/.compact-{upto}"
+    merged.write.mode("overwrite").parquet(hidden)
+    # the deletes below are ONLY safe once the hidden dir is provably
+    # complete — resume_pending_compaction keys on this marker to decide
+    # between finish-the-swap and drop-the-partial
+    if not fs.exists(jvm_path(f"{hidden}/_SUCCESS")):
+        raise RuntimeError(
+            f"compaction write to {hidden} left no _SUCCESS marker "
+            "(committer configured without job markers?) — refusing to "
+            "delete source partitions"
+        )
+    for n in merge:
+        fs.delete(jvm_path(f"{store_dir}/batch={n}"), True)
+    fs.rename(jvm_path(hidden), jvm_path(f"{store_dir}/batch={upto}"))
+    stats.update(
+        compacted=True,
+        resumed=resumed,
+        merged_upto=upto,
+        partitions_merged=len(merge),
+        partitions_after=len(parts) - len(merge) + 1,
+    )
+    return stats
+
+
+def compact_gram_store(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    target_files: int = 1,
+) -> dict:
+    """Compaction + audit story for a long-running decontamination
+    blocklist: an incrementally-extended gram store (one ``batch=<id>``
+    partition per added eval suite) folds to a single partition with
+    grams DEDUPLICATED cross-batch — ``decontaminate_against_store``
+    requires a distinct store, and suites legitimately share grams.
+    ``upto`` = every partition present (a blocklist partition write is
+    atomic and never replayed); run between ingest runs like the
+    signature-store compaction."""
+    fs, _ = _hadoop_fs(spark, store_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    parts = [
+        int(n.split("=", 1)[1])
+        for n in _fs_names(fs, jvm_path, store_dir)
+        if re.fullmatch(r"batch=\d+", n)
+    ]
+    if not parts:
+        return {"store": store_dir, "compacted": False,
+                "partitions_before": 0}
+    return compact_keyed_store(
+        spark,
+        store_dir,
+        upto=max(parts),
+        target_files=target_files,
+        dedup_cols=["gram"],
+    )
+
+
 def compact_signature_store(
     spark: SparkSession,
     out_dir: str,
@@ -208,60 +318,16 @@ def compact_signature_store(
         for name in _fs_names(fs, jvm_path, commits_dir)
         if re.fullmatch(r"\d+", name)
     ]
-    stats = {"store": store_dir, "compacted": False}
     if not committed:
-        return stats
-    upto = max(committed)
-
-    # a resumed crashed swap only FINISHES the old attempt — fall through
-    # to a fresh merge pass afterwards so one call always delivers the
-    # compaction it was asked for (the resumed partition simply becomes
-    # one of the merge sources, or the single survivor when nothing else
-    # is committed)
-    resumed = False
-    healed = resume_pending_compaction(spark, store_dir)
-    if healed and healed.get("resumed"):
-        resumed = True
-        stats.update(compacted=True, resumed=True,
-                     merged_upto=healed["merged_upto"])
-
-    parts = sorted(
-        int(n.split("=", 1)[1])
-        for n in _fs_names(fs, jvm_path, store_dir)
-        if re.fullmatch(r"batch=\d+", n)
+        return {"store": store_dir, "compacted": False}
+    # the shared keyed-store protocol does the work (heal-then-fresh-merge
+    # — a resumed crashed swap only FINISHES the old attempt, so the call
+    # falls through to a fresh merge pass and one call always delivers
+    # the compaction it was asked for); only the committed-id policy is
+    # signature-store-specific
+    return compact_keyed_store(
+        spark, store_dir, upto=max(committed), target_files=target_files
     )
-    merge = [n for n in parts if n <= upto]
-    stats["partitions_before"] = len(parts)
-    if len(merge) < 2:
-        return stats
-    merged = (
-        spark.read.parquet(store_dir)
-        .where(F.col("batch") <= upto)
-        .drop("batch")
-        .repartition(target_files)
-    )
-    hidden = f"{store_dir}/.compact-{upto}"
-    merged.write.mode("overwrite").parquet(hidden)
-    # the deletes below are ONLY safe once the hidden dir is provably
-    # complete — resume_pending_compaction keys on this marker to decide
-    # between finish-the-swap and drop-the-partial
-    if not fs.exists(jvm_path(f"{hidden}/_SUCCESS")):
-        raise RuntimeError(
-            f"compaction write to {hidden} left no _SUCCESS marker "
-            "(committer configured without job markers?) — refusing to "
-            "delete source partitions"
-        )
-    for n in merge:
-        fs.delete(jvm_path(f"{store_dir}/batch={n}"), True)
-    fs.rename(jvm_path(hidden), jvm_path(f"{store_dir}/batch={upto}"))
-    stats.update(
-        compacted=True,
-        resumed=resumed,
-        merged_upto=upto,
-        partitions_merged=len(merge),
-        partitions_after=len(parts) - len(merge) + 1,
-    )
-    return stats
 
 
 def audit_signature_store(spark: SparkSession, out_dir: str) -> dict:

@@ -124,6 +124,54 @@ def test_decontaminate_store_modes_agree_and_store_is_reusable(docs):
         assert sorted(tuple(r) for r in c.collect()) == rows_a
 
 
+def test_gram_store_compaction_dedups_and_preserves_verdicts(spark, docs, tmp_path):
+    """compact_gram_store: an INCREMENTALLY-extended blocklist (one
+    batch=<id> partition per added eval suite, grams repeating across
+    suites) folds to one partition of DISTINCT grams via the same
+    crash-safe hidden-dir protocol as the signature store — and the
+    compacted store yields the exact verdicts of a from-scratch build."""
+    import os
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        compact_gram_store,
+    )
+
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    batch = docs.where(F.col("doc_id") % 5 != 0)
+    store_dir = str(tmp_path / "gram_store")
+    # three overlapping eval suites land as three partitions (suites 1 and
+    # 2 share their doc range, so grams repeat cross-partition)
+    for i, cond in enumerate([
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") % 3 != 0,
+        F.col("doc_id") % 2 == 0,
+    ]):
+        curation.build_eval_gram_store(ev.where(cond)).write.parquet(
+            os.path.join(store_dir, f"batch={i}")
+        )
+    raw = spark.read.parquet(store_dir)
+    assert raw.count() > raw.select("gram").distinct().count()  # dups exist
+
+    stats = compact_gram_store(spark, store_dir)
+    assert stats["compacted"] and stats["partitions_merged"] == 3
+    assert [d for d in os.listdir(store_dir) if d.startswith("batch=")] == ["batch=2"]
+    compacted = spark.read.parquet(store_dir).drop("batch")
+    # distinct grams, equal to the one-shot build over the union
+    assert compacted.count() == compacted.select("gram").distinct().count()
+    oneshot = curation.build_eval_gram_store(ev)
+    assert compacted.select("gram").subtract(oneshot).count() == 0
+    assert oneshot.subtract(compacted.select("gram")).count() == 0
+    got = sorted(
+        tuple(r)
+        for r in curation.decontaminate_against_store(batch, compacted).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in curation.decontaminate_against_store(batch, oneshot).collect()
+    )
+    assert got and got == want
+
+
 def test_tfidf_ranks_are_dense_topk(docs):
     out = curation.tfidf_topk(docs, k=5).cache()
     per_doc = out.groupBy("doc_id").agg(
