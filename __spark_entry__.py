@@ -3551,81 +3551,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50 entries
-        # in registration order. Round-4 window: (a) the 5 queries whose
-        # only driver evidence is round 1 (front-loaded per round-3 review
-        # item #2), (b) new / changed-this-round queries, (c) the oldest
-        # round-2 evidence, front of the old back-block first, so no
-        # query's driver row goes >2 rounds stale. Round-3 greens rotate
-        # to the back half; tools/gate_mirror.py re-verifies ALL entries
-        # locally either way. ===
-        # -- (a) round-1-only driver evidence
-        "cdc_upsert": q_cdc_upsert,
-        "kmeans": q_kmeans,
-        "gap_fill_daily": q_gap_fill_daily,
-        "full_outer_recon": q_full_outer_recon,
-        "fuzzy_name_match": q_fuzzy_name_match,
-        # -- (b) new / changed this round: trained-IVF composition (new),
-        # streaming ingest (idempotent batch-scoped sinks + within-batch
-        # dedup), incremental dedup (broadcast/merge modes), de-thinned
-        # funnel/median groups, tightened SWAR guard
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "stream_dedup_ingest": q_stream_dedup_ingest,
-        "stream_corpus_ingest": q_stream_corpus_ingest,
-        "dedup_incremental": q_dedup_incremental,
-        "funnel_stages": q_funnel_stages,
-        "median_mode": q_median_mode,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        # incremental decontamination against a persisted eval-gram store
-        # and corpus-wide duplicated-substring spans (new this round)
-        "decontaminate_store": q_decontaminate_store,
-        "dup_spans": q_dup_spans,
-        "dup_spans_removed": q_dup_spans_removed,
-        "dup_spans_keep_first": q_dup_spans_keep_first,
-        "cluster_sample": q_cluster_sample,
-        "token_budget_sample": q_token_budget_sample,
-        "token_freq_stats": q_token_freq_stats,
-        # -- (c) round-2 evidence, oldest-registered first
-        "roll_rate": q_roll_rate,
-        "sessionize": q_sessionize,
-        "reconcile_waterfall": q_reconcile_waterfall,
-        "stream_sessionize": q_stream_sessionize,
-        "generator_invariants": q_generator_invariants,
-        "dedup_embedding": q_dedup_embedding,
-        "variant_extract": q_variant_extract,
-        "try_arithmetic": q_try_arithmetic,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_quantize": q_embedding_quantize,
-        "ann_quantized": q_ann_quantized,
-        "ann_quantized_ivf": q_ann_quantized_ivf,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
-        "text_repetition": q_text_repetition,
-        "split_assign": q_split_assign,
-        "stratified_sample": q_stratified_sample,
-        "doc_chunks": q_doc_chunks,
-        "tfidf_topk": q_tfidf_topk,
-        "pii_scan": q_pii_scan,
-        "pack_chunks": q_pack_chunks,
-        "weighted_sample": q_weighted_sample,
-        "interval_join_agg": q_interval_join_agg,
-        "hypertable_rollup": q_hypertable_rollup,
-        "scd2_changelog": q_scd2_changelog,
-        "kmv_distinct": q_kmv_distinct,
-        # ---- driver gate window (50) ends here ----
-        "profile_stats": q_profile_stats,
-        "bitmap_distinct": q_bitmap_distinct,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        # r02-evidence remainder (2 rounds old after this round — front of
-        # the round-5 window); all unchanged and covered by the local gate
-        # mirror at sf0.01 + sf0.1
+        # in registration order. Round-5 window: (a) the 14 queries whose
+        # newest driver evidence is r02 (front-loaded per round-4 review
+        # item #1), (b) new / changed-this-round queries, (c) the front of
+        # the r03-evidence block, so no query's driver row goes >2 rounds
+        # stale. Round-4 greens rotate to the back; tools/gate_mirror.py
+        # re-verifies ALL entries locally either way. ===
+        # -- (a) r02-stale driver evidence (14)
         "window_frames": q_window_frames,
         "unpivot_measures": q_unpivot_measures,
         "array_hof": q_array_hof,
@@ -3634,14 +3566,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_positions": q_token_positions,
         "nullsafe_join": q_nullsafe_join,
         "retention_cohorts": q_retention_cohorts,
-        # -- round-3 green driver rows (freshest evidence, rotate to back)
+        "profile_stats": q_profile_stats,
+        "bitmap_distinct": q_bitmap_distinct,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "dedup_exact": q_dedup_exact,
+        "triangle_count": q_triangle_count,
+        "udtf_sentences": q_udtf_sentences,
+        # -- (b) new this round: stream_corpus_ingest (end-to-end
+        # incremental corpus ingest), keep-first span policy,
+        # quantized trained-IVF composition; changed: streaming
+        # ingest (prebanded store + drop-set refactor), kmeans /
+        # trained-IVF (dual codebook transport), span plumbing
+        "stream_corpus_ingest": q_stream_corpus_ingest,
+        "dup_spans_keep_first": q_dup_spans_keep_first,
+        "ann_quantized_ivf": q_ann_quantized_ivf,
+        "stream_dedup_ingest": q_stream_dedup_ingest,
+        "kmeans": q_kmeans,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "dup_spans": q_dup_spans,
+        "dup_spans_removed": q_dup_spans_removed,
+        "corpus_pipeline": q_corpus_pipeline,
+        # -- (c) r03-evidence refresh, oldest-registered first
         "value_histogram": q_value_histogram,
         "ewma": q_ewma,
         "rolling_distinct_users": q_rolling_distinct_users,
         "correlated_subquery": q_correlated_subquery,
         "exists_subquery": q_exists_subquery,
         "window_ignore_nulls": q_window_ignore_nulls,
-        "corpus_pipeline": q_corpus_pipeline,
         "vintage_mob": q_vintage_mob,
         "cure_rate": q_cure_rate,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -3663,6 +3614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "topk_per_group": q_topk_per_group,
         "running_total": q_running_total,
+        # ---- driver gate window (50) ends here ----
+        # -- r03-evidence remainder (2 rounds old after this
+        # round -- front of the round-6 window); all covered by
+        # the local gate mirror at sf0.01 + sf0.1
         "grouped_pandas_stats": q_grouped_pandas_stats,
         "grouped_pandas_wavg": q_grouped_pandas_wavg,
         "json_extract": q_json_extract,
@@ -3681,9 +3636,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": q_stream_session_window,
         "stream_stream_join": q_stream_stream_join,
         "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "udtf_sentences": q_udtf_sentences,
-        "dedup_exact": q_dedup_exact,
+        # -- round-4 green driver rows (freshest evidence,
+        # rotate to the back)
+        "cdc_upsert": q_cdc_upsert,
+        "gap_fill_daily": q_gap_fill_daily,
+        "full_outer_recon": q_full_outer_recon,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "dedup_incremental": q_dedup_incremental,
+        "funnel_stages": q_funnel_stages,
+        "median_mode": q_median_mode,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "decontaminate_store": q_decontaminate_store,
+        "cluster_sample": q_cluster_sample,
+        "token_budget_sample": q_token_budget_sample,
+        "token_freq_stats": q_token_freq_stats,
+        "roll_rate": q_roll_rate,
+        "sessionize": q_sessionize,
+        "reconcile_waterfall": q_reconcile_waterfall,
+        "stream_sessionize": q_stream_sessionize,
+        "generator_invariants": q_generator_invariants,
+        "dedup_embedding": q_dedup_embedding,
+        "variant_extract": q_variant_extract,
+        "try_arithmetic": q_try_arithmetic,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_quantized": q_ann_quantized,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "text_repetition": q_text_repetition,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "tfidf_topk": q_tfidf_topk,
+        "pii_scan": q_pii_scan,
+        "pack_chunks": q_pack_chunks,
+        "weighted_sample": q_weighted_sample,
+        "interval_join_agg": q_interval_join_agg,
+        "hypertable_rollup": q_hypertable_rollup,
+        "scd2_changelog": q_scd2_changelog,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
