@@ -399,3 +399,24 @@ def test_cluster_sample_single_window_shuffle(spark):
     assert "CartesianProduct" not in p and "Join" not in p
     n = p.count("Exchange hashpartitioning")
     assert n <= 1, f"cluster_sample has {n} hash exchanges:\n{p}"
+
+
+def test_dup_spans_keep_first_same_shuffle_budget(spark):
+    # the keep-first policy rides its argmin on the SAME gram-count
+    # aggregation (one extra struct per distinct duplicated gram, an inner
+    # join instead of a semi-join) — the shuffle budget must not grow
+    # beyond the detector's, and nothing degrades to an all-pairs shape
+    p = _plan(spark, "dup_spans_keep_first")
+    assert "CartesianProduct" not in p
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 6, f"dup_spans_keep_first has {n} hash exchanges:\n{p}"
+
+
+def test_quantized_ivf_probes_broadcast(spark):
+    # the composed train->quantize->probe->score stack must ship the
+    # (tiny) probed-query side by broadcast — the member/code table is
+    # the corpus-sized side and must never be the build side of a
+    # nested-loop or all-pairs shape
+    p = _plan(spark, "ann_quantized_ivf")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p, p
