@@ -3226,6 +3226,140 @@ def _ann_ivf_trained_oracle(
     """
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich subword units) as the standard
+    distributed shape: ONE corpus scan builds the word-frequency table,
+    then each merge round is a pair-count aggregation + 1-row argmax +
+    map-only merge fold over the word table alone — the
+    tokenizer-training step of a pretraining pipeline. Deterministic:
+    exact integer counts, (count desc, left, right) argmax total order,
+    leftmost-greedy merge application."""
+    from credit_abs_oltp_to_mart_spark.operators import bpe
+
+    merges, _ = bpe.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    )
+    return bpe.merges_frame(spark, merges)
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword segmentation statistics under the trained BPE vocabulary:
+    per doc, word count and post-merge subword count — the learned-
+    tokenizer twin of ``token_counts`` (whose regex mode approximates
+    BPE; this IS BPE). The trained word table broadcasts; the corpus
+    token stream never shuffles on the word key."""
+    from credit_abs_oltp_to_mart_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, wf = bpe.bpe_train(docs, n_merges=BPE_MERGES)
+    return bpe.bpe_segment_stats(docs, wf)
+
+
+def _bpe_ctes(n_merges: int = BPE_MERGES) -> str:
+    """Round-replay CTE chain for bpe_train (mirrors the Lloyd-replay
+    style): w0 = per-word char symbols off the word-frequency table; each
+    round r appends pc{r}/m{r} (pair counts + argmax with the (count
+    desc, left, right) tiebreak) and e..w{r} (leftmost-greedy merge:
+    candidates via lead(), equal-pair overlaps resolved by even run
+    offset — provably the greedy fold's fixpoint). DuckDB lists are
+    1-based where Spark's [] is 0-based; both sides were built against
+    the same worked examples in tests."""
+
+    def pair_counts(r: int, src: str) -> str:
+        return f"""
+    pc{r} as materialized (
+      select s.l as l, s.r as r, sum(cnt) as c
+      from (select cnt,
+                   unnest(case when len(syms) < 2 then []
+                          else list_transform(generate_series(1, len(syms) - 1),
+                                 i -> {{'l': syms[i], 'r': syms[i + 1]}}) end)
+                     as s
+            from {src})
+      group by 1, 2),
+    m{r} as materialized (select l, r, c from pc{r} order by c desc, l, r limit 1)"""
+
+    def apply_merge(r: int) -> str:
+        prev = f"w{r - 1}"
+        return f"""
+    e{r} as materialized (select word, cnt, t.i, syms[t.i] as sym
+             from {prev}, unnest(generate_series(1, len(syms))) as t(i)),
+    f{r} as materialized (select e{r}.*,
+                    (sym = (select l from m{r}) and
+                     lead(sym) over (partition by word order by i)
+                       = (select r from m{r})) as cand
+             from e{r}),
+    g{r} as materialized (select f{r}.*,
+                    i - row_number() over (partition by word, sym order by i)
+                      as grp
+             from f{r}),
+    h{r} as materialized (select g{r}.*,
+                    min(i) over (partition by word, sym, grp) as run_start
+             from g{r}),
+    s{r} as materialized (select h{r}.*,
+                    coalesce(cand, false)
+                    and ((select l from m{r}) <> (select r from m{r})
+                         or (i - run_start) % 2 = 0) as mstart
+             from h{r}),
+    t{r} as materialized (select s{r}.*,
+                    coalesce(lag(mstart) over (partition by word order by i),
+                             false) as consumed
+             from s{r}),
+    w{r} as materialized (select word, cnt,
+                    list(case when mstart
+                              then sym || (select r from m{r}) else sym end
+                         order by i) as syms
+             from t{r} where not consumed group by word, cnt)"""
+
+    parts = [
+        """
+    wrds as materialized (
+      select word, count(*) as cnt
+      from (select unnest(string_split_regex(trim(text), ' +')) as word
+            from documents where trim(text) <> '')
+      group by 1),
+    w0 as materialized (
+      select word, cnt,
+             list_transform(generate_series(1, length(word)),
+                            i -> word[i:i]) as syms
+      from wrds)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(pair_counts(r, f"w{r - 1}"))
+        parts.append(apply_merge(r))
+    return ",".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int = BPE_MERGES) -> str:
+    rows = " union all ".join(
+        f'select {r} as "rank", l as "left", r as "right",'
+        f' l || r as merged, c::bigint as pair_count from m{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    with {_bpe_ctes(n_merges)}
+    select "rank"::int as "rank", "left", "right", merged, pair_count
+    from ({rows})
+    """
+
+
+def _bpe_segment_oracle(n_merges: int = BPE_MERGES) -> str:
+    return f"""
+    with {_bpe_ctes(n_merges)},
+    tok as (select doc_id,
+                   unnest(string_split_regex(trim(text), ' +')) as word
+            from documents where trim(text) <> ''),
+    per as (select doc_id, count(*) as n_words,
+                   sum(len(syms)) as n_bpe
+            from tok join w{n_merges} using (word) group by 1)
+    select d.doc_id, coalesce(n_words, 0)::int as n_words,
+           coalesce(n_bpe, 0)::int as n_bpe_tokens
+    from documents d left join per using (doc_id)
+    """
+
+
 def _ann_quantized_ivf_oracle(
     iters: int = KMEANS_ITERS, nprobe: int = IVF_NPROBE, levels: int = 256
 ) -> str:
@@ -3580,6 +3714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_corpus_ingest": q_stream_corpus_ingest,
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "ann_quantized_ivf": q_ann_quantized_ivf,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "kmeans": q_kmeans,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3612,9 +3748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
+        # ---- driver gate window (50) ends here ----
         "topk_per_group": q_topk_per_group,
         "running_total": q_running_total,
-        # ---- driver gate window (50) ends here ----
         # -- r03-evidence remainder (2 rounds old after this
         # round -- front of the round-6 window); all covered by
         # the local gate mirror at sf0.01 + sf0.1
@@ -4148,6 +4284,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "ann_ivf_trained": _ann_ivf_trained_oracle(),
         "ann_quantized_ivf": _ann_quantized_ivf_oracle(),
+        "bpe_merges": _bpe_merges_oracle(),
+        "bpe_segment": _bpe_segment_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),
