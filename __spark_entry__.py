@@ -1339,6 +1339,21 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_chunks(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction rewrite (map-only regexp chain): emails/URLs/digit
+    runs replaced by typed placeholders — the privacy scrub a corpus runs
+    before packing; PII-free docs stay byte-identical."""
+    return curation.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha = 0.5) data-mixture weights per language:
+    natural vs tempered target share and the per-domain repetition
+    multiplier — the standard pretraining-mixture recipe step, engine-
+    exact because sqrt is correctly rounded everywhere."""
+    return curation.mixture_weights(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (DuckDB dialect = ANSI + list lambdas)
 # ---------------------------------------------------------------------------
@@ -3716,6 +3731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_ivf": q_ann_quantized_ivf,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
+        "pii_redact": q_pii_redact,
+        "mixture_weights": q_mixture_weights,
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "kmeans": q_kmeans,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3746,9 +3763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_end_snapshot": q_month_end_snapshot,
         "coalesce_nullif_arith": q_coalesce_nullif_arith,
         "pricing_summary": q_pricing_summary,
+        # ---- driver gate window (50) ends here ----
         "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
-        # ---- driver gate window (50) ends here ----
         "topk_per_group": q_topk_per_group,
         "running_total": q_running_total,
         # -- r03-evidence remainder (2 rounds old after this
@@ -4330,6 +4347,36 @@ def oracle_sql() -> dict[str, str]:
         "token_freq_stats": _token_freq_oracle(),
         "tfidf_topk": _tfidf_oracle(),
         "pii_scan": _pii_oracle(),
+        "pii_redact": f"""
+            select doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{curation.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                     '{curation.URL_PATTERN}', '<URL>', 'g'),
+                     '{curation.DIGIT_RUN_PATTERN}', '<NUM>', 'g') as text,
+                   (len(regexp_extract_all(text, '{curation.EMAIL_PATTERN}'))
+                    + len(regexp_extract_all(text, '{curation.URL_PATTERN}'))
+                    + len(regexp_extract_all(text, '{curation.DIGIT_RUN_PATTERN}')))::int
+                     as n_redactions
+            from documents
+        """,
+        "mixture_weights": """
+            with g as (
+              select lang, count(*) as n_docs,
+                     sum(case when trim(text) = '' then 0
+                         else len(string_split_regex(trim(text), ' +')) end)
+                       as n_tokens
+              from documents group by 1),
+            t as (select sum(n_tokens) as tot_tokens,
+                         sum(sqrt(n_tokens::double)) as tot_w from g)
+            select lang, n_docs::bigint as n_docs, n_tokens::bigint as n_tokens,
+                   round(n_tokens::double / tot_tokens::double, 6)
+                     as natural_share,
+                   round(sqrt(n_tokens::double) / tot_w, 6) as target_share,
+                   round((sqrt(n_tokens::double) / tot_w)
+                         / (n_tokens::double / tot_tokens::double), 6)
+                     as sample_factor
+            from g, t
+        """,
         "pack_chunks": _pack_chunks_oracle(),
         "interval_join_agg": f"""
             with p as (select event_id as purchase_id, user_id as buyer_id,

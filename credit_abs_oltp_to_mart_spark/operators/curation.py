@@ -459,6 +459,74 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     )
 
 
+def redact_pii(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """The redaction REWRITE half of ``pii_scan``: each doc's text with
+    emails/URLs/long digit runs replaced by typed placeholders, plus the
+    redaction count — the privacy-scrubbing pass a training corpus runs
+    before packing. Map-only regexp_replace chain inside codegen; docs
+    with no PII keep their text byte-identical."""
+    t = F.col(text_col)
+    n = (
+        _pattern_count(t, EMAIL_PATTERN)
+        + _pattern_count(t, URL_PATTERN)
+        + _pattern_count(t, DIGIT_RUN_PATTERN)
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"
+        ),
+        DIGIT_RUN_PATTERN,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("text"),
+        n.cast("int").alias("n_redactions"),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    *,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based data-mixture weights per domain (the standard
+    pretraining recipe step: sampling probability ∝ token_count^alpha
+    with alpha = 0.5, so small domains are upsampled relative to their
+    natural share — cf. multilingual/LLaMA-style mixtures).
+
+    Per ``by``-group: doc and token counts, the natural share, the
+    alpha-tempered target share, and ``sample_factor`` = target/natural —
+    the per-domain repetition multiplier a sampler applies. alpha is
+    FIXED at 0.5 because sqrt is correctly rounded in every IEEE engine
+    (an arbitrary pow(x, a) is not) — the whole table is then
+    engine-exact at 6dp. One aggregation + a 1-row broadcast of the
+    totals; map-only per group after that."""
+    g = docs.groupBy(F.col(by).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tot_w"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    natural = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    target = w / F.col("tot_w")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(by),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(natural, 6).alias("natural_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / natural, 6).alias("sample_factor"),
+        )
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     *,

@@ -172,6 +172,32 @@ def test_gram_store_compaction_dedups_and_preserves_verdicts(spark, docs, tmp_pa
     assert got and got == want
 
 
+def test_redact_pii_rewrites_only_pii_docs(spark):
+    rows = [
+        (1, "contact me at alice.b@example.com or https://ex.com/page now"),
+        (2, "a perfectly clean sentence with no personal data at all"),
+        (3, "card 1234567890 and backup 999999 plus 55555555"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_redactions"])
+           for r in curation.redact_pii(df).collect()}
+    assert got[1] == ("contact me at <EMAIL> or <URL> now", 2)
+    assert got[2] == (rows[1][1], 0)  # byte-identical
+    # 999999 is a 6+ digit run; 1234567890 and 55555555 too -> 3 redactions
+    assert got[3] == ("card <NUM> and backup <NUM> plus <NUM>", 3)
+
+
+def test_mixture_weights_upsample_small_domains(docs):
+    out = {r["lang"]: r for r in curation.mixture_weights(docs).collect()}
+    assert len(out) >= 2
+    smallest = min(out.values(), key=lambda r: r["n_tokens"])
+    largest = max(out.values(), key=lambda r: r["n_tokens"])
+    # alpha = 0.5 tempers the distribution toward uniform
+    assert smallest["sample_factor"] > 1.0 > largest["sample_factor"]
+    assert abs(sum(r["natural_share"] for r in out.values()) - 1.0) < 1e-4
+    assert abs(sum(r["target_share"] for r in out.values()) - 1.0) < 1e-4
+
+
 def test_tfidf_ranks_are_dense_topk(docs):
     out = curation.tfidf_topk(docs, k=5).cache()
     per_doc = out.groupBy("doc_id").agg(
