@@ -3723,9 +3723,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         # -- (b) new this round: stream_corpus_ingest (end-to-end
         # incremental corpus ingest), keep-first span policy,
-        # quantized trained-IVF composition; changed: streaming
-        # ingest (prebanded store + drop-set refactor), kmeans /
-        # trained-IVF (dual codebook transport), span plumbing
+        # quantized trained-IVF composition, BPE vocabulary induction
+        # (+ segmentation stats), PII redaction rewrite, mixture
+        # weights; changed: streaming ingest (prebanded store +
+        # drop-set refactor), kmeans / trained-IVF (dual codebook
+        # transport), span plumbing
         "stream_corpus_ingest": q_stream_corpus_ingest,
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "ann_quantized_ivf": q_ann_quantized_ivf,
