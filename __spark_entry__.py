@@ -1274,6 +1274,14 @@ def q_token_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_frequency_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-bigram fluency scoring (bigram-LM companion to
+    token_freq_stats): mean corpus MLE P(next|prev) per doc plus the
+    rare-bigram share — ratios floored to fixed point BEFORE summing so
+    the parallel aggregation is order-exact in any engine."""
+    return textops.bigram_fluency(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1557,6 +1565,36 @@ def _stream_dedup_ingest_oracle(min_est: float = 0.25) -> str:
     select doc_id, 0::bigint as ingest_batch from surv0
     union all select doc_id, 1::bigint from surv1
     union all select doc_id, 2::bigint from surv2
+    """
+
+
+def _bigram_fluency_oracle(rare_max: int = 2, fp_scale: int = 10**6) -> str:
+    """Replay of textops.bigram_fluency: corpus bigram + prefix-token
+    counts, per-ratio fixed-point floor, per-doc integer sums."""
+    return f"""
+    with base as (
+      select doc_id, string_split_regex(trim(text), ' +') as tk
+      from documents where trim(text) <> ''),
+    prs as (
+      select doc_id, s.l as l, s.r as r
+      from (select doc_id,
+                   unnest(case when len(tk) < 2 then []
+                          else list_transform(generate_series(1, len(tk) - 1),
+                                 i -> {{'l': tk[i], 'r': tk[i + 1]}}) end) as s
+            from base)),
+    c2 as (select l, r, count(*) as c2 from prs group by 1, 2),
+    c1 as (select l, count(*) as c1
+           from (select unnest(tk) as l from base) group by 1),
+    sc as (select doc_id, c2.c2, (c2.c2 * {fp_scale}) // c1.c1 as fp
+           from prs join c2 using (l, r) join c1 using (l)),
+    pd as (select doc_id, count(*) as n, sum(fp) as s,
+                  count(case when c2 <= {rare_max} then 1 end) as rare
+           from sc group by 1)
+    select d.doc_id, coalesce(n, 0)::int as n_bigrams,
+           (s // n)::double / {float(fp_scale)} as avg_cond_prob,
+           ((rare * {fp_scale}) // n)::double / {float(fp_scale)}
+             as rare_bigram_share
+    from documents d left join pd using (doc_id)
     """
 
 
@@ -3735,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "pii_redact": q_pii_redact,
         "mixture_weights": q_mixture_weights,
+        "bigram_fluency": q_bigram_fluency,
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "kmeans": q_kmeans,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3764,8 +3803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "month_end_snapshot": q_month_end_snapshot,
         "coalesce_nullif_arith": q_coalesce_nullif_arith,
-        "pricing_summary": q_pricing_summary,
         # ---- driver gate window (50) ends here ----
+        "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
         "topk_per_group": q_topk_per_group,
@@ -4304,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _ann_ivf_trained_oracle(),
         "ann_quantized_ivf": _ann_quantized_ivf_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
+        "bigram_fluency": _bigram_fluency_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),

@@ -271,6 +271,82 @@ def remove_spans(
     )
 
 
+def bigram_fluency(docs: DataFrame, *, rare_max: int = 2,
+                   fp_scale: int = 10**6,
+                   text_col: str = "text") -> DataFrame:
+    """Conditional-bigram fluency per doc — the bigram-LM companion to
+    ``token_frequency_stats`` (unigram): fluent text chains tokens the
+    corpus has seen CHAINED before, so the mean conditional MLE
+    P(b|a) = count(a b) / count(a) separates prose from shuffled or
+    templated token soup far better than unigram frequency alone.
+
+    Per doc (over all adjacent token pairs):
+      * ``avg_cond_prob`` — mean of count(bigram)/count(prefix token,
+        ANY position), each ratio floored to ``fp_scale`` fixed point
+        BEFORE summing: a sum of doubles is order-nondeterministic under
+        parallel aggregation, a sum of fixed-point bigints is exact in
+        any engine;
+      * ``rare_bigram_share`` — fraction of the doc's bigrams whose
+        corpus count is <= ``rare_max``.
+
+    Both outputs are TRUNCATED at ``fp_scale`` via integer division and
+    divided back out once — never ``round()``: a 6dp round can land on
+    an exact decimal tie (e.g. share 1/128) where engines' half-handling
+    differs, while trunc-of-integer is bit-identical everywhere.
+
+    Scale shape: bigram rows come map-only off the token array (same
+    ``transform``+``slice`` family as duplicate_spans — no window over
+    the token stream); one (l, r) count aggregation, one token count
+    aggregation, one join of the bigram stream to each count table
+    (vocabulary is unbounded at 100 TB, neither side broadcasts), one
+    per-doc aggregation. Docs with < 2 tokens keep n_bigrams = 0 with
+    null ratios."""
+    toks = ws_tokens(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("__tk")).where(F.size("__tk") >= 2)
+    pair_arr = F.expr(
+        "transform(sequence(0, size(__tk) - 2),"
+        " i -> struct(__tk[i] as l, __tk[i + 1] as r))"
+    )
+    pairs = base.select("doc_id", F.explode(pair_arr).alias("p")).select(
+        "doc_id", "p.l", "p.r"
+    )
+    c2 = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        docs.select(F.explode(toks).alias("l"))
+        .groupBy("l")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scored = (
+        pairs.join(c2, ["l", "r"])
+        .join(c1, "l")
+        .select(
+            "doc_id",
+            "c2",
+            F.expr(f"(c2 * {fp_scale}L) div c1").alias("fp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fp").alias("s"),
+        F.count(F.when(F.col("c2") <= rare_max, 1)).alias("rare"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_bigrams"),
+            (
+                F.expr("s div n").cast("double") / F.lit(float(fp_scale))
+            ).alias("avg_cond_prob"),
+            (
+                F.expr(f"(rare * {fp_scale}L) div n").cast("double")
+                / F.lit(float(fp_scale))
+            ).alias("rare_bigram_share"),
+        )
+    )
+
+
 def token_frequency_stats(docs: DataFrame, *, rare_max: int = 2,
                           text_col: str = "text") -> DataFrame:
     """Corpus-frequency fluency signals per doc — the engine-portable core

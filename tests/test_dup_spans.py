@@ -128,3 +128,21 @@ def test_remove_spans_cuts_exactly_and_preserves_clean_docs(spark):
     assert got[2] == ("", 6)  # whole doc was the shared passage
     # doc 3 shares nothing: text byte-identical incl. the messy whitespace
     assert got[3] == (rows[2].text, 0)
+
+
+def test_bigram_fluency_separates_prose_from_shuffle(spark):
+    """Semantic sanity for the bigram-LM scorer: docs built from a chain
+    the corpus repeats score a far higher mean conditional probability
+    than the same words in a never-seen order."""
+    from credit_abs_oltp_to_mart_spark.operators.textops import bigram_fluency
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over quick lazy fox the brown jumps"
+    rows = [(i, phrase) for i in range(1, 6)] + [(9, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_fluency(df).collect()}
+    assert got[1]["n_bigrams"] == 8
+    assert got[1]["avg_cond_prob"] > 3 * got[9]["avg_cond_prob"]
+    # every bigram of the shuffled doc is corpus-rare, the prose's are not
+    assert got[9]["rare_bigram_share"] == 1.0
+    assert got[1]["rare_bigram_share"] < 0.5
