@@ -794,6 +794,15 @@ def stream_corpus_ingest(
     packed_dir = os.path.join(out_dir, "packed")
     ck_dir = os.path.join(out_dir, "checkpoint")
     resume_pending_compaction(spark, store_dir)
+    # the blocklist is FIXED for the whole run — pin it into the block
+    # manager once instead of re-scanning the parquet every micro-batch
+    # (the per-batch broadcast build still happens; this removes the
+    # scan+plan cost under it)
+    gram_store = None
+    if gram_store_path is not None:
+        gram_store = spark.read.parquet(gram_store_path).localCheckpoint(
+            eager=True
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -828,10 +837,10 @@ def stream_corpus_ingest(
                 survivors = gated.join(drop.distinct(), "doc_id", "left_anti")
             else:
                 survivors = gated
-            if gram_store_path is not None:
+            if gram_store is not None:
                 verdicts = decontaminate_against_store(
                     survivors,
-                    sess.read.parquet(gram_store_path),
+                    gram_store,
                     n=n_grams,
                     max_overlap=max_overlap,
                     broadcast_store=broadcast_gram_store,
