@@ -43,7 +43,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from credit_abs_oltp_to_mart_spark.operators import dedup, textops
+    from credit_abs_oltp_to_mart_spark.operators import bpe, dedup, textops
     from credit_abs_oltp_to_mart_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
@@ -121,6 +121,17 @@ def main() -> int:
                 broadcast_batch=False,
             )
         ),
+        # round-5 operators: substring-level dedup (both policies — the
+        # keep-first argmin must not change the growth curve), the
+        # bigram-LM scorer (two unbroadcast count joins), and BPE
+        # training (drives its own actions: word-table rounds, corpus
+        # scanned once — returns None, nothing left to materialize)
+        "dup_spans": lambda d: textops.duplicate_spans(d),
+        "dup_spans_keep_first": lambda d: textops.duplicate_spans(
+            d, keep_first=True
+        ),
+        "bigram_fluency": lambda d: textops.bigram_fluency(d),
+        "bpe_train_4rounds": lambda d: (bpe.bpe_train(d, n_merges=4), None)[1],
     }
     results: dict[str, dict] = {}
     for name, build in probes.items():
@@ -129,7 +140,9 @@ def main() -> int:
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                mat(build(d))
+                out = build(d)
+                if out is not None:
+                    mat(out)
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             times[label] = round(best, 3)
