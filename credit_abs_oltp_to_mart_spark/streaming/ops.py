@@ -736,6 +736,7 @@ def stream_corpus_ingest(
     broadcast_batch: bool = True,
     broadcast_gram_store: bool = True,
     dedup_within_batch: bool = True,
+    store_prebanded: bool = False,
 ) -> DataFrame:
     """The COMPLETE incremental corpus pipeline per arriving micro-batch —
     the actual shape of a continuous 100 TB pretraining ingest, composing
@@ -772,9 +773,12 @@ def stream_corpus_ingest(
 
     Scale posture: per batch, ONE map-only filter pass, one signature
     projection (cached, three consumers), one store scan + band join
-    (``broadcast_batch`` picks broadcast vs sort-merge), one gram
-    semi-join against the blocklist (``broadcast_gram_store`` False =
-    merge-hinted fallback), one shard shuffle for packing. State is plain
+    (``broadcast_batch`` picks broadcast vs sort-merge;
+    ``store_prebanded=True`` bakes the band_key into the store
+    partitions so every later scan skips the band explode, exactly as
+    in ``stream_dedup_ingest``), one gram semi-join against the
+    blocklist (``broadcast_gram_store`` False = merge-hinted fallback),
+    one shard shuffle for packing. State is plain
     partitioned parquet; the eval gram store is built once, offline."""
     from pyspark.errors import AnalysisException
 
@@ -866,11 +870,16 @@ def stream_corpus_ingest(
             ).write.mode("overwrite").parquet(
                 os.path.join(packed_dir, f"batch={batch_id}")
             )
-            batch_sigs.join(
+            adm_sigs = batch_sigs.join(
                 admitted.select("doc_id"), "doc_id", "left_semi"
-            ).withColumn(
-                "ingest_batch", F.lit(batch_id).cast("long")
-            ).write.mode("overwrite").parquet(
+            ).withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            if store_prebanded:
+                # bake the band explode into the store once at write time
+                # — the same pre-banded layout as stream_dedup_ingest
+                adm_sigs = adm_sigs.select(
+                    "*", D._band_key_col(n_perm, bands)
+                )
+            adm_sigs.write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
         finally:
@@ -891,6 +900,8 @@ def stream_corpus_ingest(
     )
     query.awaitTermination()
     admitted = spark.read.parquet(store_dir).select("doc_id", "ingest_batch")
+    if store_prebanded:
+        admitted = admitted.distinct()  # `bands` rows per admitted doc
     chunks = (
         spark.read.parquet(packed_dir)
         .groupBy("doc_id")

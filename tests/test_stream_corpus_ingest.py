@@ -137,3 +137,31 @@ def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     # batch 2's eval-copy doc is decontam-dropped against the same store
     assert set(again) == first
     assert len(again) == len(set(again))  # no duplicated survivor rows
+
+
+def test_stream_corpus_ingest_prebanded_store_agrees(spark, tmp_path):
+    """store_prebanded=True: identical admitted set + chunk counts, with
+    band_key baked into the signature-store partitions (bands rows per
+    admitted doc) — parity with stream_dedup_ingest's layout knob."""
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    gram_store = str(tmp_path / "eval_grams")
+    build_eval_gram_store(
+        spark.createDataFrame([Row(doc_id=900, text=EVAL_DOC)], schema)
+    ).write.parquet(gram_store)
+    t0 = _time.time() - 120
+    results = {}
+    for mode in (False, True):
+        src = tmp_path / f"slices_{mode}"
+        _land(spark, src, schema, 0, [Row(doc_id=1, text=GOOD_A)], t0)
+        _land(spark, src, schema, 1, [Row(doc_id=10, text=DUP_A), Row(doc_id=12, text=FRESH)], t0)
+        out = str(tmp_path / f"out_{mode}")
+        got = streaming.stream_corpus_ingest(
+            spark, f"{src}/b*", out, schema=schema,
+            gram_store_path=gram_store, min_est=0.25, chunk_tokens=8,
+            dedup_within_batch=True, store_prebanded=mode,
+        )
+        results[mode] = {tuple(r) for r in got.collect()}
+    assert results[True] == results[False] and results[True]
+    store = spark.read.parquet(os.path.join(str(tmp_path / "out_True"), "signature_store"))
+    assert "band_key" in store.columns
+    assert store.groupBy("doc_id").count().where(F.col("count") != 2).count() == 0
