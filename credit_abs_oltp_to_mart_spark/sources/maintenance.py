@@ -243,6 +243,11 @@ def compact_gram_store(
     ``upto`` = every partition present (a blocklist partition write is
     atomic and never replayed); run between ingest runs like the
     signature-store compaction."""
+    # heal BEFORE listing: after a crash between a previous compaction's
+    # partition deletes and its rename, the only partitions may live in
+    # the hidden dir — listing first would see zero partitions and skip
+    # the repair entirely
+    resume_pending_compaction(spark, store_dir)
     fs, _ = _hadoop_fs(spark, store_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     parts = [

@@ -198,6 +198,39 @@ def test_mixture_weights_upsample_small_domains(docs):
     assert abs(sum(r["target_share"] for r in out.values()) - 1.0) < 1e-4
 
 
+def test_gram_store_compaction_heals_fully_swapped_crash(spark, docs, tmp_path):
+    """Crash window where a previous compaction finished ALL its partition
+    deletes but not the rename: the only copy of the blocklist lives in
+    the complete hidden dir and zero batch= partitions remain. The next
+    compact_gram_store call must heal (rename into place), not no-op on
+    the empty listing."""
+    import os
+    import shutil
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        compact_gram_store,
+    )
+
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    store_dir = str(tmp_path / "gram_store_crash")
+    curation.build_eval_gram_store(ev).write.parquet(
+        os.path.join(store_dir, "batch=0")
+    )
+    want = {r["gram"] for r in spark.read.parquet(store_dir).select("gram").collect()}
+    # stage the crash: complete hidden dir (with _SUCCESS), all partitions gone
+    shutil.copytree(
+        os.path.join(store_dir, "batch=0"), os.path.join(store_dir, ".compact-0")
+    )
+    shutil.rmtree(os.path.join(store_dir, "batch=0"))
+
+    stats = compact_gram_store(spark, store_dir)
+    assert [d for d in os.listdir(store_dir) if d.startswith("batch=")] == ["batch=0"]
+    assert not any(d.startswith(".compact") for d in os.listdir(store_dir))
+    got = {r["gram"] for r in spark.read.parquet(store_dir).select("gram").collect()}
+    assert got == want
+    assert stats["partitions_before"] == 1  # the healed partition is back
+
+
 def test_tfidf_ranks_are_dense_topk(docs):
     out = curation.tfidf_topk(docs, k=5).cache()
     per_doc = out.groupBy("doc_id").agg(
