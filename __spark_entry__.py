@@ -3311,6 +3311,30 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_segment_stats(docs, wf)
 
 
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-text → trained-tokenizer → packed-shards chain end to end:
+    train BPE, tokenize every doc into its contiguous subword id
+    sequence (dense lexicographic ids over the learned vocabulary), and
+    sequence-pack THOSE ids into fixed-width shard bins — the shards a
+    trainer would actually consume hold tokenizer output, not
+    whitespace tokens. Same shuffle budget as ``pack_chunks``: the
+    tokenize pass is broadcast-mapped, packing is one shard shuffle +
+    per-shard offset window."""
+    from credit_abs_oltp_to_mart_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, wf = bpe.bpe_train(docs, n_merges=BPE_MERGES)
+    return bpe.bpe_pack(
+        docs, wf, chunk_tokens=BPE_PACK_CHUNK, bin_tokens=BPE_PACK_BIN,
+        shards=BPE_PACK_SHARDS,
+    )
+
+
+BPE_PACK_CHUNK = 64
+BPE_PACK_BIN = 256
+BPE_PACK_SHARDS = 8
+
+
 def _bpe_ctes(n_merges: int = BPE_MERGES) -> str:
     """Round-replay CTE chain for bpe_train (mirrors the Lloyd-replay
     style): w0 = per-word char symbols off the word-frequency table; each
@@ -3410,6 +3434,57 @@ def _bpe_segment_oracle(n_merges: int = BPE_MERGES) -> str:
     select d.doc_id, coalesce(n_words, 0)::int as n_words,
            coalesce(n_bpe, 0)::int as n_bpe_tokens
     from documents d left join per using (doc_id)
+    """
+
+
+def _bpe_pack_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Replays segmentation + id assignment + packing: vocab = distinct
+    final symbols with dense lexicographic ids; per-word id list from the
+    trained word frame; per-doc flattened sequence in word order; chunk /
+    shard / offset / bin exactly as ``_pack_chunks_oracle``."""
+    c, b, s = BPE_PACK_CHUNK, BPE_PACK_BIN, BPE_PACK_SHARDS
+    return f"""
+    with {_bpe_ctes(n_merges)},
+    vocab as materialized (
+      select sym, (row_number() over (order by sym) - 1)::int as tok_id
+      from (select distinct unnest(syms) as sym from w{n_merges})),
+    wid as materialized (
+      select word, list(tok_id order by i) as ids
+      from (select word, t.i, syms[t.i] as sym
+            from w{n_merges},
+                 unnest(generate_series(1, len(syms))) as t(i)) e
+           join vocab using (sym)
+      group by word),
+    dt as (
+      select doc_id, t.i as wpos, tk[t.i] as word
+      from (select doc_id, string_split_regex(trim(text), ' +') as tk
+            from documents where trim(text) <> '') d,
+           unnest(generate_series(1, len(tk))) as t(i)),
+    seq as (
+      select doc_id, flatten(list(ids order by wpos)) as ids
+      from dt join wid using (word) group by doc_id),
+    ch as (
+      select doc_id, ids,
+             unnest(generate_series(0, ((len(ids) + {c - 1}) // {c}) - 1))
+               as chunk_idx
+      from seq where len(ids) > 0),
+    sized as (
+      select doc_id, chunk_idx::int as chunk_idx,
+             ids[chunk_idx * {c} + 1 : chunk_idx * {c} + {c}] as chunk,
+             (('0x' || substr(md5('shard:' || doc_id::varchar), 1, 15))::bigint
+              % {s})::int as shard
+      from ch),
+    packed as (
+      select shard, doc_id, chunk_idx, len(chunk)::int as n_tokens,
+             array_to_string(chunk, ' ') as chunk_ids,
+             coalesce(sum(len(chunk)) over (
+               partition by shard order by doc_id, chunk_idx
+               rows between unbounded preceding and 1 preceding), 0)::bigint
+               as start_tok
+      from sized)
+    select shard, doc_id, chunk_idx, n_tokens, chunk_ids, start_tok,
+           start_tok // {b} as bin
+    from packed
     """
 
 
@@ -3771,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_ivf": q_ann_quantized_ivf,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
+        "bpe_pack": q_bpe_pack,
         "pii_redact": q_pii_redact,
         "mixture_weights": q_mixture_weights,
         "bigram_fluency": q_bigram_fluency,
@@ -4345,6 +4421,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle(),
         "bigram_fluency": _bigram_fluency_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
+        "bpe_pack": _bpe_pack_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),
@@ -4401,21 +4478,26 @@ def oracle_sql() -> dict[str, str]:
                      as n_redactions
             from documents
         """,
-        "mixture_weights": """
+        "mixture_weights": f"""
             with g as (
               select lang, count(*) as n_docs,
                      sum(case when trim(text) = '' then 0
                          else len(string_split_regex(trim(text), ' +')) end)
-                       as n_tokens
+                       as n_tokens,
+                     floor(sqrt((sum(case when trim(text) = '' then 0
+                           else len(string_split_regex(trim(text), ' +'))
+                           end))::double)
+                           * {curation.WEIGHT_FP_SCALE})::bigint as w_fp
               from documents group by 1),
             t as (select sum(n_tokens) as tot_tokens,
-                         sum(sqrt(n_tokens::double)) as tot_w from g)
+                         sum(w_fp) as tot_w_fp from g)
             select lang, n_docs::bigint as n_docs, n_tokens::bigint as n_tokens,
                    round(n_tokens::double / tot_tokens::double, 6)
                      as natural_share,
-                   round(sqrt(n_tokens::double) / tot_w, 6) as target_share,
-                   round((sqrt(n_tokens::double) / tot_w)
-                         / (n_tokens::double / tot_tokens::double), 6)
+                   round(w_fp::double / tot_w_fp::double, 6) as target_share,
+                   round((w_fp::double * tot_tokens::double)
+                         / (tot_w_fp::double
+                            * greatest(1, n_tokens)::double), 6)
                      as sample_factor
             from g, t
         """,

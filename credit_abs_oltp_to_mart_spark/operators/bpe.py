@@ -21,9 +21,10 @@ property tests pin this against a literal python reference).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
 from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
 
 
@@ -138,8 +139,12 @@ def bpe_segment_stats(
     doc's token stream to the trained word frame and sum symbol counts —
     (doc_id, n_words, n_bpe_tokens). The join is on the word key (the
     word table is the small side at any corpus size that fits a
-    vocabulary, so it broadcasts); unseen-word docs would indicate a
-    train/apply corpus mismatch and surface as null sums."""
+    vocabulary, so it broadcasts). The join is INNER: a word absent from
+    the trained frame (a train/apply corpus mismatch) is excluded from
+    BOTH n_words and n_bpe_tokens — the stats cover trained-vocabulary
+    words only. ``bpe_tokenize`` is the strict variant: it left-joins and
+    nulls out the whole doc's token sequence on any unseen word, so a
+    mismatch surfaces instead of silently shrinking counts."""
     toks = docs.select(
         "doc_id", F.explode(ws_tokens(F.col(text_col))).alias("word")
     )
@@ -158,4 +163,151 @@ def bpe_segment_stats(
         "doc_id",
         F.coalesce("n_words", F.lit(0)).cast("int").alias("n_words"),
         F.coalesce("n_bpe_tokens", F.lit(0)).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def vocab_frame(word_frame: DataFrame) -> DataFrame:
+    """(sym, tok_id) — the trained vocabulary with DENSE token ids
+    assigned by lexicographic symbol order, so any engine derives the
+    identical id table from the same merge sequence. The vocabulary is
+    |alphabet| + n_merges symbols (tiny at any corpus size), so the
+    single-partition ordering window is a non-issue — same trade as the
+    k-means codebook collect."""
+    syms = word_frame.select(F.explode("syms").alias("sym")).distinct()
+    return syms.select(
+        "sym",
+        (F.row_number().over(Window.orderBy("sym")) - 1)
+        .cast("int")
+        .alias("tok_id"),
+    )
+
+
+def bpe_tokenize(
+    docs: DataFrame, word_frame: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc CONTIGUOUS BPE token-id sequence under a trained
+    vocabulary — the tokenizer OUTPUT a pretraining pipeline packs, not
+    whitespace tokens.
+
+    Shape: word → id-sequence is a per-word lookup table derived from the
+    trained word frame (syms positions joined to ``vocab_frame`` ids) —
+    vocabulary-sized, so it broadcasts; the corpus token stream maps
+    through it with NO shuffle on the word key, then one per-doc
+    aggregation stitches word id-arrays back in word order (flatten of a
+    position-sorted collect).
+
+    STRICT on train/apply mismatch: the token-stream join is LEFT, and a
+    doc containing ANY word absent from the trained frame yields
+    ``token_ids`` NULL (with ``n_unseen`` > 0) rather than a silently
+    shortened sequence — the complement of ``bpe_segment_stats``'s
+    seen-words-only counting. Docs with no tokens are excluded (no
+    sequence to emit)."""
+    ids_per_word = (
+        word_frame.select("word", F.posexplode("syms").alias("pos", "sym"))
+        .join(F.broadcast(vocab_frame(word_frame)), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok_id")))
+                ),
+                lambda s: s["tok_id"],
+            ).alias("ids")
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens(F.col(text_col))).alias("wpos", "word"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(ids_per_word), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.count(F.when(F.col("ids").isNull(), 1)).alias("n_unseen"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("wpos"),
+                                F.coalesce(
+                                    F.col("ids"),
+                                    F.expr("cast(array() as array<int>)"),
+                                ).alias("ids"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("__ids"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_unseen").cast("int").alias("n_unseen"),
+        F.when(F.col("n_unseen") == 0, F.col("__ids")).alias("token_ids"),
+    )
+
+
+def bpe_pack(
+    docs: DataFrame,
+    word_frame: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    bin_tokens: int = 256,
+    shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-pack the TRAINED-TOKENIZER output — the last link of the
+    raw-text → tokenizer → packed-shards chain: ``bpe_tokenize`` id
+    sequences cut into fixed ``chunk_tokens`` windows, routed to shards
+    by doc-id hash, laid end-to-end per shard in (doc_id, chunk_idx)
+    order, and assigned to the fixed-width ``bin_tokens`` bin their start
+    offset lands in — ``curation.pack_chunks``'s layout contract, but the
+    chunk payload is the actual token-id run (space-joined in
+    ``chunk_ids``), not whitespace text.
+
+    One broadcast-mapped tokenize pass, one map-only chunk explode, one
+    shard shuffle + per-shard offset window — identical shuffle budget to
+    ``pack_chunks``. Docs with unseen words (null sequences) are
+    excluded: packing silently-truncated sequences would corrupt
+    training shards."""
+    t = bpe_tokenize(docs, word_frame, text_col=text_col).where(
+        F.col("token_ids").isNotNull() & (F.size("token_ids") > 0)
+    )
+    n = F.size("token_ids")
+    n_chunks = ((n + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("token_ids"), i * chunk_tokens + 1, chunk_tokens),
+    )
+    ch = t.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(shards),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ch.select(
+            shard.cast("int").alias("shard"),
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("chunk").cast("int").alias("n_tokens"),
+            F.array_join(
+                F.transform(F.col("chunk"), lambda x: x.cast("string")), " "
+            ).alias("chunk_ids"),
+        )
+        .withColumn(
+            "start_tok",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn("bin", F.expr(f"start_tok div {bin_tokens}"))
     )

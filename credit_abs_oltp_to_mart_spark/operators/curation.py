@@ -411,6 +411,10 @@ def pack_chunks(
     )
 
 
+# fixed-point scale for mixture-weight sqrt terms: floored to bigint
+# before summing so the total is aggregation-order exact in any engine
+WEIGHT_FP_SCALE = 10**6
+
 # explicit ASCII classes: Java regex (Spark) and RE2 (DuckDB) agree on these
 EMAIL_PATTERN = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
 URL_PATTERN = "https?://[A-Za-z0-9./_-]+"
@@ -464,7 +468,14 @@ def redact_pii(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     emails/URLs/long digit runs replaced by typed placeholders, plus the
     redaction count — the privacy-scrubbing pass a training corpus runs
     before packing. Map-only regexp_replace chain inside codegen; docs
-    with no PII keep their text byte-identical."""
+    with no PII keep their text byte-identical.
+
+    ``n_redactions`` is the PRE-rewrite PII signal count (all three
+    patterns counted on the ORIGINAL text, matching ``pii_scan``): the
+    replacements then run sequentially, so a nested match — a digit run
+    inside an already-replaced URL — is counted once as a signal but
+    never inserts its own placeholder. The count is the detection-side
+    number, not the number of placeholders in the output."""
     t = F.col(text_col)
     n = (
         _pattern_count(t, EMAIL_PATTERN)
@@ -500,20 +511,36 @@ def mixture_weights(
     alpha-tempered target share, and ``sample_factor`` = target/natural —
     the per-domain repetition multiplier a sampler applies. alpha is
     FIXED at 0.5 because sqrt is correctly rounded in every IEEE engine
-    (an arbitrary pow(x, a) is not) — the whole table is then
-    engine-exact at 6dp. One aggregation + a 1-row broadcast of the
-    totals; map-only per group after that."""
+    (an arbitrary pow(x, a) is not). Each group's sqrt weight is floored
+    to fixed point (bigint) BEFORE the total-weight sum — a sum of
+    doubles is order-nondeterministic under parallel aggregation, a sum
+    of bigints is exact in any engine (same discipline as
+    ``bigram_fluency``) — and every output share is a ratio of
+    deterministic values. Zero-token groups (all-empty docs) get
+    target_share 0 and sample_factor 0, never NaN: the natural-share
+    denominator is guarded with greatest(1, n_tokens). One aggregation +
+    a 1-row broadcast of the totals; map-only per group after that."""
+    w_fp = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * WEIGHT_FP_SCALE)
     g = docs.groupBy(F.col(by).alias("grp")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ws_token_count(F.col(text_col))).alias("n_tokens"),
-    )
+    ).withColumn("w_fp", w_fp)
     tot = g.agg(
         F.sum("n_tokens").alias("tot_tokens"),
-        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tot_w"),
+        F.sum("w_fp").alias("tot_w_fp"),
     )
-    w = F.sqrt(F.col("n_tokens").cast("double"))
     natural = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
-    target = w / F.col("tot_w")
+    target = F.col("w_fp").cast("double") / F.col("tot_w_fp").cast("double")
+    # factor = target / natural, rearranged so products are computed in
+    # double (no bigint overflow at 100 TB token counts) and the
+    # denominator is never 0 for a zero-token group (w_fp is 0 there, so
+    # the factor is exactly 0, not NaN)
+    factor = (
+        F.col("w_fp").cast("double") * F.col("tot_tokens").cast("double")
+    ) / (
+        F.col("tot_w_fp").cast("double")
+        * F.greatest(F.lit(1), F.col("n_tokens")).cast("double")
+    )
     return (
         g.crossJoin(F.broadcast(tot))
         .select(
@@ -522,7 +549,7 @@ def mixture_weights(
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.round(natural, 6).alias("natural_share"),
             F.round(target, 6).alias("target_share"),
-            F.round(target / natural, 6).alias("sample_factor"),
+            F.round(factor, 6).alias("sample_factor"),
         )
     )
 

@@ -804,8 +804,16 @@ def stream_corpus_ingest(
     # scan+plan cost under it)
     gram_store = None
     if gram_store_path is not None:
-        gram_store = spark.read.parquet(gram_store_path).localCheckpoint(
-            eager=True
+        # dropDuplicates on the gram key: an incrementally-extended
+        # multi-partition blocklist that hasn't been through
+        # compact_gram_store carries duplicate grams, and the decontam
+        # left join would fan out gram rows and over-count overlap.
+        # The store is small and read once per run, so the distinct
+        # is cheap here and every micro-batch inherits it.
+        gram_store = (
+            spark.read.parquet(gram_store_path)
+            .dropDuplicates(["gram"])
+            .localCheckpoint(eager=True)
         )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
