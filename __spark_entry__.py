@@ -1223,6 +1223,28 @@ def q_ann_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index, build once / serve from cold reads (VERDICT
+    r05 #3): ``build_ivf_index`` writes the trained codebook + the
+    cluster-partitioned quantized postings to parquet; ``ivf_index_probe``
+    then answers the queries WITHOUT retraining — the candidate side
+    reads only the index (dynamic partition pruning restricts it to the
+    probed clusters), never the raw float corpus. Serving from the index
+    is bit-identical to the in-plan ``ann_quantized_ivf`` search, so the
+    same all-integer DuckDB replay gates it."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="spark_ann_index_")
+    ann.build_ivf_index(
+        emb, idx, init_ids=KMEANS_INIT_IDS, iterations=KMEANS_ITERS
+    )
+    queries = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        "vec_id", "embedding"
+    )
+    return ann.ivf_index_probe(queries, idx, k=ANN_K, nprobe=IVF_NPROBE)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_blobs(_t(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media)
@@ -3844,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_corpus_ingest": q_stream_corpus_ingest,
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "ann_quantized_ivf": q_ann_quantized_ivf,
+        "ann_index_serve": q_ann_index_serve,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "bpe_pack": q_bpe_pack,
@@ -4418,6 +4441,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "ann_ivf_trained": _ann_ivf_trained_oracle(),
         "ann_quantized_ivf": _ann_quantized_ivf_oracle(),
+        # serving from the persisted index must be bit-identical to the
+        # in-plan quantized search — the SAME replay gates both
+        "ann_index_serve": _ann_quantized_ivf_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "bigram_fluency": _bigram_fluency_oracle(),
         "bpe_segment": _bpe_segment_oracle(),

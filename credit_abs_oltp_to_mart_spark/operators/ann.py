@@ -373,6 +373,163 @@ def quantized_ivf_topk_trained(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    init_ids: list[int],
+    iterations: int = 3,
+    levels: int = 256,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> None:
+    """BUILD-once half of the persisted ANN index (the production serving
+    shape: train offline, write the index, answer queries from cold reads
+    without ever retraining — the ANN analogue of the dedup signature
+    store):
+
+      ``<index_dir>/centroids``  (cid, cc, cent) — the trained fixed-point
+          codebook (k rows; cc = |c|^2 precomputed exact);
+      ``<index_dir>/postings``   (vec_id, codes, mn, sp) PARTITIONED BY
+          cluster — the inverted file, holding only the scalar-quantized
+          representation (4-8x smaller than the float column) plus the two
+          per-vector reconstruction doubles.
+
+    Everything persisted is integer or IEEE-double-exact, so a cold read
+    reproduces the in-plan search bit-for-bit. Partitioning the postings
+    by cluster is the scale lever: a probe touches only its clusters'
+    files (partition pruning), never the full table."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+
+    assign, cents = kmeans_train(
+        emb,
+        init_ids=init_ids,
+        iterations=iterations,
+        id_col="vec_id",
+        vec_col=vec_col,
+        codebook_as_literals=codebook_as_literals,
+    )
+    spark = emb.sparkSession
+    cent_rows = [
+        (int(cid), int(sum(x * x for x in cents[cid])),
+         [int(x) for x in cents[cid]])
+        for cid in sorted(cents)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cid bigint, cc bigint, cent array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    codes = quantize_embeddings(emb, vec_col=vec_col, levels=levels)
+    (
+        codes.select(
+            "vec_id",
+            "codes",
+            F.col("scale_min").alias("mn"),
+            (F.col("scale_max") - F.col("scale_min")).alias("sp"),
+        )
+        .join(assign.select("vec_id", "cluster"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{index_dir}/postings")
+    )
+
+
+def ivf_index_probe(
+    queries: DataFrame,
+    index_dir: str,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    levels: int = 256,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> DataFrame:
+    """SERVE-many half of the persisted ANN index: answer ``queries``
+    (a small (vec_id, vector) frame — in production the query embeddings
+    arrive from outside at request time) from the index written by
+    ``build_ivf_index``, with NO training and NO scan of the raw float
+    corpus: the candidate side reads only the quantized postings.
+
+    Plan shape: the codebook is a k-row cold read collected O(k*dim) to
+    the driver and shipped through the shared literal/broadcast scoring
+    kernel (bit-parity with the Lloyd loop, so probe ranking equals the
+    ranking the index was built under); query codes are quantized on the
+    fly (map-only over the tiny query frame — identical arithmetic to the
+    stored codes); the postings join broadcasts the probe set, so
+    Spark's dynamic partition pruning restricts the postings scan to the
+    probed clusters' partitions. Scoring is the compressed-domain
+    reconstruction dot product of ``quantized_ivf_topk_trained`` —
+    serving from the index is bit-identical to the in-plan search."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+        centroid_score_structs,
+        codebook_frame,
+        codebook_score_structs_expr,
+        use_literal_codebook,
+    )
+
+    spark = queries.sparkSession
+    cents = {
+        int(r["cid"]): list(r["cent"])
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    }
+    qsrc = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _to_fp(vec_col, FP_SCALE).alias("__qa"),
+    )
+    if use_literal_codebook(cents, codebook_as_literals):
+        ranked = F.array_sort(F.array(*centroid_score_structs(cents, "__qa")))
+    else:
+        qsrc = qsrc.crossJoin(F.broadcast(codebook_frame(spark, cents)))
+        ranked = F.array_sort(codebook_score_structs_expr("__qa"))
+    qcodes = quantize_embeddings(queries, vec_col=vec_col, levels=levels).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("qc"),
+        F.col("scale_min").alias("qmn"),
+        (F.col("scale_max") - F.col("scale_min")).alias("qsp"),
+    )
+    probes = (
+        qsrc.select(
+            "query_id", F.explode(F.slice(ranked, 1, nprobe)).alias("pr")
+        )
+        .select("query_id", F.col("pr.cid").cast("bigint").alias("cluster"))
+        .join(qcodes, "query_id")
+    )
+    members = spark.read.parquet(f"{index_dir}/postings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("codes").alias("nc"),
+        F.col("mn").alias("nmn"),
+        F.col("sp").alias("nsp"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+    )
+    lv = float(levels - 1)
+    scored = (
+        members.join(F.broadcast(probes), "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(nc, qc, (a, b) ->"
+                    f" (nmn + cast(a as double) * nsp / {lv}d)"
+                    f" * (qmn + cast(b as double) * qsp / {lv}d)),"
+                    " cast(0 as double), (acc, x) -> acc + x)"
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -186,3 +186,48 @@ def test_lsh_dim_mismatch_raises(spark, planted):
     bad = ann.lsh_topk(emb, qids, k=1, n_planes=4, dim=32)
     with pytest.raises(Exception, match="embedding missing or dim"):
         bad.collect()
+
+
+def test_persisted_index_serves_identical_to_inplan(spark, planted, tmp_path):
+    """build_ivf_index -> ivf_index_probe must reproduce the in-plan
+    quantized search bit-for-bit (the index persists everything the
+    search needs, exactly), and serving twice from the same cold index
+    gives identical answers with NO retraining."""
+    emb, qids = planted
+    init = list(range(0, 64, 8))
+    want = sorted(
+        tuple(r)
+        for r in ann.quantized_ivf_topk_trained(
+            emb, qids, init_ids=init, iterations=3, k=3, nprobe=4
+        ).collect()
+    )
+    idx = str(tmp_path / "ivf_index")
+    ann.build_ivf_index(emb, idx, init_ids=init, iterations=3)
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id").isin(qids))
+    got1 = sorted(
+        tuple(r)
+        for r in ann.ivf_index_probe(queries, idx, k=3, nprobe=4).collect()
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in ann.ivf_index_probe(queries, idx, k=3, nprobe=4).collect()
+    )
+    assert got1 == want
+    assert got2 == got1
+
+
+def test_persisted_index_postings_are_cluster_partitioned(spark, planted, tmp_path):
+    # the scale lever: postings live under cluster=<id>/ directories so a
+    # probe's scan prunes to its clusters' files
+    import os
+
+    emb, _ = planted
+    idx = str(tmp_path / "ivf_index")
+    ann.build_ivf_index(emb, idx, init_ids=list(range(0, 64, 8)), iterations=2)
+    parts = [
+        d for d in os.listdir(os.path.join(idx, "postings"))
+        if d.startswith("cluster=")
+    ]
+    assert len(parts) >= 2, parts

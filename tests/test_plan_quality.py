@@ -420,3 +420,26 @@ def test_quantized_ivf_probes_broadcast(spark):
     p = _plan(spark, "ann_quantized_ivf")
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p, p
+
+
+def test_ann_index_probe_prunes_partitions_never_scans_floats(spark):
+    # the serve path's candidate side must read ONLY the persisted index:
+    # the postings scan is dynamically pruned to the probed clusters, and
+    # the only scans of the raw embeddings parquet are the query-vector
+    # side with the vec_id IN filter pushed to the reader
+    import re
+
+    df = entry_mod.queries()["ann_index_serve"](spark, SF_DIR)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in p, p
+    # every embeddings.parquet scan block carries the pushed IN filter
+    # (the 5-row query side); none reads the table unfiltered
+    blocks = re.split(r"\n\n", p)
+    emb_blocks = [b for b in blocks if "embeddings.parquet" in b]
+    assert emb_blocks, p
+    for b in emb_blocks:
+        assert re.search(r"PushedFilters: \[In\(vec_id", b), b
