@@ -3459,6 +3459,91 @@ def _bpe_segment_oracle(n_merges: int = BPE_MERGES) -> str:
     """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (VERDICT r05 #5): distill the
+    hand-crafted quality gate into a linear model via full-batch
+    gradient rounds on the cluster (one d+1-value aggregation + O(d)
+    collect per round — the Lloyd/BPE loop shape), then score the corpus
+    map-only. Hard-sigmoid activation + fixed-point features + exact
+    bigint gradient sums make every round — and so the final weights and
+    scores — bit-replayable by the DuckDB oracle."""
+    from credit_abs_oltp_to_mart_spark.operators import classifier
+
+    return classifier.quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+def _quality_classifier_oracle() -> str:
+    """Gradient-replay of ``classifier.quality_classifier``: w0 = zeros;
+    each round r computes the hard-sigmoid probabilities under w{r-1},
+    sums the exact bigint err*x gradients, and derives w{r} with the
+    shared truncate-toward-zero division (DuckDB ``//`` == Spark
+    ``div``); the final select scores under w{rounds}."""
+    from credit_abs_oltp_to_mart_spark.operators import classifier as CL
+
+    S = CL.FEATURE_SCALE
+    d = CL.N_FEATURES
+    R = CL.CLASSIFIER_ROUNDS
+    half = S // 2
+    stop = ", ".join("'" + w + "'" for w in CL.ALL_STOPWORDS)
+    ntok = (
+        "(case when trim(text) = '' then 0"
+        " else len(string_split_regex(trim(text), ' +')) end)"
+    )
+    feats = f"""
+    f as materialized (
+      select doc_id,
+             (case when round(least(1.0, length(text)::double / 500.0)
+                 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9_ ]'))::double
+                          / greatest(1, length(text)))
+                 * (case when ml >= 2.0 and ml <= 12.0 then 1.0 else 0.5 end),
+                 6) >= 0.5 then 1 else 0 end) as y,
+             [ {S}::bigint,
+               least({S}, (length(text) * {S}) // 500),
+               (len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) * {S})
+                 // greatest(1, length(text)),
+               (len(list_filter(case when trim(text) = '' then []
+                    else string_split_regex(trim(lower(text)), ' +') end,
+                    tok -> tok in ({stop}))) * {S})
+                 // greatest(1, {ntok}),
+               least({S}, (length(regexp_replace(trim(text), ' +', '', 'g'))
+                 * {S}) // (12 * greatest(1, {ntok}))),
+               least({S}, ({ntok} * {S}) // 100) ] as x
+      from (select doc_id, text,
+                   list_sum(list_transform(
+                     string_split_regex(trim(text), ' +'),
+                     tk -> length(tk)))::double
+                     / greatest(1, len(string_split_regex(trim(text), ' +')))
+                     as ml
+            from documents))"""
+    dot = " + ".join(f"x[{j + 1}] * w.w{j}" for j in range(d))
+    p_expr = f"greatest(0, least({S}, {half} + ((({dot}) // {S}) // 4)))"
+    parts = [feats, f"w0 as (select {', '.join(f'0::bigint as w{j}' for j in range(d))})"]
+    for r in range(1, R + 1):
+        gsums = ", ".join(
+            f"sum((p - y * {S}) * x[{j + 1}]) as g{j}" for j in range(d)
+        )
+        wnew = ", ".join(
+            f"(w.w{j} - (({CL.LR_NUM} * g.g{j})"
+            f" // ({CL.LR_DEN} * g.n * {S})))::bigint as w{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"s{r} as materialized (select doc_id, y, x, {p_expr} as p"
+            f" from f, w{r - 1} w)"
+        )
+        parts.append(
+            f"g{r} as materialized (select count(*) as n, {gsums} from s{r})"
+        )
+        parts.append(f"w{r} as (select {wnew} from w{r - 1} w, g{r} g)")
+    return f"""
+    with {','.join(parts)}
+    select f.doc_id, f.y::int as label,
+           ({p_expr})::double / {S} as prob,
+           ({p_expr} >= {half})::int as predicted
+    from f, w{R} w
+    """
+
+
 def _bpe_pack_oracle(n_merges: int = BPE_MERGES) -> str:
     """Replays segmentation + id assignment + packing: vocab = distinct
     final symbols with dense lexicographic ids; per-word id list from the
@@ -3870,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "bpe_pack": q_bpe_pack,
+        "quality_classifier": q_quality_classifier,
         "pii_redact": q_pii_redact,
         "mixture_weights": q_mixture_weights,
         "bigram_fluency": q_bigram_fluency,
@@ -4448,6 +4534,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_fluency": _bigram_fluency_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
         "bpe_pack": _bpe_pack_oracle(),
+        "quality_classifier": _quality_classifier_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),
