@@ -757,9 +757,15 @@ def stream_corpus_ingest(
                  ``None`` skips the stage (no eval suites yet);
       pack     — admitted docs chunked + sequence-packed
                  (``curation.pack_chunks``: md5 shard routing, per-shard
-                 end-to-end layout, fixed-width token bins — bin offsets
-                 restart per batch, the streaming-trainer shard shape)
-                 and written under ``packed/batch=<id>/``.
+                 end-to-end layout, fixed-width token bins) and written
+                 under ``packed/batch=<id>/``. Bin numbering is
+                 CONTINUOUS across batches: a tiny batch-scoped
+                 ``pack_offsets`` state partition carries each shard's
+                 running token total (same crash-replay discipline as
+                 the signature store — a replayed batch reads only
+                 strictly-earlier batches' offsets), so streamed shards
+                 are byte-compatible with a single batch
+                 ``pack_chunks`` run over the same docs in slice order.
 
     Store semantics: the signature store holds ADMITTED docs only (passed
     ALL three gates) — the store IS the corpus, so later near-dups of an
@@ -796,6 +802,7 @@ def stream_corpus_ingest(
     n_grams = DECONTAM_N if decontam_n is None else decontam_n
     store_dir = os.path.join(out_dir, "signature_store")
     packed_dir = os.path.join(out_dir, "packed")
+    offsets_dir = os.path.join(out_dir, "pack_offsets")
     ck_dir = os.path.join(out_dir, "checkpoint")
     resume_pending_compaction(spark, store_dir)
     # the blocklist is FIXED for the whole run — pin it into the block
@@ -868,15 +875,51 @@ def stream_corpus_ingest(
             # the admitted plan reads the store path, which the signature
             # write below invalidates
             admitted = admitted.localCheckpoint(eager=True)
-            pack_chunks(
+            packed = pack_chunks(
                 admitted,
                 chunk_tokens=chunk_tokens,
                 bin_tokens=bin_tokens,
                 shards=shards,
-            ).withColumn(
+            )
+            # per-shard running offsets from STRICTLY earlier batches
+            # (a replayed batch never sees its own prior write), so the
+            # stream's bin numbering continues where the last batch
+            # stopped — byte-compatible with one batch pack over the
+            # same docs in slice order
+            try:
+                base = (
+                    sess.read.parquet(offsets_dir)
+                    .where(F.col("batch") < batch_id)
+                    .groupBy("shard")
+                    .agg(F.sum("batch_tokens").alias("__base"))
+                )
+            except AnalysisException:
+                base = None
+            if base is not None:
+                packed = (
+                    packed.join(F.broadcast(base), "shard", "left")
+                    .withColumn(
+                        "start_tok",
+                        F.col("start_tok")
+                        + F.coalesce(F.col("__base"), F.lit(0)),
+                    )
+                    .withColumn("bin", F.expr(f"start_tok div {bin_tokens}"))
+                    .drop("__base")
+                )
+            packed.withColumn(
                 "ingest_batch", F.lit(batch_id).cast("long")
             ).write.mode("overwrite").parquet(
                 os.path.join(packed_dir, f"batch={batch_id}")
+            )
+            # record this batch's per-shard token totals for the next
+            # batch's offsets (read back from the sink: cheap, and the
+            # totals are crash-consistent with what was written)
+            (
+                sess.read.parquet(os.path.join(packed_dir, f"batch={batch_id}"))
+                .groupBy("shard")
+                .agg(F.sum("n_tokens").cast("long").alias("batch_tokens"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(offsets_dir, f"batch={batch_id}"))
             )
             adm_sigs = batch_sigs.join(
                 admitted.select("doc_id"), "doc_id", "left_semi"

@@ -165,3 +165,111 @@ def test_stream_corpus_ingest_prebanded_store_agrees(spark, tmp_path):
     store = spark.read.parquet(os.path.join(str(tmp_path / "out_True"), "signature_store"))
     assert "band_key" in store.columns
     assert store.groupBy("doc_id").count().where(F.col("count") != 2).count() == 0
+
+
+def test_stream_pack_bins_continue_across_batches(spark, tmp_path):
+    """Cross-batch pack continuity: bin numbering carries each shard's
+    running token total across micro-batches (the pack_offsets state
+    partitions), so the streamed shards are IDENTICAL rows to one batch
+    pack_chunks run over the same docs — byte-compatible shard layouts."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import pack_chunks
+
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    texts = {
+        1: GOOD_A,
+        2: FRESH,
+        3: (
+            "a careful account of the mountain village where the baker "
+            "wakes before dawn to heat the stone oven and the children "
+            "carry warm loaves across the square to the houses by the well"
+        ),
+        4: (
+            "notes from the observatory describe how the astronomers "
+            "tracked the comet for a month and compared its path against "
+            "the tables printed in the old almanac kept in the library"
+        ),
+        5: (
+            "the gardener explained that the orchard needs pruning in "
+            "late winter so the apple trees keep their shape and the "
+            "fruit grows where the light can reach it through the branches"
+        ),
+        6: (
+            "a long letter from the engineer lists the repairs made to "
+            "the canal locks during the spring and the schedule of barges "
+            "that will pass once the water level returns to normal"
+        ),
+    }
+    src = tmp_path / "slices"
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=texts[1]), Row(doc_id=2, text=texts[2])], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=3, text=texts[3]), Row(doc_id=4, text=texts[4])], t0)
+    _land(spark, src, schema, 2, [Row(doc_id=5, text=texts[5]), Row(doc_id=6, text=texts[6])], t0)
+    out = str(tmp_path / "out")
+    got = streaming.stream_corpus_ingest(
+        spark, f"{src}/b*", out, schema=schema,
+        gram_store_path=None, min_est=0.25, chunk_tokens=8,
+        bin_tokens=16, shards=2, dedup_within_batch=True,
+    )
+    assert {r.doc_id for r in got.collect()} == set(texts)
+    streamed = {
+        (r.shard, r.doc_id, r.chunk_idx, r.n_tokens, r.start_tok, r.bin)
+        for r in spark.read.parquet(os.path.join(out, "packed")).collect()
+    }
+    batch_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in sorted(texts.items())], schema
+    )
+    want = {
+        tuple(r)
+        for r in pack_chunks(
+            batch_docs, chunk_tokens=8, bin_tokens=16, shards=2
+        ).collect()
+    }
+    assert streamed == want
+    # bins genuinely span batches: some later-batch chunk continues a bin
+    # or offset started earlier (i.e. not every batch restarts at 0)
+    per_batch_min = {}
+    for r in spark.read.parquet(os.path.join(out, "packed")).collect():
+        key = (r.ingest_batch, r.shard)
+        per_batch_min[key] = min(per_batch_min.get(key, 1 << 60), r.start_tok)
+    assert any(
+        v > 0 for (b, _), v in per_batch_min.items() if b > 0
+    ), per_batch_min
+    # the offset state is batch-scoped parquet partitions
+    offs = os.listdir(os.path.join(out, "pack_offsets"))
+    assert {d for d in offs if d.startswith("batch=")} == {
+        "batch=0", "batch=1", "batch=2"
+    }
+
+
+def test_stream_pack_offsets_survive_crash_replay(spark, tmp_path):
+    """Replaying the last batch after a lost commit must reproduce the
+    SAME continued offsets (the offsets read excludes the replaying
+    batch's own partition, like the signature store)."""
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    src = tmp_path / "slices"
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=GOOD_A)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=2, text=FRESH)], t0)
+    out = str(tmp_path / "out")
+    streaming.stream_corpus_ingest(
+        spark, f"{src}/b*", out, schema=schema, gram_store_path=None,
+        min_est=0.25, chunk_tokens=8, bin_tokens=16, shards=1,
+    ).collect()
+    first = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "packed")).collect()
+    }
+    commits = os.path.join(out, "checkpoint", "commits")
+    os.remove(os.path.join(commits, "1"))
+    crc = os.path.join(commits, ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    streaming.stream_corpus_ingest(
+        spark, f"{src}/b*", out, schema=schema, gram_store_path=None,
+        min_est=0.25, chunk_tokens=8, bin_tokens=16, shards=1,
+    ).collect()
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "packed")).collect()
+    }
+    assert again == first
