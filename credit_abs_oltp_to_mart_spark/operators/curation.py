@@ -211,6 +211,29 @@ def build_eval_gram_store(eval_docs: DataFrame, n: int = DECONTAM_N) -> DataFram
     )
 
 
+def add_eval_suite(
+    gram_store_path: str,
+    eval_docs: DataFrame,
+    *,
+    suite_id: int,
+    n: int = DECONTAM_N,
+) -> None:
+    """Append ONE eval suite to a blocklist gram store as a batch-keyed
+    partition (``<path>/batch=<suite_id>``) — the incremental growth path
+    for the decontamination state: a new benchmark arriving after ingest
+    has started lands as its own atomic partition write, consumers pick
+    it up on their next store listing (``stream_corpus_ingest`` re-pins
+    its broadcast when the listing changes), and
+    ``maintenance.compact_gram_store`` later folds the partitions with
+    cross-suite gram dedup. Suites legitimately share grams across
+    partitions; readers dedup at pin time, so an uncompacted store is
+    still correct. The partition write is an overwrite: re-adding a
+    suite id replaces it idempotently."""
+    build_eval_gram_store(eval_docs, n).write.mode("overwrite").parquet(
+        f"{gram_store_path.rstrip('/')}/batch={suite_id}"
+    )
+
+
 def decontaminate_against_store(
     docs: DataFrame,
     gram_store: DataFrame,

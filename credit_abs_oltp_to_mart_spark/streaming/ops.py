@@ -737,6 +737,7 @@ def stream_corpus_ingest(
     broadcast_gram_store: bool = True,
     dedup_within_batch: bool = True,
     store_prebanded: bool = False,
+    on_batch_complete=None,
 ) -> DataFrame:
     """The COMPLETE incremental corpus pipeline per arriving micro-batch —
     the actual shape of a continuous 100 TB pretraining ingest, composing
@@ -752,9 +753,13 @@ def stream_corpus_ingest(
                  ``stream_dedup_ingest``;
       decontam — dedup survivors checked against a PERSISTED eval-gram
                  blocklist (``curation.build_eval_gram_store`` parquet at
-                 ``gram_store_path``; the production fixed-eval shape);
-                 docs with gram overlap >= ``max_overlap`` are dropped.
-                 ``None`` skips the stage (no eval suites yet);
+                 ``gram_store_path`` — flat, or batch-keyed partitions
+                 grown by ``curation.add_eval_suite``); docs with gram
+                 overlap >= ``max_overlap`` are dropped. The pinned
+                 broadcast refreshes when the store's file listing
+                 changes, so a suite added MID-RUN blocks from the next
+                 batch without a restart. ``None`` skips the stage (no
+                 eval suites yet);
       pack     — admitted docs chunked + sequence-packed
                  (``curation.pack_chunks``: md5 shard routing, per-shard
                  end-to-end layout, fixed-width token bins) and written
@@ -785,7 +790,10 @@ def stream_corpus_ingest(
     in ``stream_dedup_ingest``), one gram semi-join against the
     blocklist (``broadcast_gram_store`` False = merge-hinted fallback),
     one shard shuffle for packing. State is plain
-    partitioned parquet; the eval gram store is built once, offline."""
+    partitioned parquet; the eval gram store is built offline and grown
+    incrementally by partition appends (``on_batch_complete`` is the
+    between-batches hook for suite additions / compaction triggers —
+    called after the batch's sinks are written, before its commit)."""
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
@@ -805,26 +813,39 @@ def stream_corpus_ingest(
     offsets_dir = os.path.join(out_dir, "pack_offsets")
     ck_dir = os.path.join(out_dir, "checkpoint")
     resume_pending_compaction(spark, store_dir)
-    # the blocklist is FIXED for the whole run — pin it into the block
-    # manager once instead of re-scanning the parquet every micro-batch
-    # (the per-batch broadcast build still happens; this removes the
-    # scan+plan cost under it)
-    gram_store = None
-    if gram_store_path is not None:
-        # dropDuplicates on the gram key: an incrementally-extended
-        # multi-partition blocklist that hasn't been through
-        # compact_gram_store carries duplicate grams, and the decontam
-        # left join would fan out gram rows and over-count overlap.
-        # The store is small and read once per run, so the distinct
-        # is cheap here and every micro-batch inherits it.
-        gram_store = (
-            spark.read.parquet(gram_store_path)
-            .dropDuplicates(["gram"])
-            .localCheckpoint(eager=True)
-        )
+    # the blocklist is pinned into the block manager (not re-scanned
+    # every micro-batch), but NOT frozen for the run: each batch
+    # re-checks the store's file listing (a metadata-only op) and
+    # re-pins when a new suite partition has landed via
+    # ``curation.add_eval_suite`` — a benchmark added MID-RUN starts
+    # blocking from the next batch without a stream restart. The
+    # dropDuplicates on the gram key is load-bearing either way: an
+    # incrementally-extended multi-partition blocklist that hasn't been
+    # through compact_gram_store carries duplicate grams, and the
+    # decontam left join would fan out gram rows and over-count overlap.
+    # Superseded pins are dropped by the context cleaner when the old
+    # checkpoint frame is garbage-collected (suite additions are rare).
+    pinned: dict = {"sig": None, "df": None}
+
+    def _pin_gram_store(sess: SparkSession):
+        if gram_store_path is None:
+            return None
+        raw = sess.read.parquet(gram_store_path)
+        sig = tuple(sorted(raw.inputFiles()))
+        if sig != pinned["sig"]:
+            pinned["df"] = (
+                raw.select("gram")
+                .dropDuplicates(["gram"])
+                .localCheckpoint(eager=True)
+            )
+            pinned["sig"] = sig
+        return pinned["df"]
+
+    _pin_gram_store(spark)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        gram_store = _pin_gram_store(sess)
         gated = filter_documents(
             batch_df,
             min_quality=min_quality,
@@ -933,6 +954,12 @@ def stream_corpus_ingest(
             adm_sigs.write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
+            # between-batches hook: metrics, store compaction triggers,
+            # or landing a new eval suite (add_eval_suite) that the NEXT
+            # batch's re-pin picks up — runs after this batch's sinks
+            # are fully written, before the checkpoint commit
+            if on_batch_complete is not None:
+                on_batch_complete(batch_id)
         finally:
             batch_sigs.unpersist()
             gated.unpersist()

@@ -273,3 +273,55 @@ def test_stream_pack_offsets_survive_crash_replay(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "packed")).collect()
     }
     assert again == first
+
+
+def test_add_eval_suite_mid_run_blocks_from_next_batch(spark, tmp_path):
+    """A benchmark suite landed BETWEEN micro-batches (via
+    curation.add_eval_suite from the on_batch_complete hook) must start
+    blocking from the very next batch — the pinned broadcast re-pins on
+    the changed store listing, no stream restart. The same doc admitted
+    in an earlier batch stays admitted (the corpus is append-only)."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        add_eval_suite,
+    )
+
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    gram_store = str(tmp_path / "eval_grams")
+    # suite 0: the existing eval set, as a batch-keyed partition
+    add_eval_suite(
+        gram_store,
+        spark.createDataFrame([Row(doc_id=900, text=EVAL_DOC)], schema),
+        suite_id=0,
+    )
+    src = tmp_path / "slices"
+    t0 = _time.time() - 120
+    # batch 0 admits FRESH; batch 1 carries an exact copy of FRESH's
+    # text under a new id (store-deduped) and GOOD_A (the new suite's
+    # target); batch 2 re-offers GOOD_A under yet another id
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=FRESH)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=10, text=GOOD_A)], t0)
+    _land(spark, src, schema, 2, [Row(doc_id=20, text=GOOD_A)], t0)
+
+    def grow(batch_id: int) -> None:
+        if batch_id == 0:
+            # GOOD_A becomes a benchmark after batch 0 committed
+            add_eval_suite(
+                gram_store,
+                spark.createDataFrame(
+                    [Row(doc_id=901, text=GOOD_A)], schema
+                ),
+                suite_id=1,
+            )
+
+    out = str(tmp_path / "out")
+    got = {
+        (r.doc_id, r.ingest_batch)
+        for r in streaming.stream_corpus_ingest(
+            spark, f"{src}/b*", out, schema=schema,
+            gram_store_path=gram_store, min_est=0.25, chunk_tokens=8,
+            on_batch_complete=grow,
+        ).collect()
+    }
+    # FRESH admitted in batch 0; GOOD_A blocked in BOTH later batches by
+    # the suite added mid-run
+    assert got == {(1, 0)}
