@@ -1260,6 +1260,28 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+# planted-copy id offset for image_near_dups: == 0 mod 3 AND mod 4, so a
+# planted doc keeps both its modality (doc_id % 3) and its blob chunk
+# count (doc_id % 4) — the copy's bytes are identical to the original's
+IMG_PLANT_OFFSET = 3_000_000_000
+
+
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: deterministic fake decode -> 8x8
+    nearest-neighbor plane (resize_images' kernel) -> 64-bit average-hash
+    (strictly-above-mean bits, integer-exact) -> the SAME banded hamming
+    kernel simhash_pairs uses (4 bands x 16 bits, exact bit_count(xor)
+    verify, full recall for hamming <= 3 by pigeonhole). The corpus has no
+    byte-identical media, so the query plants copies of every 10th image
+    (doc_id + IMG_PLANT_OFFSET); each must surface at hamming 0."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + F.lit(IMG_PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    media = multimodal.synthesize_blobs(docs.unionByName(planted))
+    return multimodal.image_near_dups(media, max_hamming=3, n_bands=4)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-substring spans (token-level, k=8,
     occurrences >= 2 anywhere incl. the doc itself) merged into maximal
@@ -1977,6 +1999,81 @@ def _multimodal_frames_oracle() -> str:
            cast(length(frame_hex) / 2 as int) as frame_bytes,
            md5(frame_hex) as frame_md5
     from frames
+    """
+
+
+def _image_near_dups_oracle(out_w: int = 8, out_h: int = 8) -> str:
+    """Replays blob synthesis (planted copies included), the fake decode +
+    nearest-neighbor resize, the integer-exact aHash, and the banded
+    hamming join. Band values are assembled from the pixel bits directly
+    (not by shifting the hash) so the oracle never arithmetic-shifts a
+    negative BIGINT — Spark's shiftrightunsigned of the packed hash
+    computes the identical value."""
+    n_px = out_w * out_h
+    px_exprs = []
+    for r in range(out_h):
+        for c in range(out_w):
+            idx = f"(({r} * hh) // {out_h}) * ww + (({c} * ww) // {out_w})"
+            # short buffers tile cyclically (idx % nb), exactly as
+            # image_phash does — a no-op when len(buf) == h*w
+            px_exprs.append(
+                f"('0x' || substr(hx, (({idx}) % nb) * 2 + 1, 2))::int"
+                f" as p{r * out_w + c}"
+            )
+    total = " + ".join(f"p{i}" for i in range(n_px))
+    bit_terms = " + ".join(
+        f"case when p{i} * {n_px} > total then "
+        + ("(-9223372036854775807 - 1)" if i == 63 else f"(1::bigint << {i})")
+        + " else 0::bigint end"
+        for i in range(n_px)
+    )
+    band_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"case when p{16 * b + j} * {n_px} > total then (1::bigint << {j})"
+            " else 0::bigint end"
+            for j in range(16)
+        )
+        + f") as band{b}"
+        for b in range(4)
+    )
+    return f"""
+    with base as (
+      select doc_id, text from documents
+      union all
+      select doc_id + {IMG_PLANT_OFFSET} as doc_id, text
+      from documents where doc_id % 30 = 0),
+    media as (
+      select doc_id,
+             upper(md5(text)
+               || case when doc_id % 4 >= 1 then md5(text || 'c1') else '' end
+               || case when doc_id % 4 >= 2 then md5(text || 'c2') else '' end
+               || case when doc_id % 4 >= 3 then md5(text || 'c3') else '' end
+             ) as hx
+      from base where doc_id % 3 = 0),
+    dims as (
+      select doc_id, hx, length(hx) // 2 as nb,
+             1 + ('0x' || substr(hx, 1, 2))::int % 64 as ww,
+             1 + ('0x' || substr(hx, 3, 2))::int % 64 as hh
+      from media),
+    pix as (select doc_id, {", ".join(px_exprs)} from dims),
+    tot as (select *, {total} as total from pix),
+    hashed as (
+      select doc_id, cast({bit_terms} as bigint) as phash, {band_exprs}
+      from tot),
+    banded as (
+      select doc_id, phash, t.b,
+             case t.b when 0 then band0 when 1 then band1
+                      when 2 then band2 else band3 end as band
+      from hashed, (values (0), (1), (2), (3)) t(b)),
+    cand as (
+      select distinct a.doc_id as doc_a, b2.doc_id as doc_b,
+             a.phash as sa, b2.phash as sb
+      from banded a
+      join banded b2 on a.b = b2.b and a.band = b2.band
+      where a.doc_id < b2.doc_id)
+    select doc_a, doc_b, bit_count(xor(sa, sb))::int as hamming
+    from cand where bit_count(xor(sa, sb)) <= 3
     """
 
 
@@ -4046,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "image_near_dups": q_image_near_dups,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -4538,6 +4636,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),
+        "image_near_dups": _image_near_dups_oracle(),
         "lang_id": _lang_id_oracle(),
         "text_quality": _quality_oracle(),
         "token_counts": _token_counts_oracle(),

@@ -480,20 +480,24 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64) -> DataFrame:
     )
 
 
-def simhash_pairs(
-    docs: DataFrame,
+def banded_hamming_pairs(
+    fp: DataFrame,
+    fp_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
     n_bits: int = 64,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
+    """Near-dup pairs among ``n_bits``-wide integer fingerprints by hamming
+    distance <= ``max_hamming`` — the shared kernel behind SimHash text
+    near-dups and perceptual-hash image near-dups.
 
     Band-bucketed candidate generation (same shape as MinHash LSH): the
-    ``n_bits`` fingerprint splits into ``n_bands`` equal bands; docs sharing
-    any band collide into a candidate pair; the exact hamming distance
-    (bit_count of xor — one instruction, identical in DuckDB) verifies.
-    Pigeonhole guarantees full recall while max_hamming < n_bands: a pair
-    within distance n_bands-1 must agree exactly on >= 1 band.
+    fingerprint splits into ``n_bands`` equal bands; rows sharing any band
+    collide into a candidate pair; the exact hamming distance (bit_count
+    of xor — one instruction, identical in DuckDB) verifies. Pigeonhole
+    guarantees full recall while max_hamming < n_bands: a pair within
+    distance n_bands-1 must agree exactly on >= 1 band.
 
     Scale: candidate volume is bounded by band-bucket occupancy. The
     default 64-bit/4-band split gives 2^16 buckets PER BAND (vs ~2^8 for a
@@ -506,13 +510,12 @@ def simhash_pairs(
     width = n_bits // n_bands
     mask = (1 << width) - 1
     # NOTE: no persist here — the self-join's two sides are identical
-    # subtrees ending in the vote-aggregation shuffle, so Spark's
-    # ReusedExchange computes the fingerprint chain once already; a cache
-    # write would only add a synchronous materialization in front of it
-    fp = simhash_fingerprints(docs, n_bits=n_bits)
+    # subtrees, so Spark's ReusedExchange computes the fingerprint chain
+    # once already; a cache write would only add a synchronous
+    # materialization in front of it
     banded = fp.select(
-        "doc_id",
-        "simhash",
+        id_col,
+        fp_col,
         F.explode(
             F.array(
                 *[
@@ -521,7 +524,7 @@ def simhash_pairs(
                         F.lit(str(b)),
                         # logical shift: a signed 64-bit fingerprint's top
                         # band must not smear the sign bit into the bucket
-                        F.shiftrightunsigned(F.col("simhash"), width * b)
+                        F.shiftrightunsigned(F.col(fp_col), width * b)
                         .bitwiseAND(F.lit(mask))
                         .cast("string"),
                     )
@@ -533,12 +536,12 @@ def simhash_pairs(
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), "band")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{fp_col}").alias("sa"),
+            F.col(f"b.{fp_col}").alias("sb"),
         )
         .distinct()
     )
@@ -549,6 +552,22 @@ def simhash_pairs(
             F.col("sa").bitwiseXOR(F.col("sb"))
         ).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= ``max_hamming`` —
+    ``simhash_fingerprints`` composed with the ``banded_hamming_pairs``
+    kernel (see that docstring for the recall guarantee and the bucket
+    geometry at scale)."""
+    fp = simhash_fingerprints(docs, n_bits=n_bits)
+    return banded_hamming_pairs(
+        fp, "simhash", max_hamming=max_hamming, n_bands=n_bands, n_bits=n_bits
+    )
 
 
 def simhash_clusters(docs: DataFrame) -> DataFrame:

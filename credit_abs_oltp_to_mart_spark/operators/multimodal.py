@@ -184,6 +184,93 @@ def sample_frames(media: DataFrame) -> DataFrame:
     )
 
 
+def image_phash(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """64-bit perceptual average-hash (aHash) per image, JVM-side.
+
+    The classic aHash recipe: resize to ``out_h`` x ``out_w`` (the same
+    nearest-neighbor floor index maps as ``resize_images``), then bit i is
+    set iff pixel_i is strictly above the plane mean. The mean test runs in
+    integer arithmetic (``pixel_i * n_px > sum(pixels)``) so any engine
+    reproduces the hash bit-for-bit — no float mean, no rounding seam.
+
+    Decode is the registry fake (bytes == buffer, dims from the two leading
+    bytes exactly as ``extract_meta`` reports them); with a real codec the
+    same hash math runs on the true plane. Everything is pure column
+    expressions over ONE hex() of the blob — map-only, whole-stage
+    codegen'd, no UDF and no shuffle; the 2 + out_h*out_w byte lookups are
+    substr+conv over that hex string."""
+    n_px = out_w * out_h
+    assert n_px <= 64, "aHash packs into one 64-bit fingerprint"
+    imgs = media.where(F.col("modality") == "image").select(
+        "doc_id",
+        F.hex(F.col("content")).alias("hx"),
+        F.length("content").alias("nb"),
+    )
+    dims = imgs.select(
+        "doc_id",
+        "hx",
+        "nb",
+        (1 + F.pmod(F.conv(F.substring("hx", 1, 2), 16, 10).cast("int"), F.lit(64))
+         ).alias("w"),
+        (1 + F.pmod(F.conv(F.substring("hx", 3, 2), 16, 10).cast("int"), F.lit(64))
+         ).alias("h"),
+    )
+    # resized pixel (r, c) reads plane index floor(r*h/out_h)*w +
+    # floor(c*w/out_w). A WELL-FORMED image has len(buf) == h*w and the
+    # index hits the buffer directly; a short buffer (the registry fake's
+    # md5-chain blobs, or a corrupt blob) tiles CYCLICALLY (idx % nb)
+    # rather than zero-padding — zero-pad would collapse most short-blob
+    # hashes toward all-zero bits and degenerate the band join toward
+    # all-pairs, while for full-length buffers idx % nb == idx exactly.
+    px_cols = []
+    for r in range(out_h):
+        for c in range(out_w):
+            idx = (
+                F.floor(F.lit(r) * F.col("h") / out_h).cast("int") * F.col("w")
+                + F.floor(F.lit(c) * F.col("w") / out_w).cast("int")
+            )
+            val = F.when(
+                F.col("nb") > 0,
+                F.conv(
+                    F.substr(
+                        F.col("hx"), F.pmod(idx, F.col("nb")) * 2 + 1, F.lit(2)
+                    ),
+                    16,
+                    10,
+                ).cast("int"),
+            ).otherwise(F.lit(0))
+            px_cols.append(val.alias(f"p{r * out_w + c}"))
+    pix = dims.select("doc_id", *px_cols)
+    total = sum(F.col(f"p{i}") for i in range(n_px))
+    acc = F.lit(0).cast("long")
+    for i in range(n_px):
+        # bit 63 is the sign bit: add its two's-complement value, exactly
+        # as simhash_fingerprints assembles its 64-bit hash
+        bitval = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+        acc = acc + F.when(
+            F.col(f"p{i}") * n_px > F.col("total"), bitval
+        ).otherwise(F.lit(0))
+    return (
+        pix.withColumn("total", total)
+        .select("doc_id", acc.cast("long").alias("phash"))
+    )
+
+
+def image_near_dups(
+    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate image pairs: perceptual hash + the SAME banded
+    hamming kernel SimHash text dedup uses (``dedup.banded_hamming_pairs``
+    — 4 bands of 16 bits, exact bit_count(xor) verify, full recall for
+    hamming <= 3 by pigeonhole). Returns (doc_a, doc_b, hamming)."""
+    from credit_abs_oltp_to_mart_spark.operators.dedup import banded_hamming_pairs
+
+    fp = image_phash(media)
+    return banded_hamming_pairs(
+        fp, "phash", max_hamming=max_hamming, n_bands=n_bands, n_bits=64
+    )
+
+
 def resize_images(
     media: DataFrame, out_w: int = 8, out_h: int = 8
 ) -> DataFrame:

@@ -107,3 +107,86 @@ def test_resize_images_nearest_neighbor(spark):
     # deterministic across runs
     again = {r.doc_id: r.pixels_md5 for r in resize_images(media, 8, 8).collect()}
     assert again == {r.doc_id: r.pixels_md5 for r in rows}
+
+
+def _ref_phash(raw: bytes) -> int:
+    """NumPy reference for image_phash: fake decode, nearest-neighbor 8x8
+    resize with CYCLIC tiling for short buffers, strictly-above-mean bits."""
+    import numpy as np
+
+    w = 1 + (raw[0] if len(raw) > 0 else 0) % 64
+    h = 1 + (raw[1] if len(raw) > 1 else 0) % 64
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    rs = (np.arange(8) * h) // 8
+    cs = (np.arange(8) * w) // 8
+    idx = (rs[:, None] * w + cs[None, :]).ravel() % len(buf)
+    px = buf[idx].astype(int)
+    tot = int(px.sum())
+    val = 0
+    for i, p in enumerate(px):
+        if p * 64 > tot:
+            val += -(1 << 63) if i == 63 else (1 << i)
+    return val
+
+
+def test_image_phash_matches_reference(spark, media):
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.image_phash(media).collect()
+    }
+    raws = {
+        r["doc_id"]: bytes(r["content"])
+        for r in media.where(F.col("modality") == "image").collect()
+    }
+    assert set(got) == set(raws) and got
+    for doc_id, raw in raws.items():
+        assert got[doc_id] == _ref_phash(raw), doc_id
+
+
+def test_image_near_dups_planted_and_flipped(spark):
+    # w=h=8 -> the 8x8 plane IS the first 64 bytes; craft a base image,
+    # an exact copy, and a one-pixel flip (0 -> 255 keeps every other
+    # above-mean bit stable: 255*64 > total still holds for the 255s)
+    base = bytes([7, 7] + [255] * 31 + [0] * 31)
+    near = bytes([7, 7] + [255] * 31 + [255] + [0] * 30)
+    rows = [
+        (1, bytearray(base), "image"),
+        (2, bytearray(near), "image"),
+        (3, bytearray(base), "image"),
+        (4, bytearray(base), "audio"),  # filtered out by modality
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, modality string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal.image_near_dups(media).collect()
+    }
+    assert pairs[(1, 3)] == 0  # exact copy
+    assert pairs[(1, 2)] == 1 and pairs[(2, 3)] == 1  # one-pixel flip
+    assert not any(4 in p for p in pairs)
+
+
+def test_banded_hamming_pigeonhole(spark):
+    """The kernel's recall contract: hamming <= 3 pairs ALWAYS surface
+    (some band must agree exactly); a hamming-4 pair spread one bit per
+    band never collides and is correctly outside the contract."""
+    from credit_abs_oltp_to_mart_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    def signed64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123456789ABCDEF
+    flip3 = signed64(base ^ 0b111)  # 3 bits, all in band 0
+    # one flipped bit in EACH 16-bit band -> no band agrees
+    flip4 = signed64(base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 63)))
+    fp = spark.createDataFrame(
+        [(1, base), (2, flip3), (3, flip4)], "doc_id long, phash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in banded_hamming_pairs(fp, "phash").collect()
+    }
+    assert got == {(1, 2): 3}

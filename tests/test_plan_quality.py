@@ -443,3 +443,26 @@ def test_ann_index_probe_prunes_partitions_never_scans_floats(spark):
     assert emb_blocks, p
     for b in emb_blocks:
         assert re.search(r"PushedFilters: \[In\(vec_id", b), b
+
+
+def test_image_phash_is_map_only(spark):
+    """The perceptual-hash fingerprint is pure column expressions over one
+    hex() of the blob — an Exchange means a join/agg crept into what must
+    stay an embarrassingly-parallel scan at 100 TB."""
+    from credit_abs_oltp_to_mart_spark.operators import multimodal
+
+    media = multimodal.synthesize_blobs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    fp = multimodal.image_phash(media)
+    p = fp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, f"image_phash gained a shuffle:\n{p}"
+
+
+def test_image_near_dups_single_band_shuffle(spark):
+    """The band self-join is the only shuffle the algorithm needs; its two
+    sides are identical subtrees, so the exchange must be planned once
+    (ReusedExchange), plus one for the candidate distinct."""
+    p = _plan(spark, "image_near_dups")
+    assert "Exchange" in p  # the band join does shuffle
+    assert p.count("Exchange hashpartitioning") <= 3, p
