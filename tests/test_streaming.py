@@ -460,3 +460,80 @@ def test_stream_dedup_ingest_resumes_across_runs(spark, tmp_path):
     # batch id continues from the checkpoint (2); doc 30 deduped against
     # the store written by run 1
     assert got == {(1, 0), (2, 1), (31, 2)}, got
+
+
+def test_state_partition_count_frozen_in_checkpoint(spark, tmp_path):
+    """Deploy-time pitfall, pinned (``run_to_memory``'s docstring warns of
+    it): the stateful-operator partition count is FROZEN into the
+    checkpoint at first start. A resume under a DIFFERENT
+    ``spark.sql.shuffle.partitions`` must (a) stay correct across the
+    restart and (b) keep the ORIGINAL state layout — Spark reads the
+    count from checkpoint metadata and silently ignores the session
+    setting, so an operator resumed with a mismatched conf neither
+    crashes nor re-shards."""
+    import os
+    import time as _time
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    base = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+
+    def slice_df(ids):
+        return spark.createDataFrame(
+            [(int(i),) for i in ids], "event_id bigint"
+        ).select(
+            "event_id",
+            (base + F.make_interval(secs=F.col("event_id"))).alias("ts"),
+        )
+
+    schema = "event_id bigint, ts timestamp"
+    slice_df(list(range(60)) + list(range(10))).coalesce(1).write.parquet(
+        str(src / "s1")
+    )
+
+    def run_once(n_parts: int):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "s*"))
+            )
+            q = (
+                stream.withWatermark("ts", "1 hour")
+                .dropDuplicates(["event_id"])
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def state_partition_dirs() -> int:
+        # <ckpt>/state/<operatorId=0>/<partitionId>/ — one dir per state
+        # store partition, created at first start
+        return len(
+            [d for d in os.listdir(f"{ckpt}/state/0") if d.isdigit()]
+        )
+
+    run_once(8)
+    assert spark.read.parquet(str(out)).count() == 60
+    assert state_partition_dirs() == 8
+
+    _time.sleep(1.1)  # distinct mtime for the new file
+    slice_df(list(range(30)) + list(range(60, 90))).coalesce(1).write.parquet(
+        str(src / "s2")
+    )
+    run_once(3)  # resume under a DIFFERENT session setting
+    got = spark.read.parquet(str(out))
+    # correct across the restart: +30 new keys, repeats suppressed
+    assert got.count() == 90
+    assert got.select("event_id").distinct().count() == 90
+    # and the state layout kept the frozen original count, not 3
+    assert state_partition_dirs() == 8
