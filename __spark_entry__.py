@@ -4017,13 +4017,108 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50 entries
-        # in registration order. Round-5 window: (a) the 14 queries whose
-        # newest driver evidence is r02 (front-loaded per round-4 review
+        # in registration order. Round-6 window: (a) the 23 queries whose
+        # newest driver evidence is r03 (front-loaded per round-5 review
         # item #1), (b) new / changed-this-round queries, (c) the front of
-        # the r03-evidence block, so no query's driver row goes >2 rounds
-        # stale. Round-4 greens rotate to the back; tools/gate_mirror.py
+        # the r04-evidence block, so no query's driver row goes >2 rounds
+        # stale. Round-5 greens rotate to the back; tools/gate_mirror.py
         # re-verifies ALL entries locally either way. ===
-        # -- (a) r02-stale driver evidence (14)
+        # -- (a) r03-stale driver evidence (23)
+        "asof_join": q_asof_join,
+        "cube_revenue": q_cube_revenue,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
+        "grouped_pandas_wavg": q_grouped_pandas_wavg,
+        "json_extract": q_json_extract,
+        "pagerank": q_pagerank,
+        "pivot_monthly": q_pivot_monthly,
+        "pricing_summary": q_pricing_summary,
+        "range_window": q_range_window,
+        "region_revenue": q_region_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "running_total": q_running_total,
+        "set_ops": q_set_ops,
+        "skew_salted_agg": q_skew_salted_agg,
+        "stream_distinct_keys": q_stream_distinct_keys,
+        "stream_enriched_agg": q_stream_enriched_agg,
+        "stream_session_window": q_stream_session_window,
+        "stream_stream_join": q_stream_stream_join,
+        "stream_windowed_agg": q_stream_windowed_agg,
+        "top_revenue_orders": q_top_revenue_orders,
+        "topk_per_group": q_topk_per_group,
+        "value_percentiles": q_value_percentiles,
+        "window_variety": q_window_variety,
+        # -- (b) new this round: image_near_dups (perceptual-hash image
+        # dedup via the shared banded-hamming kernel), bpe_pack (BPE
+        # tokenize-and-pack), ann_index_serve (persisted IVF index,
+        # build once / probe from cold reads), quality_classifier
+        # (trained linear gate); changed: simhash_pairs (refactored
+        # through banded_hamming_pairs), mixture_weights (fixed-point
+        # total + zero-token guard), stream_corpus_ingest (cross-batch
+        # pack continuity + add_eval_suite + store distinctness guard),
+        # pack_chunks (token-id packing plumbing), bpe_segment/bpe_merges
+        # (tokenize module extension), stream_dedup_ingest (shared
+        # streaming plumbing)
+        "image_near_dups": q_image_near_dups,
+        "bpe_pack": q_bpe_pack,
+        "ann_index_serve": q_ann_index_serve,
+        "quality_classifier": q_quality_classifier,
+        "simhash_pairs": q_simhash_pairs,
+        "mixture_weights": q_mixture_weights,
+        "stream_corpus_ingest": q_stream_corpus_ingest,
+        "pack_chunks": q_pack_chunks,
+        "bpe_segment": q_bpe_segment,
+        "bpe_merges": q_bpe_merges,
+        "stream_dedup_ingest": q_stream_dedup_ingest,
+        # -- (c) r04-evidence refresh, oldest-registered first
+        "cdc_upsert": q_cdc_upsert,
+        "gap_fill_daily": q_gap_fill_daily,
+        "full_outer_recon": q_full_outer_recon,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "dedup_incremental": q_dedup_incremental,
+        "funnel_stages": q_funnel_stages,
+        "median_mode": q_median_mode,
+        "simhash": q_simhash,
+        "decontaminate_store": q_decontaminate_store,
+        "cluster_sample": q_cluster_sample,
+        "token_budget_sample": q_token_budget_sample,
+        "token_freq_stats": q_token_freq_stats,
+        "roll_rate": q_roll_rate,
+        "sessionize": q_sessionize,
+        "reconcile_waterfall": q_reconcile_waterfall,
+        "stream_sessionize": q_stream_sessionize,
+        # ---- driver gate window (50) ends here ----
+        # -- r04-evidence remainder (2 rounds old after this round --
+        # front of the round-7 window); all covered by the local gate
+        # mirror at sf0.01 + sf0.1
+        "generator_invariants": q_generator_invariants,
+        "dedup_embedding": q_dedup_embedding,
+        "variant_extract": q_variant_extract,
+        "try_arithmetic": q_try_arithmetic,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_quantized": q_ann_quantized,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "text_repetition": q_text_repetition,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "tfidf_topk": q_tfidf_topk,
+        "pii_scan": q_pii_scan,
+        "weighted_sample": q_weighted_sample,
+        "interval_join_agg": q_interval_join_agg,
+        "hypertable_rollup": q_hypertable_rollup,
+        "scd2_changelog": q_scd2_changelog,
+        "kmv_distinct": q_kmv_distinct,
+        # -- round-5 green driver rows (freshest evidence, rotate to
+        # the back)
         "window_frames": q_window_frames,
         "unpivot_measures": q_unpivot_measures,
         "array_hof": q_array_hof,
@@ -4038,31 +4133,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "triangle_count": q_triangle_count,
         "udtf_sentences": q_udtf_sentences,
-        # -- (b) new this round: stream_corpus_ingest (end-to-end
-        # incremental corpus ingest), keep-first span policy,
-        # quantized trained-IVF composition, BPE vocabulary induction
-        # (+ segmentation stats), PII redaction rewrite, mixture
-        # weights; changed: streaming ingest (prebanded store +
-        # drop-set refactor), kmeans / trained-IVF (dual codebook
-        # transport), span plumbing
-        "stream_corpus_ingest": q_stream_corpus_ingest,
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "ann_quantized_ivf": q_ann_quantized_ivf,
-        "ann_index_serve": q_ann_index_serve,
-        "bpe_merges": q_bpe_merges,
-        "bpe_segment": q_bpe_segment,
-        "bpe_pack": q_bpe_pack,
-        "quality_classifier": q_quality_classifier,
         "pii_redact": q_pii_redact,
-        "mixture_weights": q_mixture_weights,
         "bigram_fluency": q_bigram_fluency,
-        "stream_dedup_ingest": q_stream_dedup_ingest,
         "kmeans": q_kmeans,
         "ann_ivf_trained": q_ann_ivf_trained,
         "dup_spans": q_dup_spans,
         "dup_spans_removed": q_dup_spans_removed,
         "corpus_pipeline": q_corpus_pipeline,
-        # -- (c) r03-evidence refresh, oldest-registered first
         "value_histogram": q_value_histogram,
         "ewma": q_ewma,
         "rolling_distinct_users": q_rolling_distinct_users,
@@ -4085,81 +4164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "month_end_snapshot": q_month_end_snapshot,
         "coalesce_nullif_arith": q_coalesce_nullif_arith,
-        # ---- driver gate window (50) ends here ----
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "region_revenue": q_region_revenue,
-        "topk_per_group": q_topk_per_group,
-        "running_total": q_running_total,
-        # -- r03-evidence remainder (2 rounds old after this
-        # round -- front of the round-6 window); all covered by
-        # the local gate mirror at sf0.01 + sf0.1
-        "grouped_pandas_stats": q_grouped_pandas_stats,
-        "grouped_pandas_wavg": q_grouped_pandas_wavg,
-        "json_extract": q_json_extract,
-        "range_window": q_range_window,
-        "set_ops": q_set_ops,
-        "asof_join": q_asof_join,
-        "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
-        "pivot_monthly": q_pivot_monthly,
-        "value_percentiles": q_value_percentiles,
-        "window_variety": q_window_variety,
-        "skew_salted_agg": q_skew_salted_agg,
-        "stream_windowed_agg": q_stream_windowed_agg,
-        "stream_distinct_keys": q_stream_distinct_keys,
-        "stream_enriched_agg": q_stream_enriched_agg,
-        "stream_session_window": q_stream_session_window,
-        "stream_stream_join": q_stream_stream_join,
-        "pagerank": q_pagerank,
-        # -- round-4 green driver rows (freshest evidence,
-        # rotate to the back)
-        "cdc_upsert": q_cdc_upsert,
-        "gap_fill_daily": q_gap_fill_daily,
-        "full_outer_recon": q_full_outer_recon,
-        "fuzzy_name_match": q_fuzzy_name_match,
-        "dedup_incremental": q_dedup_incremental,
-        "funnel_stages": q_funnel_stages,
-        "median_mode": q_median_mode,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "decontaminate_store": q_decontaminate_store,
-        "cluster_sample": q_cluster_sample,
-        "token_budget_sample": q_token_budget_sample,
-        "token_freq_stats": q_token_freq_stats,
-        "roll_rate": q_roll_rate,
-        "sessionize": q_sessionize,
-        "reconcile_waterfall": q_reconcile_waterfall,
-        "stream_sessionize": q_stream_sessionize,
-        "generator_invariants": q_generator_invariants,
-        "dedup_embedding": q_dedup_embedding,
-        "variant_extract": q_variant_extract,
-        "try_arithmetic": q_try_arithmetic,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_quantize": q_embedding_quantize,
-        "ann_quantized": q_ann_quantized,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "image_near_dups": q_image_near_dups,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
-        "text_repetition": q_text_repetition,
-        "split_assign": q_split_assign,
-        "stratified_sample": q_stratified_sample,
-        "doc_chunks": q_doc_chunks,
-        "tfidf_topk": q_tfidf_topk,
-        "pii_scan": q_pii_scan,
-        "pack_chunks": q_pack_chunks,
-        "weighted_sample": q_weighted_sample,
-        "interval_join_agg": q_interval_join_agg,
-        "hypertable_rollup": q_hypertable_rollup,
-        "scd2_changelog": q_scd2_changelog,
-        "kmv_distinct": q_kmv_distinct,
     }
 
 
