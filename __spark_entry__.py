@@ -3398,6 +3398,45 @@ def _ann_ivf_trained_oracle(
     """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup restricted to k-means
+    clusters of the embedding space — candidate generation is an
+    equi-join on the cluster id, never all-pairs. Reuses the kmeans
+    contract rounds for the clustering; keep-lowest-id verdict per
+    vector (dropped iff a smaller-id vector in the SAME cluster sits
+    within the cosine threshold)."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(
+        emb, init_ids=KMEANS_INIT_IDS, iterations=KMEANS_ITERS
+    )
+    return dedup.semantic_dedup(
+        emb, assign, threshold=EMB_NEAR_DUP_THRESHOLD
+    )
+
+
+def _semantic_dedup_oracle(iters: int = KMEANS_ITERS) -> str:
+    """Lloyd replay (shared CTEs) + within-cluster pair cosine + the
+    keep-lowest-id drop set."""
+    cos = _COSINE.format(a="ea.v", b="eb.v")
+    return f"""
+    {_kmeans_ctes(iters)},
+    e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    pairs as (
+      select x.vid as id_a, y.vid as id_b, {cos} as cosine
+      from a{iters} x
+      join a{iters} y on x.cluster = y.cluster and x.vid < y.vid
+      join e ea on ea.vec_id = x.vid
+      join e eb on eb.vec_id = y.vid),
+    dropped as (select distinct id_b from pairs
+                where cosine >= {EMB_NEAR_DUP_THRESHOLD})
+    select a.vid as vec_id, a.cluster,
+           cast(case when d.id_b is null then 1 else 0 end as int) as is_kept
+    from a{iters} a left join dropped d on d.id_b = a.vid
+    """
+
+
 BPE_MERGES = 8
 
 
@@ -4069,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "bpe_merges": q_bpe_merges,
         "stream_dedup_ingest": q_stream_dedup_ingest,
+        "semantic_dedup": q_semantic_dedup,
         # -- (c) r04-evidence refresh, oldest-registered first
         "cdc_upsert": q_cdc_upsert,
         "gap_fill_daily": q_gap_fill_daily,
@@ -4085,11 +4125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
         "reconcile_waterfall": q_reconcile_waterfall,
-        "stream_sessionize": q_stream_sessionize,
         # ---- driver gate window (50) ends here ----
         # -- r04-evidence remainder (2 rounds old after this round --
         # front of the round-7 window); all covered by the local gate
         # mirror at sf0.01 + sf0.1
+        "stream_sessionize": q_stream_sessionize,
         "generator_invariants": q_generator_invariants,
         "dedup_embedding": q_dedup_embedding,
         "variant_extract": q_variant_extract,
@@ -4637,6 +4677,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": _bpe_segment_oracle(),
         "bpe_pack": _bpe_pack_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),

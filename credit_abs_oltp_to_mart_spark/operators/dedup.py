@@ -564,6 +564,10 @@ def simhash_pairs(
     ``simhash_fingerprints`` composed with the ``banded_hamming_pairs``
     kernel (see that docstring for the recall guarantee and the bucket
     geometry at scale)."""
+    # validate geometry BEFORE paying for fingerprints (the kernel
+    # re-asserts for direct callers)
+    assert max_hamming < n_bands, "recall guarantee needs max_hamming < n_bands"
+    assert n_bits % n_bands == 0, "bands must tile the fingerprint evenly"
     fp = simhash_fingerprints(docs, n_bits=n_bits)
     return banded_hamming_pairs(
         fp, "simhash", max_hamming=max_hamming, n_bands=n_bands, n_bits=n_bits
@@ -641,6 +645,71 @@ def _blocked_cosine_kernel(threshold: float):
             )
 
     return _block_cosines
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    n_blocks: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that restricts pair scoring to k-means CLUSTERS of the
+    embedding space — the trick that makes embedding-level dedup feasible
+    at corpus scale, because candidate generation is an EQUI-JOIN on the
+    cluster id instead of all-pairs (cross-cluster near-dups are missed
+    by design; the clustering is the recall/cost dial).
+
+    Inputs: the embeddings and a (vec_id, cluster) assignment frame
+    (``kmeans.kmeans_assign`` — caller controls init/rounds). Within each
+    cluster the blocked-GEMM cosine kernel scores pairs (same kernel as
+    ``embedding_near_dups``); the keep policy is deterministic
+    keep-lowest-id: a vector is dropped iff SOME smaller-id vector in its
+    cluster sits within ``threshold`` (conservative on chains — never
+    keeps two near-identical vectors). Returns one verdict row per vector:
+    (vec_id, cluster, is_kept 0/1).
+
+    Scale: one hash join to attach clusters, one (cluster, blk) collect
+    shuffle, block pairs via the cluster equi-join, one broadcast-able
+    drop-set anti join. State per task = two blocks of ONE cluster."""
+    joined = assignments.join(
+        emb.select(F.col("vec_id"), F.col(vec_col).alias("v")), "vec_id"
+    ).select(
+        "vec_id",
+        "cluster",
+        "v",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    grouped = joined.groupBy("cluster", "blk").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("rows")
+    )
+    a = grouped.select(
+        "cluster", F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = grouped.select(
+        "cluster", F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    block_pairs = a.join(b, "cluster").where(F.col("blk_a") <= F.col("blk_b"))
+    pairs = block_pairs.mapInPandas(
+        _blocked_cosine_kernel(threshold), "id_a long, id_b long, cosine double"
+    )
+    # every vector has exactly one cluster and each block pair is visited
+    # once, so `pairs` is duplicate-free; the drop set (id_b side only =
+    # keep-lowest-id) is a small distinct projection — broadcast anti join
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assignments.join(F.broadcast(dropped.withColumn("__d", F.lit(1))),
+                         "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("__d").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
 
 
 def embedding_near_dups(

@@ -466,3 +466,12 @@ def test_image_near_dups_single_band_shuffle(spark):
     p = _plan(spark, "image_near_dups")
     assert "Exchange" in p  # the band join does shuffle
     assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_semantic_dedup_joins_on_cluster(spark):
+    # SemDeDup's whole point: block pairs come from an EQUI-join on the
+    # k-means cluster id — a BroadcastNestedLoopJoin/CartesianProduct here
+    # means candidate generation degraded to all-pairs
+    p = _plan(spark, "semantic_dedup")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "cluster" in p
