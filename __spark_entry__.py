@@ -1245,6 +1245,54 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_index_probe(queries, idx, k=ANN_K, nprobe=IVF_NPROBE)
 
 
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous maintenance of the persisted IVF index: the index is
+    BUILT once from the base 75% of the embeddings, the remaining 25%
+    then ARRIVES as 2 streaming micro-batches — each assigned to the
+    fixed trained codebook (bit-parity with the build-time assignment,
+    no retraining) and appended as batch-scoped quantized postings —
+    and the probe finally serves base UNION incremental from cold reads.
+    Output = the ANN_QUERY_IDS top-k over the fully-ingested index, so
+    the hash gate covers assignment, quantization, the batch-keyed
+    appends AND the union probe in one verdict."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from credit_abs_oltp_to_mart_spark.operators import ann as _ann
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 4 != 3)
+    tmp = tempfile.mkdtemp(prefix="spark_ann_ingest_")
+    try:
+        idx = os.path.join(tmp, "index")
+        _ann.build_ivf_index(
+            base, idx, init_ids=KMEANS_INIT_IDS, iterations=KMEANS_ITERS
+        )
+        slices = os.path.join(tmp, "slices")
+        now = _time.time()
+        for k, resid in enumerate([3, 7]):
+            d = os.path.join(slices, f"b{k}")
+            emb.where(F.col("vec_id") % 8 == resid).coalesce(1).write.parquet(d)
+            for f2 in os.listdir(d):
+                if f2.endswith(".parquet"):
+                    t = now - 60 + 10 * k
+                    os.utime(os.path.join(d, f2), (t, t))
+        streaming.stream_ann_ingest(
+            spark, f"{slices}/b*", idx, schema=emb.schema
+        )
+        queries = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+        out = _ann.ivf_index_probe(
+            queries, idx, k=ANN_K, nprobe=IVF_NPROBE,
+            include_incremental=True,
+        )
+        # pin rows into the block manager so the temp index can be removed
+        # before the caller materializes the frame
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_blobs(_t(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media)
@@ -3271,10 +3319,12 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(iters: int = KMEANS_ITERS) -> str:
+def _kmeans_ctes(iters: int = KMEANS_ITERS, where_v: str = "") -> str:
     """The Lloyd-replay CTE chain shared by the kmeans and trained-IVF
     oracles: ends with a{iters} (vid, cluster) assignments and
-    c{iters-1} (cid, d, c) — the codebook that produced them."""
+    c{iters-1} (cid, d, c) — the codebook that produced them.
+    ``where_v`` restricts the TRAINING set (e.g. a base/stream split) —
+    init ids must satisfy it."""
     ids = ", ".join(str(i) for i in KMEANS_INIT_IDS)
     parts = [
         f"""
@@ -3283,7 +3333,7 @@ def _kmeans_ctes(iters: int = KMEANS_ITERS) -> str:
                        then floor(x::double * 1000000 + 0.5)
                        else -floor(-x::double * 1000000 + 0.5) end
                        as bigint)) as a
-                   from embeddings),
+                   from embeddings {where_v}),
         u as (select vid, g.d, a[g.d] as val
               from v, generate_series(1, 64) g(d)),
         c0 as (select vid as cid, d, val as c from u where vid in ({ids}))"""
@@ -3786,6 +3836,81 @@ def _ann_quantized_ivf_oracle(
     """
 
 
+def _stream_ann_ingest_oracle(
+    iters: int = KMEANS_ITERS, nprobe: int = IVF_NPROBE, levels: int = 256
+) -> str:
+    """Replay: Lloyd restricted to the base split gives codebook
+    c{iters-1} + base assignments; stream vectors assign against that
+    FINAL codebook (same integer argmin); quantization replays for all;
+    probe + compressed-domain scoring as in the quantized-IVF oracle."""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cb = f"c{iters - 1}"
+    return f"""
+    {_kmeans_ctes(iters, where_v="where vec_id % 4 <> 3")},
+    vall as (select vec_id as vid,
+               list_transform(embedding, x -> cast(case when x >= 0
+                 then floor(x::double * 1000000 + 0.5)
+                 else -floor(-x::double * 1000000 + 0.5) end
+                 as bigint)) as a
+             from embeddings),
+    uall as (select vid, g.d, a[g.d] as val
+             from vall, generate_series(1, 64) g(d)),
+    qs as (select vid, d, val from uall where vid in ({qids})),
+    psc as (select qs.vid, {cb}.cid,
+                   (sum({cb}.c * {cb}.c) - 2 * sum(qs.val * {cb}.c))::bigint
+                     as score
+            from qs join {cb} using (d) group by 1, 2),
+    pr as (select vid as query_id, cid as cluster from (
+             select vid, cid,
+                    row_number() over (partition by vid
+                                       order by score, cid) as rn
+             from psc) z
+           where rn <= {nprobe}),
+    ssc as (select u2.vid, {cb}.cid,
+                   (sum({cb}.c * {cb}.c) - 2 * sum(u2.val * {cb}.c))::bigint
+                     as score
+            from (select * from uall where vid % 4 = 3) u2
+            join {cb} using (d) group by 1, 2),
+    sassign as (select vid, cid as cluster from (
+                  select vid, cid,
+                         row_number() over (partition by vid
+                                            order by score, cid) as rn
+                  from ssc) z where rn = 1),
+    allassign as (select vid, cluster from a{iters}
+                  union all
+                  select vid, cluster from sassign),
+    s as (select vec_id,
+                 cast(list_min(embedding) as double) as mn,
+                 case when list_max(embedding) <> list_min(embedding)
+                      then cast(list_max(embedding) as double)
+                           - cast(list_min(embedding) as double)
+                      else 1.0 end as span,
+                 embedding
+          from embeddings),
+    cq as (select vec_id,
+                  list_transform(embedding,
+                    x -> mn + cast(floor((cast(x as double) - mn) / span
+                                         * {levels - 1}.0 + 0.5) as double)
+                              * span / {levels - 1}.0)
+                    as rv
+           from s),
+    cand as (select pr.query_id, allassign.vid as neighbor_id
+             from pr join allassign on allassign.cluster = pr.cluster
+             where allassign.vid <> pr.query_id),
+    scored as (select cand.query_id, cand.neighbor_id,
+                      round(list_dot_product(cn.rv, cp.rv), 6) as score
+               from cand
+               join cq cn on cn.vec_id = cand.neighbor_id
+               join cq cp on cp.vec_id = cand.query_id),
+    final as (select *, row_number() over (partition by query_id
+                                           order by score desc,
+                                                    neighbor_id asc) as rank
+              from scored)
+    select query_id, neighbor_id, cast(rank as int) as rank, score
+    from final where rank <= {ANN_K}
+    """
+
+
 # --- generator parity (G1-G11): pinned tiny config, deterministic seed ---
 _GEN_PARAMS = dict(n_loans=60, n_borrowers=80, n_applications=100, seed=42)
 
@@ -4109,6 +4234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "semantic_dedup": q_semantic_dedup,
+        "stream_ann_ingest": q_stream_ann_ingest,
         # -- (c) r04-evidence refresh, oldest-registered first
         "cdc_upsert": q_cdc_upsert,
         "gap_fill_daily": q_gap_fill_daily,
@@ -4124,11 +4250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
         "sessionize": q_sessionize,
-        "reconcile_waterfall": q_reconcile_waterfall,
         # ---- driver gate window (50) ends here ----
         # -- r04-evidence remainder (2 rounds old after this round --
         # front of the round-7 window); all covered by the local gate
         # mirror at sf0.01 + sf0.1
+        "reconcile_waterfall": q_reconcile_waterfall,
         "stream_sessionize": q_stream_sessionize,
         "generator_invariants": q_generator_invariants,
         "dedup_embedding": q_dedup_embedding,
@@ -4678,6 +4804,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pack": _bpe_pack_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "stream_ann_ingest": _stream_ann_ingest_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),

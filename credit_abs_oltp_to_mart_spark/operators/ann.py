@@ -9,7 +9,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.functions.similarity import (
@@ -433,6 +433,59 @@ def build_ivf_index(
     )
 
 
+def assign_against_codebook(
+    batch: DataFrame,
+    cents: dict[int, list[int]],
+    *,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> DataFrame:
+    """(vec_id, cluster) for NEW vectors against a FIXED trained codebook
+    — the online half of the offline-train / online-assign regime a
+    served IVF index runs (``stream_ann_ingest`` maintains the index with
+    it; no retraining ever happens on the ingest path).
+
+    Bit-parity with the assignment ``kmeans_train`` produced: the same
+    integer L2 score |c|^2 - 2<v,c> through the same literal/broadcast
+    scoring kernels, the same (score, cid) tiebreak — so an ingested
+    vector lands in exactly the cluster the index's OWN codebook assigns
+    it to (a rebuild that RETRAINS on the grown corpus is a different
+    codebook by design — that is the offline refresh, not this path).
+    Map-only: nothing shuffles, the codebook ships as plan literals or
+    one broadcast row."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+        centroid_score_structs,
+        codebook_frame,
+        codebook_score_structs_expr,
+        use_literal_codebook,
+    )
+
+    src = batch.select("vec_id", _to_fp(vec_col, FP_SCALE).alias("__a"))
+    if use_literal_codebook(cents, codebook_as_literals):
+        cluster = F.array_min(F.array(*centroid_score_structs(cents, "__a")))[
+            "cid"
+        ]
+    else:
+        src = src.crossJoin(
+            F.broadcast(codebook_frame(batch.sparkSession, cents))
+        )
+        cluster = F.array_min(codebook_score_structs_expr("__a"))["cid"]
+    return src.select("vec_id", cluster.alias("cluster"))
+
+
+def load_index_codebook(
+    spark: SparkSession, index_dir: str
+) -> dict[int, list[int]]:
+    """The persisted fixed-point codebook as {cid: centroid} — a k-row
+    cold read, O(k*dim) on the driver (the Lloyd-loop transport shape)."""
+    return {
+        int(r["cid"]): list(r["cent"])
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    }
+
+
 def ivf_index_probe(
     queries: DataFrame,
     index_dir: str,
@@ -442,6 +495,7 @@ def ivf_index_probe(
     levels: int = 256,
     vec_col: str = "embedding",
     codebook_as_literals: bool | None = None,
+    include_incremental: bool = False,
 ) -> DataFrame:
     """SERVE-many half of the persisted ANN index: answer ``queries``
     (a small (vec_id, vector) frame — in production the query embeddings
@@ -469,10 +523,7 @@ def ivf_index_probe(
     )
 
     spark = queries.sparkSession
-    cents = {
-        int(r["cid"]): list(r["cent"])
-        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
-    }
+    cents = load_index_codebook(spark, index_dir)
     qsrc = queries.select(
         F.col("vec_id").alias("query_id"),
         _to_fp(vec_col, FP_SCALE).alias("__qa"),
@@ -502,6 +553,25 @@ def ivf_index_probe(
         F.col("sp").alias("nsp"),
         F.col("cluster").cast("bigint").alias("cluster"),
     )
+    if include_incremental:
+        # postings appended by stream_ann_ingest since the last base
+        # merge: batch-keyed partitions with the cluster as an IN-FILE
+        # column (cluster-partition pruning applies to the base only; the
+        # incremental side stays small between compactions — the LSM
+        # shape every served index runs)
+        from pyspark.errors import AnalysisException
+
+        try:
+            inc = spark.read.parquet(f"{index_dir}/postings_inc").select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("codes").alias("nc"),
+                F.col("mn").alias("nmn"),
+                F.col("sp").alias("nsp"),
+                F.col("cluster").cast("bigint").alias("cluster"),
+            )
+            members = members.unionByName(inc)
+        except AnalysisException:
+            pass  # no incremental postings yet — base-only probe
     lv = float(levels - 1)
     scored = (
         members.join(F.broadcast(probes), "cluster")

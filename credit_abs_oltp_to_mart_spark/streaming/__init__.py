@@ -3,6 +3,7 @@
 from credit_abs_oltp_to_mart_spark.streaming.ops import (  # noqa: F401
     events_stream,
     run_to_memory,
+    stream_ann_ingest,
     stream_corpus_ingest,
     stream_dedup_ingest,
     stream_dedup_within_watermark,

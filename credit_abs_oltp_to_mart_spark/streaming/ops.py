@@ -986,3 +986,92 @@ def stream_corpus_ingest(
         .agg(F.count(F.lit(1)).cast("int").alias("n_chunks"))
     )
     return admitted.join(chunks, "doc_id")
+
+
+def stream_ann_ingest(
+    spark: SparkSession,
+    slices_glob: str,
+    index_dir: str,
+    *,
+    schema,
+    levels: int = 256,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> DataFrame:
+    """Continuous maintenance of the persisted IVF index
+    (``ann.build_ivf_index``): micro-batches of NEW vectors are assigned
+    to the FIXED trained codebook and appended as quantized postings —
+    the production regime for a served vector index (retrain offline,
+    assign online; the index never goes down for ingest).
+
+    Per micro-batch (map-only, nothing shuffles):
+      * assignment via ``ann.assign_against_codebook`` — bit-parity with
+        the assignment the index was BUILT under (same integer argmin,
+        same tiebreak), so an ingested vector lands exactly where a full
+        rebuild would put it;
+      * scalar quantization via ``ann.quantize_embeddings`` — identical
+        arithmetic to the base postings' codes;
+      * ONE sink: a batch-id-scoped partition overwrite under
+        ``<index_dir>/postings_inc/batch=<id>/`` with the cluster as an
+        in-file column. Batch output depends only on the batch input and
+        the fixed codebook (no store reads), so a crash replay rewrites
+        byte-identical data over its own partition — idempotent without
+        any exclusion dance.
+
+    ``ann.ivf_index_probe(..., include_incremental=True)`` serves base
+    UNION incremental; ``sources.maintenance.compact_keyed_store`` folds
+    the accreting batch partitions (they are exactly its contract:
+    batch-keyed, ingest_batch in-file). The codebook is loaded ONCE per
+    run — O(k*dim) — and shipped into every batch through the shared
+    literal/broadcast kernel.
+
+    Returns (vec_id, cluster, ingest_batch) for everything ingested."""
+    from credit_abs_oltp_to_mart_spark.operators import ann as A
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        resume_pending_compaction,
+    )
+
+    inc_dir = os.path.join(index_dir, "postings_inc")
+    ck_dir = os.path.join(index_dir, "ingest_checkpoint")
+    # heal a half-swapped compaction BEFORE any probe/scan of the store
+    resume_pending_compaction(spark, inc_dir)
+    cents = A.load_index_codebook(spark, index_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = A.assign_against_codebook(
+            batch_df,
+            cents,
+            vec_col=vec_col,
+            codebook_as_literals=codebook_as_literals,
+        )
+        codes = A.quantize_embeddings(
+            batch_df, vec_col=vec_col, levels=levels
+        ).select(
+            "vec_id",
+            "codes",
+            F.col("scale_min").alias("mn"),
+            (F.col("scale_max") - F.col("scale_min")).alias("sp"),
+        )
+        (
+            codes.join(assigned, "vec_id")
+            .withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(inc_dir, f"batch={batch_id}"))
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(slices_glob)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(inc_dir).select(
+        "vec_id", "cluster", "ingest_batch"
+    )

@@ -1,0 +1,148 @@
+"""Streaming IVF-index maintenance: assignment parity with the persisted
+codebook, planted-neighbor retrieval through the union probe, crash-replay
+idempotency of the batch-scoped postings, and compaction transparency.
+Values on the real tables are oracle-gated in test_entry_contract."""
+
+from __future__ import annotations
+
+import os
+import time as _time
+
+from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.operators import ann
+from credit_abs_oltp_to_mart_spark.streaming import stream_ann_ingest
+
+DIM = 4
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _land(df, path, k, t0):
+    df.coalesce(1).write.parquet(str(path))
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            t = t0 + 10 * k
+            os.utime(os.path.join(path, f), (t, t))
+
+
+BASE = [
+    (0, [1.0, 0.0, 0.0, 0.0]),   # init centroid A
+    (1, [0.0, 1.0, 0.0, 0.0]),   # init centroid B
+    (2, [0.9, 0.1, 0.0, 0.0]),
+    (3, [0.1, 0.9, 0.0, 0.0]),
+    (4, [0.8, 0.0, 0.1, 0.0]),
+]
+# stream batch 1: exact copies of base vectors (id-shifted) -> must land
+# in the SAME cluster the build assigned the originals to; batch 2: a
+# near-copy of query 0 that the union probe must retrieve
+S1 = [(100, [0.9, 0.1, 0.0, 0.0]), (101, [0.1, 0.9, 0.0, 0.0])]
+S2 = [(200, [0.99, 0.01, 0.0, 0.0])]
+
+
+def _build_and_stream(spark, tmp_path):
+    idx = str(tmp_path / "index")
+    ann.build_ivf_index(
+        _emb(spark, BASE), idx, init_ids=[0, 1], iterations=2
+    )
+    src = tmp_path / "slices"
+    t0 = _time.time() - 120
+    _land(_emb(spark, S1), src / "b0", 0, t0)
+    _land(_emb(spark, S2), src / "b1", 1, t0)
+    got = stream_ann_ingest(
+        spark,
+        f"{src}/b*",
+        idx,
+        schema="vec_id long, embedding array<double>",
+    )
+    return idx, src, got
+
+
+def test_assignment_parity_and_batch_labels(spark, tmp_path):
+    idx, _, got = _build_and_stream(spark, tmp_path)
+    rows = {r["vec_id"]: (r["cluster"], r["ingest_batch"]) for r in got.collect()}
+    assert set(rows) == {100, 101, 200}
+    assert rows[100][1] == 0 and rows[101][1] == 0 and rows[200][1] == 1
+    base_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(f"{idx}/postings").collect()
+    }
+    # an exact copy of a base vector lands in the SAME cluster the index
+    # build assigned the original to (bit-parity of the scoring kernel)
+    assert rows[100][0] == base_assign[2]
+    assert rows[101][0] == base_assign[3]
+    # quantized codes of an exact copy equal the original's stored codes
+    inc = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(f"{idx}/postings_inc").collect()
+    }
+    base_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(f"{idx}/postings").collect()
+    }
+    assert inc[100] == base_codes[2] and inc[101] == base_codes[3]
+
+
+def test_union_probe_retrieves_streamed_neighbor(spark, tmp_path):
+    idx, _, _ = _build_and_stream(spark, tmp_path)
+    queries = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+    with_inc = ann.ivf_index_probe(
+        queries, idx, k=3, nprobe=1, include_incremental=True
+    )
+    neigh = {r["neighbor_id"] for r in with_inc.collect()}
+    assert 200 in neigh  # the streamed near-copy of the query
+    base_only = ann.ivf_index_probe(queries, idx, k=3, nprobe=1)
+    assert 200 not in {r["neighbor_id"] for r in base_only.collect()}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    idx, src, got = _build_and_stream(spark, tmp_path)
+    first = {tuple(r) for r in got.collect()}
+    # crash window: postings written, commit 1 never was
+    commits = os.path.join(idx, "ingest_checkpoint", "commits")
+    os.remove(os.path.join(commits, "1"))
+    crc = os.path.join(commits, ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    again = [
+        tuple(r)
+        for r in stream_ann_ingest(
+            spark,
+            f"{src}/b*",
+            idx,
+            schema="vec_id long, embedding array<double>",
+        ).collect()
+    ]
+    assert set(again) == first
+    assert len(again) == len(set(again))  # no duplicated postings
+
+
+def test_compaction_is_transparent_to_the_probe(spark, tmp_path):
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        compact_keyed_store,
+    )
+
+    idx, _, _ = _build_and_stream(spark, tmp_path)
+    queries = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])])
+    before = {
+        tuple(r)
+        for r in ann.ivf_index_probe(
+            queries, idx, k=3, nprobe=1, include_incremental=True
+        ).collect()
+    }
+    stats = compact_keyed_store(
+        spark, f"{idx}/postings_inc", upto=1, dedup_cols=["vec_id"]
+    )
+    assert stats["compacted"] and stats["partitions_merged"] == 2
+    after = {
+        tuple(r)
+        for r in ann.ivf_index_probe(
+            queries, idx, k=3, nprobe=1, include_incremental=True
+        ).collect()
+    }
+    assert after == before
