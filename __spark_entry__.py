@@ -1454,6 +1454,16 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mixture_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture MATERIALIZED: weights feed deterministic per-doc
+    replication (floor(factor) copies + one more iff the md5 draw falls
+    under the fractional part, all integer micro-units) — one row per
+    (doc, copy_no), the epoch-mixed corpus manifest a trainer consumes.
+    Composes mixture_weights -> mixture_apply in one plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.mixture_apply(docs, curation.mixture_weights(docs))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (DuckDB dialect = ANSI + list lambdas)
 # ---------------------------------------------------------------------------
@@ -4235,6 +4245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "semantic_dedup": q_semantic_dedup,
         "stream_ann_ingest": q_stream_ann_ingest,
+        "mixture_apply": q_mixture_apply,
         # -- (c) r04-evidence refresh, oldest-registered first
         "cdc_upsert": q_cdc_upsert,
         "gap_fill_daily": q_gap_fill_daily,
@@ -4249,11 +4260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
-        "sessionize": q_sessionize,
         # ---- driver gate window (50) ends here ----
         # -- r04-evidence remainder (2 rounds old after this round --
         # front of the round-7 window); all covered by the local gate
         # mirror at sf0.01 + sf0.1
+        "sessionize": q_sessionize,
         "reconcile_waterfall": q_reconcile_waterfall,
         "stream_sessionize": q_stream_sessionize,
         "generator_invariants": q_generator_invariants,
@@ -4884,6 +4895,40 @@ def oracle_sql() -> dict[str, str]:
                             * greatest(1, n_tokens)::double), 6)
                      as sample_factor
             from g, t
+        """,
+        "mixture_apply": f"""
+            with g as (
+              select lang, count(*) as n_docs,
+                     sum(case when trim(text) = '' then 0
+                         else len(string_split_regex(trim(text), ' +')) end)
+                       as n_tokens,
+                     floor(sqrt((sum(case when trim(text) = '' then 0
+                           else len(string_split_regex(trim(text), ' +'))
+                           end))::double)
+                           * {curation.WEIGHT_FP_SCALE})::bigint as w_fp
+              from documents group by 1),
+            t as (select sum(n_tokens) as tot_tokens,
+                         sum(w_fp) as tot_w_fp from g),
+            w as (select lang,
+                         round((w_fp::double * tot_tokens::double)
+                               / (tot_w_fp::double
+                                  * greatest(1, n_tokens)::double), 6)
+                           as sample_factor
+                  from g, t),
+            j as (select d.doc_id, d.lang,
+                         floor(sample_factor * {curation.WEIGHT_FP_SCALE}
+                               + 0.5)::bigint as f_u,
+                         ('0x' || substr(md5('mix:' || d.doc_id::varchar),
+                                         1, 15))::bigint
+                           % {curation.WEIGHT_FP_SCALE} as draw
+                  from documents d join w using (lang)),
+            c as (select doc_id, lang,
+                         (f_u // {curation.WEIGHT_FP_SCALE})
+                           + case when draw < f_u % {curation.WEIGHT_FP_SCALE}
+                                  then 1 else 0 end as n_copies
+                  from j)
+            select doc_id, lang, cast(u.copy_no as int) as copy_no
+            from c, unnest(generate_series(1, n_copies)) as u(copy_no)
         """,
         "pack_chunks": _pack_chunks_oracle(),
         "interval_join_agg": f"""

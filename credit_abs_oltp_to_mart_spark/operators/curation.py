@@ -577,6 +577,55 @@ def mixture_weights(
     )
 
 
+def mixture_apply(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    by: str = "lang",
+) -> DataFrame:
+    """MATERIALIZE the temperature mixture ``mixture_weights`` prescribed:
+    deterministic per-doc replication under each domain's published
+    ``sample_factor`` — the step that turns weights into the epoch-mixed
+    corpus a trainer actually consumes (a factor > 1 repeats the domain's
+    docs, < 1 thins them; weights alone change nothing).
+
+    Every doc gets floor(factor) guaranteed copies plus one more iff its
+    md5 draw falls under the factor's fractional part, all in integer
+    MICRO-UNITS (the factor is published at 6 dp, so factor*1e6 is exact
+    after one half-up rounding; the draw is md5 mod 1e6) — no float
+    comparison anywhere, any engine replays the exact copy set, and the
+    expected copy count equals the factor. Returns one row per
+    (doc, copy_no >= 1); dropped docs (factor 0 and a losing draw) emit
+    no row.
+
+    Scale: the weights frame is domain-cardinality (tiny) and broadcasts;
+    the replication is a map-only explode — no shuffle, output size =
+    sum of factors * docs, exactly the corpus the mixture demands."""
+    f_u = F.floor(F.col("sample_factor") * WEIGHT_FP_SCALE + F.lit(0.5)).cast(
+        "bigint"
+    )
+    draw = F.pmod(
+        md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(WEIGHT_FP_SCALE),
+    )
+    n_copies = (
+        (f_u / WEIGHT_FP_SCALE).cast("bigint")
+        + F.when(draw < f_u % WEIGHT_FP_SCALE, F.lit(1)).otherwise(F.lit(0))
+    ).alias("n_copies")
+    w = weights.select(by, "sample_factor")
+    return (
+        docs.join(F.broadcast(w), by)
+        .select("doc_id", by, n_copies)
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            by,
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_no"),
+        )
+        .select("doc_id", by, F.col("copy_no").cast("int").alias("copy_no"))
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     *,

@@ -286,3 +286,36 @@ def test_pii_scan_counts_injected_signals(spark):
     assert out[3]["has_pii"] is False
     # redaction replaces, never grows unboundedly: doc 3 untouched
     assert out[3]["redacted_len"] == len(rows[2][1])
+
+
+def test_mixture_apply_replicates_to_the_factor(spark):
+    """A big domain thins toward its factor (< 1), a small one upsamples
+    (> 1, so every doc gets >= 1 copy and some get 2); per-doc copies are
+    always floor(factor) or floor(factor)+1; an all-empty domain (factor
+    0) emits nothing."""
+    import math
+
+    rows = (
+        [(i, "many " * 200, "big") for i in range(40)]
+        + [(100 + i, "few words here", "small") for i in range(4)]
+        + [(200, "", "empty"), (201, " ", "empty")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = curation.mixture_weights(docs)
+    factors = {r["lang"]: r["sample_factor"] for r in w.collect()}
+    assert factors["small"] > 1.0 and factors["big"] < 1.0
+    assert factors["empty"] == 0.0
+    got = curation.mixture_apply(docs, w).groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_doc = {r["doc_id"]: (r["lang"], r["n"]) for r in got.collect()}
+    assert not any(lang == "empty" for lang, _ in per_doc.values())
+    for doc_id, (lang, n) in per_doc.items():
+        lo = math.floor(factors[lang])
+        assert n in (lo, lo + 1), (doc_id, lang, n)
+    # every small-domain doc has >= 1 copy (factor > 1 guarantees the floor)
+    small_ids = {100, 101, 102, 103}
+    assert small_ids <= set(per_doc)
+    # expected total tracks the factor within the +-1-per-doc draw bound
+    n_small = sum(n for _, (lang, n) in per_doc.items() if lang == "small")
+    assert abs(n_small - factors["small"] * 4) <= 4
