@@ -43,7 +43,14 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from credit_abs_oltp_to_mart_spark.operators import bpe, dedup, textops
+    from credit_abs_oltp_to_mart_spark.operators import (
+        bpe,
+        classifier,
+        curation,
+        dedup,
+        multimodal,
+        textops,
+    )
     from credit_abs_oltp_to_mart_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
@@ -132,6 +139,30 @@ def main() -> int:
         ),
         "bigram_fluency": lambda d: textops.bigram_fluency(d),
         "bpe_train_4rounds": lambda d: (bpe.bpe_train(d, n_merges=4), None)[1],
+        # round-6 operators: perceptual-hash image dedup (map-only hash +
+        # band join), the trained quality gate (fixed gradient rounds over
+        # ONE feature aggregation per round + map-only scoring), the
+        # mixture materialization (domain-cardinality broadcast + map-only
+        # replication), and BPE tokenization under a trained vocabulary
+        # (broadcast word lookup + per-doc stitch)
+        "image_near_dups": lambda d: multimodal.image_near_dups(
+            multimodal.synthesize_blobs(d)
+        ),
+        "quality_classifier": lambda d: classifier.quality_classifier(d),
+        # the scaled corpus carries no lang column — synthesize 5 domains
+        "mixture_apply": lambda d: (
+            lambda dl: curation.mixture_apply(dl, curation.mixture_weights(dl))
+        )(
+            d.withColumn(
+                "lang",
+                F.concat(
+                    F.lit("l"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+                ),
+            )
+        ),
+        "bpe_tokenize": lambda d: bpe.bpe_tokenize(
+            d, bpe.bpe_train(d, n_merges=4)[1]
+        ),
     }
     results: dict[str, dict] = {}
     for name, build in probes.items():
