@@ -215,44 +215,43 @@ def image_phash(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
         (1 + F.pmod(F.conv(F.substring("hx", 3, 2), 16, 10).cast("int"), F.lit(64))
          ).alias("h"),
     )
-    # resized pixel (r, c) reads plane index floor(r*h/out_h)*w +
+    # resized pixel i = (r, c) reads plane index floor(r*h/out_h)*w +
     # floor(c*w/out_w). A WELL-FORMED image has len(buf) == h*w and the
     # index hits the buffer directly; a short buffer (the registry fake's
     # md5-chain blobs, or a corrupt blob) tiles CYCLICALLY (idx % nb)
     # rather than zero-padding — zero-pad would collapse most short-blob
     # hashes toward all-zero bits and degenerate the band join toward
     # all-pairs, while for full-length buffers idx % nb == idx exactly.
-    px_cols = []
-    for r in range(out_h):
-        for c in range(out_w):
-            idx = (
-                F.floor(F.lit(r) * F.col("h") / out_h).cast("int") * F.col("w")
-                + F.floor(F.lit(c) * F.col("w") / out_w).cast("int")
-            )
-            val = F.when(
-                F.col("nb") > 0,
-                F.conv(
-                    F.substr(
-                        F.col("hx"), F.pmod(idx, F.col("nb")) * 2 + 1, F.lit(2)
-                    ),
-                    16,
-                    10,
-                ).cast("int"),
-            ).otherwise(F.lit(0))
-            px_cols.append(val.alias(f"p{r * out_w + c}"))
-    pix = dims.select("doc_id", *px_cols)
-    total = sum(F.col(f"p{i}") for i in range(n_px))
-    acc = F.lit(0).cast("long")
-    for i in range(n_px):
-        # bit 63 is the sign bit: add its two's-complement value, exactly
-        # as simhash_fingerprints assembles its 64-bit hash
-        bitval = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
-        acc = acc + F.when(
-            F.col(f"p{i}") * n_px > F.col("total"), bitval
-        ).otherwise(F.lit(0))
+    # The whole hash is THREE higher-order-function expressions (pixel
+    # array -> total -> bit fold) rather than 64 unrolled pixel columns:
+    # the unrolled form blew past the codegen method limit and fell back
+    # to interpreted eval of a ~130-expression tree. NOTE for composers:
+    # Catalyst's projection collapse inlines __px/__tot into downstream
+    # consumers, so a plan that references the phash column MANY times
+    # (e.g. a band explode feeding a self-join) re-evaluates the fold per
+    # reference — materialize (persist) the fingerprint frame first, as
+    # image_near_dups does.
+    px = (
+        f"transform(sequence(0, {n_px - 1}), i -> cast(conv(substr(hx,"
+        f" pmod(cast(floor((i div {out_w}) * h / {out_h}) as int) * w"
+        f" + cast(floor((i % {out_w}) * w / {out_w}) as int), nb)"
+        f" * 2 + 1, 2), 16, 10) as int))"
+    )
+    # bit i contributes 2^i (two's complement at i = 63, exactly as
+    # simhash_fingerprints assembles its hash) iff pixel_i * n_px > total
+    hash_fold = (
+        f"aggregate(sequence(0, {n_px - 1}), 0L, (acc, i) ->"
+        f" acc + (case when __px[i] * {n_px} > __tot then"
+        f" (case when i = 63 then {-(1 << 63)}L else shiftleft(1L, i) end)"
+        f" else 0L end))"
+    )
     return (
-        pix.withColumn("total", total)
-        .select("doc_id", acc.cast("long").alias("phash"))
+        dims.withColumn("__px", F.expr(px))
+        .withColumn(
+            "__tot",
+            F.expr("aggregate(__px, 0L, (acc, x) -> acc + cast(x as bigint))"),
+        )
+        .select("doc_id", F.expr(hash_fold).cast("long").alias("phash"))
     )
 
 
@@ -262,10 +261,18 @@ def image_near_dups(
     """Near-duplicate image pairs: perceptual hash + the SAME banded
     hamming kernel SimHash text dedup uses (``dedup.banded_hamming_pairs``
     — 4 bands of 16 bits, exact bit_count(xor) verify, full recall for
-    hamming <= 3 by pigeonhole). Returns (doc_a, doc_b, hamming)."""
+    hamming <= 3 by pigeonhole). Returns (doc_a, doc_b, hamming).
+
+    The fingerprint frame is persisted before the kernel: unlike SimHash
+    (whose vote aggregation gives the self-join a ReusedExchange), the
+    hash here is a pure projection — without a materialization the band
+    join's two sides would each re-derive it, and projection collapse
+    would additionally re-evaluate the inlined pixel fold per band
+    reference. One cached (doc_id, phash) row per image is tiny at any
+    scale; callers may unpersist after consuming the pairs."""
     from credit_abs_oltp_to_mart_spark.operators.dedup import banded_hamming_pairs
 
-    fp = image_phash(media)
+    fp = image_phash(media).persist()
     return banded_hamming_pairs(
         fp, "phash", max_hamming=max_hamming, n_bands=n_bands, n_bits=64
     )
