@@ -129,10 +129,17 @@ def train_quality_classifier(
     (init all-zero). Per round: one aggregation of the d+1 exact bigint
     gradient sums, one O(d) collect, one driver update — bit-identical
     in any engine replaying the same arithmetic."""
-    s = FEATURE_SCALE
     feats = quality_features(docs, text_col=text_col).localCheckpoint(
         eager=True
     )
+    return train_weights_from_features(feats, rounds=rounds)
+
+
+def train_weights_from_features(feats: DataFrame, *, rounds: int) -> list[int]:
+    """The gradient loop over an ALREADY-MATERIALIZED (doc_id, y, x)
+    feature frame — split out so a caller that also scores can pay the
+    (regex-heavy, map-only) feature extraction exactly once."""
+    s = FEATURE_SCALE
     w = [0] * N_FEATURES
     for _ in range(rounds):
         scored = _scores(feats, w, s).withColumn(
@@ -164,10 +171,14 @@ def quality_classifier(
     """Train, then score the corpus map-only: (doc_id, label, prob,
     predicted) where ``label`` is the distilled seed label, ``prob`` the
     hard-sigmoid probability of the trained model (exact multiple of
-    1/SCALE) and ``predicted`` its >= 0.5 decision."""
+    1/SCALE) and ``predicted`` its >= 0.5 decision. The feature
+    extraction (the regex-heavy part) runs ONCE: the checkpointed frame
+    feeds every gradient round AND the final scoring pass."""
     s = FEATURE_SCALE
-    w = train_quality_classifier(docs, rounds=rounds, text_col=text_col)
-    feats = quality_features(docs, text_col=text_col)
+    feats = quality_features(docs, text_col=text_col).localCheckpoint(
+        eager=True
+    )
+    w = train_weights_from_features(feats, rounds=rounds)
     return _scores(feats, w, s).select(
         "doc_id",
         F.col("y").cast("int").alias("label"),
