@@ -475,3 +475,55 @@ def test_semantic_dedup_joins_on_cluster(spark):
     p = _plan(spark, "semantic_dedup")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "cluster" in p
+
+
+def test_stream_ann_ingest_union_probe_never_scans_floats(spark, tmp_path):
+    """The incremental-serving path keeps the persisted-index invariant:
+    with postings_inc in the union, the candidate side still reads ONLY
+    quantized postings (base + incremental); the raw embeddings parquet
+    appears solely as the filtered query side. (The contract query
+    returns a checkpointed frame, so the probe plan is rebuilt here.)
+    The ingest batches themselves are map-only — gated by the parity
+    checks in test_stream_ann_ingest."""
+    import os
+    import re
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from credit_abs_oltp_to_mart_spark.operators import ann
+    from credit_abs_oltp_to_mart_spark.streaming import stream_ann_ingest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "index")
+    ann.build_ivf_index(
+        emb.where(F.col("vec_id") % 4 != 3), idx,
+        init_ids=[10, 20, 30, 40], iterations=2,
+    )
+    sdir = tmp_path / "slices" / "b0"
+    emb.where(F.col("vec_id") % 4 == 3).coalesce(1).write.parquet(str(sdir))
+    t = _time.time() - 60
+    for f in os.listdir(sdir):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(sdir, f), (t, t))
+    stream_ann_ingest(
+        spark, f"{tmp_path}/slices/b*", idx,
+        schema="vec_id bigint, embedding array<float>",
+    )
+    probe = ann.ivf_index_probe(
+        emb.where(F.col("vec_id").isin([0, 1, 2])), idx,
+        k=3, nprobe=1, include_incremental=True,
+    )
+    p = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    blocks = re.split(r"\n\n", p)
+    emb_blocks = [b for b in blocks if "embeddings.parquet" in b]
+    assert emb_blocks, p  # the query side does scan embeddings...
+    for b in emb_blocks:  # ...but only with the IN filter pushed down
+        assert re.search(r"PushedFilters: \[In\(vec_id", b), b
+    assert "postings_inc" in p  # the incremental tail is in the union
