@@ -1005,6 +1005,75 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_bpe_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the raw-text → trained-tokenizer →
+    packed-shards chain: the same 3-slice incremental corpus ingest as
+    ``stream_corpus_ingest`` (filter → store-dedup → decontam), but the
+    pack stage runs the TRAINED BPE tokenizer (``bpe.bpe_pack``) — the
+    tokenizer is trained offline on the full corpus, pinned for the run
+    like the blocklist, and streamed shards hold token-ID runs with
+    cross-batch bin continuity. Output = the packed shard rows
+    themselves, so the hash gate covers segmentation, id assignment,
+    shard routing AND the carried offsets in one verdict."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
+    from credit_abs_oltp_to_mart_spark.operators import bpe
+    from credit_abs_oltp_to_mart_spark.operators.curation import split_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn("split", split_expr())
+    train = docs.where(F.col("split") == "train").drop("split")
+    _, wf = bpe.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    )
+    b = F.pmod(
+        md5_long(F.concat(F.lit("ingest:"), F.col("doc_id").cast("string"))),
+        F.lit(3),
+    )
+    tagged = train.withColumn("__b", b.cast("int"))
+    tmp = tempfile.mkdtemp(prefix="spark_bpe_ingest_")
+    try:
+        gram_store = os.path.join(tmp, "eval_grams")
+        curation.build_eval_gram_store(
+            docs.where(F.col("split") != "train").drop("split")
+        ).write.parquet(gram_store)
+        slices = os.path.join(tmp, "slices")
+        now = _time.time()
+        for k in range(3):
+            d = os.path.join(slices, f"b{k}")
+            tagged.where(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(d)
+            for f2 in os.listdir(d):
+                if f2.endswith(".parquet"):
+                    t = now - 60 + 10 * k
+                    os.utime(os.path.join(d, f2), (t, t))
+        out = streaming.stream_corpus_ingest(
+            spark,
+            f"{slices}/b*",
+            os.path.join(tmp, "out"),
+            schema=train.schema,
+            gram_store_path=gram_store,
+            n=JACCARD_N,
+            n_perm=MINHASH_PERMS,
+            bands=MINHASH_BANDS,
+            min_est=0.25,
+            seed=MINHASH_SEED,
+            dedup_within_batch=True,
+            tokenizer_word_frame=wf,
+            return_packed=True,
+            chunk_tokens=BPE_PACK_CHUNK,
+            bin_tokens=BPE_PACK_BIN,
+            shards=BPE_PACK_SHARDS,
+        ).select(
+            "shard", "doc_id", "chunk_idx", "n_tokens", "chunk_ids",
+            "start_tok", "bin", "ingest_batch",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics on a snapshot: a deterministic I/U/D change
     feed derived from orders applied to the customer dimension via
@@ -1700,10 +1769,11 @@ def _bigram_fluency_oracle(rare_max: int = 2, fp_scale: int = 10**6) -> str:
     """
 
 
-def _stream_corpus_ingest_oracle(
-    min_est: float = 0.25, chunk_tokens: int = 64
-) -> str:
-    """Batch-sequential replay of the streaming END-TO-END corpus ingest:
+def _corpus_admitted_ctes(min_est: float = 0.25) -> str:
+    """Shared CTE fragment: the batch-sequential replay of the streaming
+    corpus ingest up to the per-batch ADMITTED sets (adm0/adm1/adm2,
+    with ``gated`` carrying each admitted doc's tokens). CTE names are
+    disjoint from _bpe_ctes's so the two chains compose:
     filter gate (quality/lang/length/PII — same expressions as
     corpus.filter_documents, quality ROUNDED to 6dp like quality_score),
     MinHash store-dedup of the gated docs (store = earlier batches'
@@ -1773,27 +1843,27 @@ def _stream_corpus_ingest_oracle(
         return f"""
     bs{k} as (select distinct doc_id, unnest([{band_exprs}]) as band_key
               from {prev_adm}),
-    c{k} as (select distinct bn{k}.doc_id as nid, bs{k}.doc_id as cid
+    sc{k} as (select distinct bn{k}.doc_id as nid, bs{k}.doc_id as cid
              from bn{k} join bs{k} using (band_key)),
-    m{k} as (select distinct nid from c{k}
+    sm{k} as (select distinct nid from sc{k}
              join sigs sa on sa.doc_id = nid
              join sigs sb on sb.doc_id = cid
              where {est_ok}),
     adm{k} as (select * from sigs where b = {k}
-               and doc_id not in (select nid from m{k})
+               and doc_id not in (select nid from sm{k})
                and doc_id not in (select nid from wm{k})
                and doc_id not in (select doc_id from cont))"""
 
     return f"""
-    with train as (
+    train as (
       select doc_id, text from documents
       where {_split_bucket_sql("split:")} < {curation.TRAIN_PCT}),
-    t0 as (
+    q0 as (
       select doc_id, text,
              string_split_regex(trim(text), ' +') as tk,
              string_split_regex(trim(lower(text)), ' +') as ltk
       from train where trim(text) <> ''),
-    t1 as (
+    q1 as (
       select doc_id, text, tk, {ratios},
              len(regexp_extract_all(text, '[^A-Za-z0-9_ ]'))::double
                / greatest(1, length(text)) as punct,
@@ -1803,9 +1873,9 @@ def _stream_corpus_ingest_oracle(
               + len(regexp_extract_all(text, '{curation.URL_PATTERN}'))
               + len(regexp_extract_all(text, '{curation.DIGIT_RUN_PATTERN}')))
                as pii
-      from t0),
+      from q0),
     gated as (
-      select doc_id, text, tk from t1
+      select doc_id, text, tk from q1
       where {best} > 0
         and round(least(1.0, length(text)::double / 500.0) * (1.0 - punct)
               * (case when mean_len >= 2.0 and mean_len <= 12.0
@@ -1852,6 +1922,18 @@ def _stream_corpus_ingest_oracle(
     {banded(1)}, {within(1)}, {level(1, "adm0")},
     adm01 as (select * from adm0 union all select * from adm1),
     {banded(2)}, {within(2)}, {level(2, "adm01")}
+    """
+
+
+def _stream_corpus_ingest_oracle(
+    min_est: float = 0.25, chunk_tokens: int = 64
+) -> str:
+    """Batch-sequential replay of the streaming END-TO-END corpus ingest
+    (filter gate -> MinHash store-dedup -> blocklist decontam), then
+    ceil(len/chunk) chunk counts per admitted doc — the full chain lives
+    in _corpus_admitted_ctes."""
+    return f"""
+    with {_corpus_admitted_ctes(min_est)}
     select g.doc_id, a.b::bigint as ingest_batch,
            ((len(g.tk) + {chunk_tokens - 1}) // {chunk_tokens})::int
              as n_chunks
@@ -3791,6 +3873,64 @@ def _bpe_pack_oracle(n_merges: int = BPE_MERGES) -> str:
     """
 
 
+def _stream_bpe_ingest_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Composes the two heaviest replay chains: the batch-sequential
+    admitted sets from _corpus_admitted_ctes, then BPE segmentation +
+    dense-id assignment from _bpe_ctes, then the pack with PER-SHARD
+    offsets carried ACROSS batches — one window in (batch, doc_id,
+    chunk_idx) order per shard, exactly what the streamed per-batch
+    windows + the pack_offsets state compute together."""
+    c, bn, s = BPE_PACK_CHUNK, BPE_PACK_BIN, BPE_PACK_SHARDS
+    return f"""
+    with {_corpus_admitted_ctes()},
+    {_bpe_ctes(n_merges)},
+    vocab as materialized (
+      select sym, (row_number() over (order by sym) - 1)::int as tok_id
+      from (select distinct unnest(syms) as sym from w{n_merges})),
+    wid as materialized (
+      select word, list(tok_id order by i) as ids
+      from (select word, t.i, syms[t.i] as sym
+            from w{n_merges},
+                 unnest(generate_series(1, len(syms))) as t(i)) e
+           join vocab using (sym)
+      group by word),
+    asel as (select doc_id, b from adm0
+             union all select doc_id, b from adm1
+             union all select doc_id, b from adm2),
+    dt as (
+      select g.doc_id, t.i as wpos, g.tk[t.i] as word
+      from gated g join asel using (doc_id),
+           unnest(generate_series(1, len(g.tk))) as t(i)),
+    seq as (
+      select doc_id, flatten(list(ids order by wpos)) as ids
+      from dt join wid using (word) group by doc_id),
+    ch as (
+      select doc_id, ids,
+             unnest(generate_series(0, ((len(ids) + {c - 1}) // {c}) - 1))
+               as chunk_idx
+      from seq where len(ids) > 0),
+    sized as (
+      select doc_id, chunk_idx::int as chunk_idx,
+             ids[chunk_idx * {c} + 1 : chunk_idx * {c} + {c}] as chunk,
+             (('0x' || substr(md5('shard:' || doc_id::varchar), 1, 15))::bigint
+              % {s})::int as shard
+      from ch),
+    packed as (
+      select shard, sized.doc_id, chunk_idx, len(chunk)::int as n_tokens,
+             array_to_string(chunk, ' ') as chunk_ids,
+             asel.b,
+             coalesce(sum(len(chunk)) over (
+               partition by shard
+               order by asel.b, sized.doc_id, chunk_idx
+               rows between unbounded preceding and 1 preceding), 0)::bigint
+               as start_tok
+      from sized join asel on asel.doc_id = sized.doc_id)
+    select shard, doc_id, chunk_idx, n_tokens, chunk_ids, start_tok,
+           start_tok // {bn} as bin, b::bigint as ingest_batch
+    from packed
+    """
+
+
 def _ann_quantized_ivf_oracle(
     iters: int = KMEANS_ITERS, nprobe: int = IVF_NPROBE, levels: int = 256
 ) -> str:
@@ -4246,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "stream_ann_ingest": q_stream_ann_ingest,
         "mixture_apply": q_mixture_apply,
+        "stream_bpe_ingest": q_stream_bpe_ingest,
         # -- (c) r04-evidence refresh, oldest-registered first
         "cdc_upsert": q_cdc_upsert,
         "gap_fill_daily": q_gap_fill_daily,
@@ -4259,8 +4400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": q_cluster_sample,
         "token_budget_sample": q_token_budget_sample,
         "token_freq_stats": q_token_freq_stats,
-        "roll_rate": q_roll_rate,
         # ---- driver gate window (50) ends here ----
+        "roll_rate": q_roll_rate,
         # -- r04-evidence remainder (2 rounds old after this round --
         # front of the round-7 window); all covered by the local gate
         # mirror at sf0.01 + sf0.1
@@ -4816,6 +4957,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "stream_ann_ingest": _stream_ann_ingest_oracle(),
+        "stream_bpe_ingest": _stream_bpe_ingest_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),

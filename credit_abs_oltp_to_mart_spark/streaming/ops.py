@@ -738,6 +738,8 @@ def stream_corpus_ingest(
     dedup_within_batch: bool = True,
     store_prebanded: bool = False,
     on_batch_complete=None,
+    tokenizer_word_frame: DataFrame | None = None,
+    return_packed: bool = False,
 ) -> DataFrame:
     """The COMPLETE incremental corpus pipeline per arriving micro-batch —
     the actual shape of a continuous 100 TB pretraining ingest, composing
@@ -771,6 +773,15 @@ def stream_corpus_ingest(
                  strictly-earlier batches' offsets), so streamed shards
                  are byte-compatible with a single batch
                  ``pack_chunks`` run over the same docs in slice order.
+                 With ``tokenizer_word_frame`` set (a TRAINED BPE word
+                 frame, ``bpe.bpe_train`` — pinned once per run like the
+                 blocklist), the pack stage becomes ``bpe.bpe_pack``:
+                 shards hold the tokenizer's token-ID runs instead of
+                 whitespace text — the streaming half of the
+                 raw-text → trained-tokenizer → packed-shards chain,
+                 offsets continuity included (the tokenizer is FIXED for
+                 the run: retrain offline, re-tokenize on the next run —
+                 the same regime as the ANN codebook).
 
     Store semantics: the signature store holds ADMITTED docs only (passed
     ALL three gates) — the store IS the corpus, so later near-dups of an
@@ -813,6 +824,14 @@ def stream_corpus_ingest(
     offsets_dir = os.path.join(out_dir, "pack_offsets")
     ck_dir = os.path.join(out_dir, "checkpoint")
     resume_pending_compaction(spark, store_dir)
+    # the trained tokenizer is FIXED for the run: materialize the word
+    # frame once (vocabulary-sized) so every batch's tokenize pass reads
+    # the checkpoint, never re-derives it
+    wf_pinned = (
+        tokenizer_word_frame.localCheckpoint(eager=True)
+        if tokenizer_word_frame is not None
+        else None
+    )
     # the blocklist is pinned into the block manager (not re-scanned
     # every micro-batch), but NOT frozen for the run: each batch
     # re-checks the store's file listing (a metadata-only op) and
@@ -896,12 +915,25 @@ def stream_corpus_ingest(
             # the admitted plan reads the store path, which the signature
             # write below invalidates
             admitted = admitted.localCheckpoint(eager=True)
-            packed = pack_chunks(
-                admitted,
-                chunk_tokens=chunk_tokens,
-                bin_tokens=bin_tokens,
-                shards=shards,
-            )
+            if wf_pinned is not None:
+                from credit_abs_oltp_to_mart_spark.operators.bpe import (
+                    bpe_pack,
+                )
+
+                packed = bpe_pack(
+                    admitted,
+                    wf_pinned,
+                    chunk_tokens=chunk_tokens,
+                    bin_tokens=bin_tokens,
+                    shards=shards,
+                )
+            else:
+                packed = pack_chunks(
+                    admitted,
+                    chunk_tokens=chunk_tokens,
+                    bin_tokens=bin_tokens,
+                    shards=shards,
+                )
             # per-shard running offsets from STRICTLY earlier batches
             # (a replayed batch never sees its own prior write), so the
             # stream's bin numbering continues where the last batch
@@ -977,6 +1009,10 @@ def stream_corpus_ingest(
         .start()
     )
     query.awaitTermination()
+    if return_packed:
+        # the packed shards themselves (cross-batch bin numbering and
+        # all) — the trainer-facing artifact
+        return spark.read.parquet(packed_dir)
     admitted = spark.read.parquet(store_dir).select("doc_id", "ingest_batch")
     if store_prebanded:
         admitted = admitted.distinct()  # `bands` rows per admitted doc

@@ -325,3 +325,63 @@ def test_add_eval_suite_mid_run_blocks_from_next_batch(spark, tmp_path):
     # FRESH admitted in batch 0; GOOD_A blocked in BOTH later batches by
     # the suite added mid-run
     assert got == {(1, 0)}
+
+
+def test_stream_bpe_pack_matches_batch_bpe_pack(spark, tmp_path):
+    """Tokenizer-aware streaming ingest: with a trained word frame the
+    pack stage emits token-ID shards, and cross-batch offsets make the
+    streamed rows IDENTICAL to one batch bpe_pack over the same docs —
+    the streaming half of the raw-text → tokenizer → shards chain."""
+    from credit_abs_oltp_to_mart_spark.operators import bpe
+
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    texts = {
+        1: GOOD_A,
+        2: FRESH,
+        3: (
+            "a careful account of the mountain village where the baker "
+            "wakes before dawn to heat the stone oven and the children "
+            "carry warm loaves across the square to the houses by the well"
+        ),
+        4: (
+            "the gardener explained that the orchard needs pruning in "
+            "late winter so the apple trees keep their shape and the "
+            "fruit grows where the light can reach it through the branches"
+        ),
+    }
+    all_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in sorted(texts.items())], schema
+    )
+    _, wf = bpe.bpe_train(all_docs, n_merges=4)
+    src = tmp_path / "slices"
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=texts[1]), Row(doc_id=2, text=texts[2])], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=3, text=texts[3]), Row(doc_id=4, text=texts[4])], t0)
+    out = str(tmp_path / "out")
+    packed = streaming.stream_corpus_ingest(
+        spark, f"{src}/b*", out, schema=schema,
+        gram_store_path=None, min_est=0.25, chunk_tokens=8,
+        bin_tokens=16, shards=2, dedup_within_batch=True,
+        tokenizer_word_frame=wf, return_packed=True,
+    )
+    streamed = {
+        (r.shard, r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_ids,
+         r.start_tok, r.bin)
+        for r in packed.collect()
+    }
+    want = {
+        tuple(r)
+        for r in bpe.bpe_pack(
+            all_docs, wf, chunk_tokens=8, bin_tokens=16, shards=2
+        ).collect()
+    }
+    assert streamed == want and streamed
+    # the payloads are token-id runs under the trained vocabulary,
+    # not whitespace text
+    ids = {
+        int(tok)
+        for r in packed.collect()
+        for tok in r.chunk_ids.split(" ")
+    }
+    n_vocab = bpe.vocab_frame(wf).count()
+    assert ids and max(ids) < n_vocab
