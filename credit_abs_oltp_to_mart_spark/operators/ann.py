@@ -398,8 +398,22 @@ def build_ivf_index(
     Everything persisted is integer or IEEE-double-exact, so a cold read
     reproduces the in-plan search bit-for-bit. Partitioning the postings
     by cluster is the scale lever: a probe touches only its clusters'
-    files (partition pruning), never the full table."""
+    files (partition pruning), never the full table.
+
+    A REBUILD (new codebook) also clears the ``postings_inc`` overlay and
+    the ``ingest_checkpoint`` ``stream_ann_ingest`` maintains: incremental
+    postings were assigned and quantized under the OLD codebook, so a
+    union probe over them after retraining would mix cluster geometries —
+    the offline-refresh contract is retrain, re-ingest."""
     from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import _hadoop_fs
+
+    fs, _ = _hadoop_fs(emb.sparkSession, index_dir)
+    jvm_path = emb.sparkSession._jvm.org.apache.hadoop.fs.Path
+    for stale in ("postings_inc", "ingest_checkpoint"):
+        p = jvm_path(f"{index_dir}/{stale}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
     assign, cents = kmeans_train(
         emb,

@@ -146,3 +146,28 @@ def test_compaction_is_transparent_to_the_probe(spark, tmp_path):
         ).collect()
     }
     assert after == before
+
+
+def test_rebuild_clears_stale_incremental_postings(spark, tmp_path):
+    """Retraining the index must clear the postings_inc overlay and the
+    ingest checkpoint: incremental rows were assigned/quantized under the
+    OLD codebook, so a union probe after a rebuild would mix cluster
+    geometries — and a stale checkpoint would skip re-ingesting the
+    already-seen slices under the new codebook."""
+    import os
+
+    idx, src, _ = _build_and_stream(spark, tmp_path)
+    assert os.path.exists(f"{idx}/postings_inc")
+    ann.build_ivf_index(
+        _emb(spark, BASE), idx, init_ids=[0, 1], iterations=1
+    )
+    assert not os.path.exists(f"{idx}/postings_inc")
+    assert not os.path.exists(f"{idx}/ingest_checkpoint")
+    # and the same slices re-ingest cleanly under the new codebook
+    got = stream_ann_ingest(
+        spark,
+        f"{src}/b*",
+        idx,
+        schema="vec_id long, embedding array<double>",
+    )
+    assert {r["vec_id"] for r in got.collect()} == {100, 101, 200}
