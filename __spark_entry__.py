@@ -1508,6 +1508,16 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_chunks(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-facing bin manifest over the packed shards: per
+    (shard, bin) chunk/doc counts, filled token total and doc-id range —
+    the data-loader's scheduling table, composed directly on the
+    pack_chunks plan (one extra aggregation)."""
+    return curation.pack_manifest(
+        curation.pack_chunks(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The redaction rewrite (map-only regexp chain): emails/URLs/digit
     runs replaced by typed placeholders — the privacy scrub a corpus runs
@@ -4387,6 +4397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ann_ingest": q_stream_ann_ingest,
         "mixture_apply": q_mixture_apply,
         "stream_bpe_ingest": q_stream_bpe_ingest,
+        "pack_manifest": q_pack_manifest,
         # -- (c) r04-evidence refresh, oldest-registered first
         "cdc_upsert": q_cdc_upsert,
         "gap_fill_daily": q_gap_fill_daily,
@@ -4399,8 +4410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_store": q_decontaminate_store,
         "cluster_sample": q_cluster_sample,
         "token_budget_sample": q_token_budget_sample,
-        "token_freq_stats": q_token_freq_stats,
         # ---- driver gate window (50) ends here ----
+        "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
         # -- r04-evidence remainder (2 rounds old after this round --
         # front of the round-7 window); all covered by the local gate
@@ -5073,6 +5084,16 @@ def oracle_sql() -> dict[str, str]:
             from c, unnest(generate_series(1, n_copies)) as u(copy_no)
         """,
         "pack_chunks": _pack_chunks_oracle(),
+        "pack_manifest": f"""
+            with p as ({_pack_chunks_oracle()})
+            select shard, bin,
+                   count(*)::int as n_chunks,
+                   count(distinct doc_id)::int as n_docs,
+                   sum(n_tokens)::bigint as filled_tokens,
+                   min(doc_id) as first_doc,
+                   max(doc_id) as last_doc
+            from p group by 1, 2
+        """,
         "interval_join_agg": f"""
             with p as (select event_id as purchase_id, user_id as buyer_id,
                               ts as s,

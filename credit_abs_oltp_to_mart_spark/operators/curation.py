@@ -577,6 +577,26 @@ def mixture_weights(
     )
 
 
+def pack_manifest(packed: DataFrame) -> DataFrame:
+    """Per-(shard, bin) composition manifest of a packed shard table —
+    what a trainer's data loader reads to schedule work without touching
+    payloads: chunk and distinct-doc counts, the filled token total (a
+    bin can exceed its nominal width: a chunk belongs to the bin its
+    START offset lands in), and the doc-id range (packing is
+    (doc_id, chunk_idx)-ordered per shard, so [min, max] brackets the
+    bin's provenance). Works over whitespace (``pack_chunks``) and
+    tokenizer (``bpe.bpe_pack``) shards alike — one integer-exact
+    aggregation, partial-agg friendly, nothing but the one groupBy
+    shuffle."""
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("filled_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def mixture_apply(
     docs: DataFrame,
     weights: DataFrame,

@@ -319,3 +319,24 @@ def test_mixture_apply_replicates_to_the_factor(spark):
     # expected total tracks the factor within the +-1-per-doc draw bound
     n_small = sum(n for _, (lang, n) in per_doc.items() if lang == "small")
     assert abs(n_small - factors["small"] * 4) <= 4
+
+
+def test_pack_manifest_accounts_for_every_token(docs):
+    """The manifest is a lossless roll-up: summed filled_tokens equal the
+    packed chunks' total, every (shard, bin) of the pack appears exactly
+    once, and doc ranges bracket their bins' members."""
+    packed = curation.pack_chunks(docs)
+    man = curation.pack_manifest(packed)
+    tot_chunks = packed.count()
+    got = man.agg(
+        F.sum("n_chunks").alias("c"), F.sum("filled_tokens").alias("t")
+    ).collect()[0]
+    want_t = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert got["c"] == tot_chunks and got["t"] == want_t
+    assert man.count() == packed.select("shard", "bin").distinct().count()
+    bad = (
+        packed.join(man, ["shard", "bin"])
+        .where((F.col("doc_id") < F.col("first_doc"))
+               | (F.col("doc_id") > F.col("last_doc")))
+    )
+    assert bad.count() == 0
