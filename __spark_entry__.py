@@ -4341,81 +4341,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50 entries
-        # in registration order. Round-6 window: (a) the 23 queries whose
-        # newest driver evidence is r03 (front-loaded per round-5 review
-        # item #1), (b) new / changed-this-round queries, (c) the front of
-        # the r04-evidence block, so no query's driver row goes >2 rounds
-        # stale. Round-5 greens rotate to the back; tools/gate_mirror.py
-        # re-verifies ALL entries locally either way. ===
-        # -- (a) r03-stale driver evidence (23)
-        "asof_join": q_asof_join,
-        "cube_revenue": q_cube_revenue,
-        "grouped_pandas_stats": q_grouped_pandas_stats,
-        "grouped_pandas_wavg": q_grouped_pandas_wavg,
-        "json_extract": q_json_extract,
-        "pagerank": q_pagerank,
-        "pivot_monthly": q_pivot_monthly,
-        "pricing_summary": q_pricing_summary,
-        "range_window": q_range_window,
-        "region_revenue": q_region_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "running_total": q_running_total,
-        "set_ops": q_set_ops,
-        "skew_salted_agg": q_skew_salted_agg,
-        "stream_distinct_keys": q_stream_distinct_keys,
-        "stream_enriched_agg": q_stream_enriched_agg,
-        "stream_session_window": q_stream_session_window,
-        "stream_stream_join": q_stream_stream_join,
-        "stream_windowed_agg": q_stream_windowed_agg,
-        "top_revenue_orders": q_top_revenue_orders,
-        "topk_per_group": q_topk_per_group,
-        "value_percentiles": q_value_percentiles,
-        "window_variety": q_window_variety,
-        # -- (b) new this round: image_near_dups (perceptual-hash image
-        # dedup via the shared banded-hamming kernel), bpe_pack (BPE
-        # tokenize-and-pack), ann_index_serve (persisted IVF index,
-        # build once / probe from cold reads), quality_classifier
-        # (trained linear gate); changed: simhash_pairs (refactored
-        # through banded_hamming_pairs), mixture_weights (fixed-point
-        # total + zero-token guard), stream_corpus_ingest (cross-batch
-        # pack continuity + add_eval_suite + store distinctness guard),
-        # pack_chunks (token-id packing plumbing), bpe_segment/bpe_merges
-        # (tokenize module extension), stream_dedup_ingest (shared
-        # streaming plumbing)
-        "image_near_dups": q_image_near_dups,
-        "bpe_pack": q_bpe_pack,
-        "ann_index_serve": q_ann_index_serve,
-        "quality_classifier": q_quality_classifier,
-        "simhash_pairs": q_simhash_pairs,
-        "mixture_weights": q_mixture_weights,
-        "stream_corpus_ingest": q_stream_corpus_ingest,
-        "pack_chunks": q_pack_chunks,
-        "bpe_segment": q_bpe_segment,
-        "bpe_merges": q_bpe_merges,
-        "stream_dedup_ingest": q_stream_dedup_ingest,
-        "semantic_dedup": q_semantic_dedup,
-        "stream_ann_ingest": q_stream_ann_ingest,
-        "mixture_apply": q_mixture_apply,
-        "stream_bpe_ingest": q_stream_bpe_ingest,
-        "pack_manifest": q_pack_manifest,
-        # -- (c) r04-evidence refresh, oldest-registered first
-        "cdc_upsert": q_cdc_upsert,
-        "gap_fill_daily": q_gap_fill_daily,
-        "full_outer_recon": q_full_outer_recon,
-        "fuzzy_name_match": q_fuzzy_name_match,
-        "dedup_incremental": q_dedup_incremental,
-        "funnel_stages": q_funnel_stages,
-        "median_mode": q_median_mode,
-        "simhash": q_simhash,
-        "decontaminate_store": q_decontaminate_store,
-        "cluster_sample": q_cluster_sample,
-        "token_budget_sample": q_token_budget_sample,
-        # ---- driver gate window (50) ends here ----
+        # in registration order. Round-7 window: (a) the 32 queries whose
+        # newest driver evidence is r04 (front-loaded per round-6 review
+        # item #1 -- their 2-round evidence policy expires at round-7
+        # close), (b) queries whose code changed this round (semantic_dedup
+        # hardening + soft assignment; ann probe vec_id dedup touching
+        # ann_index_serve / stream_ann_ingest; add_eval_suite flat-store
+        # guard touching stream_corpus_ingest) plus new round-7 operators,
+        # (c) the oldest r05-evidence entries with the remaining slots so
+        # next round's rotation debt shrinks. Round-6 greens rotate to the
+        # back; tools/gate_mirror.py re-verifies ALL entries locally. ===
+        # -- (a) r04-aged driver evidence (32)
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
-        # -- r04-evidence remainder (2 rounds old after this round --
-        # front of the round-7 window); all covered by the local gate
-        # mirror at sf0.01 + sf0.1
         "sessionize": q_sessionize,
         "reconcile_waterfall": q_reconcile_waterfall,
         "stream_sessionize": q_stream_sessionize,
@@ -4446,8 +4384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "scd2_changelog": q_scd2_changelog,
         "kmv_distinct": q_kmv_distinct,
-        # -- round-5 green driver rows (freshest evidence, rotate to
-        # the back)
+        # -- (b) changed / new this round
+        "semantic_dedup": q_semantic_dedup,
+        "ann_index_serve": q_ann_index_serve,
+        "stream_ann_ingest": q_stream_ann_ingest,
+        "stream_corpus_ingest": q_stream_corpus_ingest,
+        # -- (c) oldest r05-evidence entries (fill to 50)
         "window_frames": q_window_frames,
         "unpivot_measures": q_unpivot_measures,
         "array_hof": q_array_hof,
@@ -4462,6 +4404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "triangle_count": q_triangle_count,
         "udtf_sentences": q_udtf_sentences,
+        # ---- driver gate window (50) ends here ----
+        # -- r05-evidence remainder
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "ann_quantized_ivf": q_ann_quantized_ivf,
         "pii_redact": q_pii_redact,
@@ -4493,6 +4437,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "month_end_snapshot": q_month_end_snapshot,
         "coalesce_nullif_arith": q_coalesce_nullif_arith,
+        # -- round-6 green driver rows (freshest evidence, rotate to
+        # the back)
+        "asof_join": q_asof_join,
+        "cube_revenue": q_cube_revenue,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
+        "grouped_pandas_wavg": q_grouped_pandas_wavg,
+        "json_extract": q_json_extract,
+        "pagerank": q_pagerank,
+        "pivot_monthly": q_pivot_monthly,
+        "pricing_summary": q_pricing_summary,
+        "range_window": q_range_window,
+        "region_revenue": q_region_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "running_total": q_running_total,
+        "set_ops": q_set_ops,
+        "skew_salted_agg": q_skew_salted_agg,
+        "stream_distinct_keys": q_stream_distinct_keys,
+        "stream_enriched_agg": q_stream_enriched_agg,
+        "stream_session_window": q_stream_session_window,
+        "stream_stream_join": q_stream_stream_join,
+        "stream_windowed_agg": q_stream_windowed_agg,
+        "top_revenue_orders": q_top_revenue_orders,
+        "topk_per_group": q_topk_per_group,
+        "value_percentiles": q_value_percentiles,
+        "window_variety": q_window_variety,
+        "image_near_dups": q_image_near_dups,
+        "bpe_pack": q_bpe_pack,
+        "quality_classifier": q_quality_classifier,
+        "simhash_pairs": q_simhash_pairs,
+        "mixture_weights": q_mixture_weights,
+        "pack_chunks": q_pack_chunks,
+        "bpe_segment": q_bpe_segment,
+        "bpe_merges": q_bpe_merges,
+        "stream_dedup_ingest": q_stream_dedup_ingest,
+        "mixture_apply": q_mixture_apply,
+        "stream_bpe_ingest": q_stream_bpe_ingest,
+        "pack_manifest": q_pack_manifest,
+        "cdc_upsert": q_cdc_upsert,
+        "gap_fill_daily": q_gap_fill_daily,
+        "full_outer_recon": q_full_outer_recon,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "dedup_incremental": q_dedup_incremental,
+        "funnel_stages": q_funnel_stages,
+        "median_mode": q_median_mode,
+        "simhash": q_simhash,
+        "decontaminate_store": q_decontaminate_store,
+        "cluster_sample": q_cluster_sample,
+        "token_budget_sample": q_token_budget_sample,
     }
 
 
