@@ -3589,6 +3589,76 @@ def _semantic_dedup_oracle(iters: int = KMEANS_ITERS) -> str:
     """
 
 
+SEMDEDUP_SOFT_MARGIN = 0.01
+
+
+def q_semantic_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the cross-cluster recall repair: top-2-within-margin
+    SOFT assignment puts each boundary vector in its runner-up cluster's
+    candidate pool too, so a near-dup pair straddling a k-means boundary
+    (which the hard assignment provably misses) is scored through the
+    same cluster equi-join. Verdict rows stay one-per-vector on the
+    primary assignment; the margin comparison is exact fixed-point
+    integer arithmetic, replayed by the oracle."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        kmeans_assign_soft,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    soft = kmeans_assign_soft(
+        emb,
+        init_ids=KMEANS_INIT_IDS,
+        iterations=KMEANS_ITERS,
+        margin=SEMDEDUP_SOFT_MARGIN,
+    )
+    primary = soft.where(F.col("is_primary") == 1).select("vec_id", "cluster")
+    return dedup.semantic_dedup(
+        emb,
+        primary,
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        candidates=soft.select("vec_id", "cluster"),
+    )
+
+
+def _semantic_dedup_soft_oracle(iters: int = KMEANS_ITERS) -> str:
+    """Lloyd replay + re-scoring every vector against the final codebook
+    c{iters-1} (bit-identical to the assignment that produced a{iters}),
+    top-2-within-margin soft pool, pair cosines over the pool, verdicts
+    on the primary assignment. margin_fp = margin * fp_scale^2 — score
+    deltas are squared-L2 deltas (|v|^2 cancels), exact integers."""
+    cos = _COSINE.format(a="ea.v", b="eb.v")
+    margin_fp = int(round(SEMDEDUP_SOFT_MARGIN * 10**12))
+    cb = f"c{iters - 1}"
+    return f"""
+    {_kmeans_ctes(iters)},
+    sc as (select u.vid, {cb}.cid,
+                  (sum({cb}.c * {cb}.c) - 2 * sum(u.val * {cb}.c))::bigint
+                    as score
+           from u join {cb} using (d) group by 1, 2),
+    rk as (select vid, cid, score,
+                  row_number() over (partition by vid
+                                     order by score, cid) as rn
+           from sc),
+    soft as (select vid, cid as cluster from rk where rn = 1
+             union all
+             select r2.vid, r2.cid as cluster
+             from rk r2 join rk r1 on r1.vid = r2.vid and r1.rn = 1
+             where r2.rn = 2 and r2.score - r1.score <= {margin_fp}),
+    e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    pairs as (
+      select x.vid as id_a, y.vid as id_b, {cos} as cosine
+      from soft x
+      join soft y on x.cluster = y.cluster and x.vid < y.vid
+      join e ea on ea.vec_id = x.vid
+      join e eb on eb.vec_id = y.vid),
+    dropped as (select distinct id_b from pairs
+                where cosine >= {EMB_NEAR_DUP_THRESHOLD})
+    select a.vid as vec_id, a.cluster,
+           cast(case when d.id_b is null then 1 else 0 end as int) as is_kept
+    from a{iters} a left join dropped d on d.id_b = a.vid
+    """
+
+
 BPE_MERGES = 8
 
 
@@ -4386,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         # -- (b) changed / new this round
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_soft": q_semantic_dedup_soft,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -4403,8 +4474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "dedup_exact": q_dedup_exact,
         "triangle_count": q_triangle_count,
-        "udtf_sentences": q_udtf_sentences,
         # ---- driver gate window (50) ends here ----
+        "udtf_sentences": q_udtf_sentences,
         # -- r05-evidence remainder
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "ann_quantized_ivf": q_ann_quantized_ivf,
@@ -4959,6 +5030,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pack": _bpe_pack_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "semantic_dedup_soft": _semantic_dedup_soft_oracle(),
         "stream_ann_ingest": _stream_ann_ingest_oracle(),
         "stream_bpe_ingest": _stream_bpe_ingest_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),

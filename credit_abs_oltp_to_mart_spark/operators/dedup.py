@@ -652,34 +652,64 @@ def semantic_dedup(
     assignments: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
-    n_blocks: int = 2,
+    target_block_rows: int = 4096,
+    broadcast_drops: bool = True,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that restricts pair scoring to k-means CLUSTERS of the
     embedding space — the trick that makes embedding-level dedup feasible
     at corpus scale, because candidate generation is an EQUI-JOIN on the
     cluster id instead of all-pairs (cross-cluster near-dups are missed
-    by design; the clustering is the recall/cost dial).
+    by hard assignment; the clustering is the recall/cost dial, and
+    ``candidates`` below is the recall repair).
 
     Inputs: the embeddings and a (vec_id, cluster) assignment frame
     (``kmeans.kmeans_assign`` — caller controls init/rounds). Within each
     cluster the blocked-GEMM cosine kernel scores pairs (same kernel as
     ``embedding_near_dups``); the keep policy is deterministic
-    keep-lowest-id: a vector is dropped iff SOME smaller-id vector in its
-    cluster sits within ``threshold`` (conservative on chains — never
-    keeps two near-identical vectors). Returns one verdict row per vector:
-    (vec_id, cluster, is_kept 0/1).
+    keep-lowest-id: a vector is dropped iff SOME smaller-id vector shares
+    one of its candidate clusters within ``threshold`` (conservative on
+    chains — never keeps two near-identical vectors). Returns one verdict
+    row per vector: (vec_id, cluster, is_kept 0/1).
+
+    ``candidates`` (default = ``assignments``) is the candidate-POOL
+    assignment and may hold several rows per vector — pass
+    ``kmeans.kmeans_assign_soft`` output to score boundary vectors in
+    their runner-up cluster too, catching cross-cluster near-dup pairs
+    the hard assignment provably misses. Verdict rows always come from
+    ``assignments`` (one per vector, its primary cluster). A pair sharing
+    two candidate clusters is scored twice with bit-identical cosine
+    (same vectors, same GEMM); the drop set is distinct, so verdicts
+    don't care.
 
     Scale: one hash join to attach clusters, one (cluster, blk) collect
-    shuffle, block pairs via the cluster equi-join, one broadcast-able
-    drop-set anti join. State per task = two blocks of ONE cluster."""
-    joined = assignments.join(
-        emb.select(F.col("vec_id"), F.col(vec_col).alias("v")), "vec_id"
-    ).select(
-        "vec_id",
-        "cluster",
-        "v",
-        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    shuffle, block pairs via the cluster equi-join, one drop-set anti
+    join. Per-cluster block counts are DERIVED from a cheap size count —
+    ``ceil(cluster_size / target_block_rows)`` — so a skewed cluster
+    splits into bounded collect_list blocks instead of putting a
+    near-corpus-sized array in one task (size ``target_block_rows`` so
+    two blocks of vectors fit in executor memory; same bounding as
+    ``embedding_near_dups_lsh``'s per-bucket GEMM). The drop-set join is
+    dual-mode like ``curation.decontaminate_against_store``:
+    ``broadcast_drops=True`` (default) ships the drop ids to every
+    executor; ``=False`` is the high-duplication fallback (merge-hinted
+    sort-merge join) for when the drop set is a large fraction of the
+    corpus and a forced broadcast would OOM the driver."""
+    pool = candidates if candidates is not None else assignments
+    sizes = pool.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csz"))
+    joined = (
+        pool.join(emb.select(F.col("vec_id"), F.col(vec_col).alias("v")), "vec_id")
+        .join(F.broadcast(sizes), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "v",
+            F.pmod(
+                F.col("vec_id"),
+                F.ceil(F.col("__csz") / F.lit(target_block_rows)),
+            ).cast("int").alias("blk"),
+        )
     )
     grouped = joined.groupBy("cluster", "blk").agg(
         F.collect_list(F.struct("vec_id", "v")).alias("rows")
@@ -694,13 +724,15 @@ def semantic_dedup(
     pairs = block_pairs.mapInPandas(
         _blocked_cosine_kernel(threshold), "id_a long, id_b long, cosine double"
     )
-    # every vector has exactly one cluster and each block pair is visited
-    # once, so `pairs` is duplicate-free; the drop set (id_b side only =
-    # keep-lowest-id) is a small distinct projection — broadcast anti join
+    # the drop set (id_b side only = keep-lowest-id) is a distinct
+    # projection; broadcast under the default, merge-hinted past it
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    drop_frame = dropped.withColumn("__d", F.lit(1))
+    drop_frame = (
+        F.broadcast(drop_frame) if broadcast_drops else drop_frame.hint("merge")
+    )
     return (
-        assignments.join(F.broadcast(dropped.withColumn("__d", F.lit(1))),
-                         "vec_id", "left")
+        assignments.join(drop_frame, "vec_id", "left")
         .select(
             "vec_id",
             "cluster",

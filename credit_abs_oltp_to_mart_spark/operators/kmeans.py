@@ -228,3 +228,78 @@ def kmeans_train(
             # empty clusters keep their previous centroid
             cents = {cid: new.get(cid, cents[cid]) for cid in cents}
     return assign.select(F.col("vid").alias(id_col), "cluster"), cents
+
+
+def kmeans_assign_soft(
+    emb: DataFrame,
+    *,
+    init_ids: list[int],
+    iterations: int = 3,
+    margin: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp_scale: int = FP_SCALE,
+    codebook_as_literals: bool | None = None,
+) -> DataFrame:
+    """Top-2-within-margin SOFT assignment: every vector gets its argmin
+    cluster (``is_primary`` = 1) plus, when the second-nearest centroid is
+    within ``margin`` of the nearest, that runner-up cluster too
+    (``is_primary`` = 0). This is the SemDeDup cross-cluster recall
+    repair: a near-dup pair that straddles a k-means boundary is missed by
+    hard assignment, but a boundary vector sits near BOTH centroids by
+    definition, so its soft row lands it in the neighbour's candidate pool
+    and the pair is scored — at the cost of one extra candidate row per
+    boundary vector, still through the cluster EQUI-join (never all-pairs).
+
+    ``margin`` is in squared-L2 units of the ORIGINAL embedding space:
+    the integer score |c|^2 - 2<v,c> differs from the true squared
+    distance by the assignment-invariant |v|^2, so score deltas ARE
+    squared-distance deltas, in fp_scale^2 fixed-point units — the
+    comparison is exact integer arithmetic, replayable in any engine.
+
+    Scale: identical to ``kmeans_assign`` (map-only scoring against a
+    literal or one-row-broadcast codebook) plus one array_sort of k
+    (score, cid) structs per vector; output rows <= 2n.
+    """
+    _, cents = kmeans_train(
+        emb,
+        init_ids=init_ids,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        fp_scale=fp_scale,
+        codebook_as_literals=codebook_as_literals,
+    )
+    margin_fp = int(round(margin * fp_scale * fp_scale))
+    v = emb.select(F.col(id_col).alias("vid"), _to_fp(vec_col, fp_scale).alias("a"))
+    if use_literal_codebook(cents, codebook_as_literals):
+        scores = F.array_sort(F.array(*centroid_score_structs(cents, "a")))
+        scored = v
+    else:
+        scores = F.array_sort(codebook_score_structs_expr("a"))
+        scored = v.crossJoin(F.broadcast(codebook_frame(v.sparkSession, cents)))
+    top = scored.select(
+        "vid", F.get(scores, 0).alias("c1"), F.get(scores, 1).alias("c2")
+    )
+    rows = F.filter(
+        F.array(
+            F.struct(
+                F.col("c1.cid").alias("cluster"),
+                F.lit(1).alias("is_primary"),
+            ),
+            F.when(
+                F.col("c2").isNotNull()
+                & (F.col("c2.score") - F.col("c1.score") <= F.lit(margin_fp)),
+                F.struct(
+                    F.col("c2.cid").alias("cluster"),
+                    F.lit(0).alias("is_primary"),
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return top.select("vid", F.explode(rows).alias("r")).select(
+        F.col("vid").alias(id_col),
+        F.col("r.cluster").alias("cluster"),
+        F.col("r.is_primary").cast("int").alias("is_primary"),
+    )
