@@ -3659,6 +3659,139 @@ def _semantic_dedup_soft_oracle(iters: int = KMEANS_ITERS) -> str:
     """
 
 
+PQ_M = 4
+PQ_ITERS = 2
+PQ_INIT_IDS = [5, 15, 25, 35, 45, 55, 65, 75]
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index (FAISS IndexIVFPQ layout, no residuals):
+    ``build_pq_index`` trains the coarse codebook plus m per-subspace
+    product-quantization codebooks (all exact fixed-point Lloyd) and
+    writes cluster-partitioned postings holding ONLY the m dense code
+    ids per vector — the 16-64x compression tier a 100 TB vector store
+    serves from. ``pq_index_probe`` then answers queries by
+    asymmetric-distance scoring: per-query integer lookup tables, m
+    array lookups per candidate, never touching the float corpus."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="spark_ann_pq_")
+    ann.build_pq_index(
+        emb,
+        idx,
+        coarse_init_ids=KMEANS_INIT_IDS,
+        pq_init_ids=PQ_INIT_IDS,
+        m=PQ_M,
+        coarse_iterations=KMEANS_ITERS,
+        pq_iterations=PQ_ITERS,
+    )
+    queries = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        "vec_id", "embedding"
+    )
+    return ann.pq_index_probe(queries, idx, k=ANN_K, nprobe=IVF_NPROBE)
+
+
+def _pq_sub_ctes(sub: int, iters: int = PQ_ITERS, dim: int = 64) -> str:
+    """Per-subspace Lloyd-replay CTEs (prefix s{sub}) over the shared
+    fixed-point vector CTE ``v`` from ``_kmeans_ctes``: subspace dims are
+    a[off+1 .. off+dsub], init centroids come from PQ_INIT_IDS slices,
+    rounds mirror the coarse chain exactly. Ends with s{sub}a{iters}
+    (the per-vector code = cluster label) and s{sub}c{iters-1} (the
+    codebook that produced it)."""
+    dsub = dim // PQ_M
+    off = sub * dsub
+    ids = ", ".join(str(i) for i in PQ_INIT_IDS)
+    parts = [
+        f"""
+        s{sub}u as (select vid, g.d, a[{off} + g.d] as val
+                    from v, generate_series(1, {dsub}) g(d)),
+        s{sub}c0 as (select vid as cid, d, val as c
+                     from s{sub}u where vid in ({ids}))"""
+    ]
+    for i in range(iters):
+        parts.append(f"""
+            s{sub}ac{i} as (select q.vid, c.cid,
+                                   sum(q.val * c.c)::bigint as ac,
+                                   sum(c.c * c.c)::bigint as cc
+                            from s{sub}u q join s{sub}c{i} c using (d)
+                            group by 1, 2),
+            s{sub}a{i + 1} as (select vid, cid as cluster from (
+                                 select vid, cid,
+                                        row_number() over (partition by vid
+                                          order by cc - 2 * ac, cid) as rn
+                                 from s{sub}ac{i}) z where rn = 1)""")
+        if i < iters - 1:
+            parts.append(f"""
+                s{sub}m{i + 1} as (select a.cluster as cid, q.d,
+                                     cast(trunc(sum(q.val)::double / count(*))
+                                          as bigint) as c
+                                   from s{sub}u q join s{sub}a{i + 1} a
+                                     using (vid) group by 1, 2),
+                s{sub}c{i + 1} as (select prev.cid, prev.d,
+                                     coalesce(mm.c, prev.c) as c
+                                   from s{sub}c{i} prev
+                                   left join s{sub}m{i + 1} mm
+                                     on mm.cid = prev.cid and mm.d = prev.d)""")
+    return ",".join(parts)
+
+
+def _ann_pq_oracle(
+    iters: int = KMEANS_ITERS, piters: int = PQ_ITERS, nprobe: int = IVF_NPROBE
+) -> str:
+    """IVF-PQ replay: coarse Lloyd CTEs give the inverted file a{iters}
+    and probe codebook c{iters-1}; per-subspace Lloyd CTEs give each
+    vector's code (= its subspace cluster) and the codebook behind it.
+    ADC = sum over subspaces of the query-slice x codeword fixed-point
+    dot — exact bigints end to end, mirroring ann.pq_index_probe."""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cb = f"c{iters - 1}"
+    subs = ",".join(_pq_sub_ctes(s, piters) for s in range(PQ_M))
+    luts = ",".join(
+        f"""
+        s{s}lut as (select q.vid as query_id, c.cid,
+                           sum(q.val * c.c)::bigint as dp
+                    from s{s}u q join s{s}c{piters - 1} c using (d)
+                    where q.vid in ({qids}) group by 1, 2)"""
+        for s in range(PQ_M)
+    )
+    contribs = " union all ".join(
+        f"""select l.query_id, a.vid as neighbor_id, l.dp
+            from s{s}a{piters} a join s{s}lut l on l.cid = a.cluster"""
+        for s in range(PQ_M)
+    )
+    return f"""
+    {_kmeans_ctes(iters)},
+    {subs},
+    {luts},
+    adc as (select query_id, neighbor_id, sum(dp)::bigint as adc_score
+            from ({contribs}) group by 1, 2),
+    psc as (select u.vid, {cb}.cid,
+                   (sum({cb}.c * {cb}.c) - 2 * sum(u.val * {cb}.c))::bigint
+                     as score
+            from u join {cb} using (d)
+            where u.vid in ({qids}) group by 1, 2),
+    pr as (select vid as query_id, cid as cluster from (
+             select vid, cid,
+                    row_number() over (partition by vid
+                                       order by score, cid) as rn
+             from psc) z
+           where rn <= {nprobe}),
+    cand as (select pr.query_id, a{iters}.vid as neighbor_id
+             from pr join a{iters} on a{iters}.cluster = pr.cluster
+             where a{iters}.vid <> pr.query_id),
+    final as (select c.query_id, c.neighbor_id, adc.adc_score,
+                     row_number() over (partition by c.query_id
+                                        order by adc.adc_score desc,
+                                                 c.neighbor_id asc) as rank
+              from cand c join adc
+                on adc.query_id = c.query_id
+               and adc.neighbor_id = c.neighbor_id)
+    select query_id, neighbor_id, cast(rank as int) as rank, adc_score
+    from final where rank <= {ANN_K}
+    """
+
+
 BPE_MERGES = 8
 
 
@@ -4457,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) changed / new this round
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_soft": q_semantic_dedup_soft,
+        "ann_pq": q_ann_pq,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -5031,6 +5165,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "semantic_dedup_soft": _semantic_dedup_soft_oracle(),
+        "ann_pq": _ann_pq_oracle(),
         "stream_ann_ingest": _stream_ann_ingest_oracle(),
         "stream_bpe_ingest": _stream_bpe_ingest_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),

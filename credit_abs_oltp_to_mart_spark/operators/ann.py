@@ -388,8 +388,9 @@ def build_ivf_index(
     without ever retraining — the ANN analogue of the dedup signature
     store):
 
-      ``<index_dir>/centroids``  (cid, cc, cent) — the trained fixed-point
-          codebook (k rows; cc = |c|^2 precomputed exact);
+      ``<index_dir>/centroids``  (cid, cent) — the trained fixed-point
+          codebook (k rows; consumers recompute |c|^2 inside the shared
+          scoring kernels, so nothing derived is persisted);
       ``<index_dir>/postings``   (vec_id, codes, mn, sp) PARTITIONED BY
           cluster — the inverted file, holding only the scalar-quantized
           representation (4-8x smaller than the float column) plus the two
@@ -425,12 +426,10 @@ def build_ivf_index(
     )
     spark = emb.sparkSession
     cent_rows = [
-        (int(cid), int(sum(x * x for x in cents[cid])),
-         [int(x) for x in cents[cid]])
-        for cid in sorted(cents)
+        (int(cid), [int(x) for x in cents[cid]]) for cid in sorted(cents)
     ]
     spark.createDataFrame(
-        cent_rows, "cid bigint, cc bigint, cent array<bigint>"
+        cent_rows, "cid bigint, cent array<bigint>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codes = quantize_embeddings(emb, vec_col=vec_col, levels=levels)
     (
@@ -566,7 +565,9 @@ def ivf_index_probe(
         F.col("mn").alias("nmn"),
         F.col("sp").alias("nsp"),
         F.col("cluster").cast("bigint").alias("cluster"),
+        F.lit(-1).cast("long").alias("__b"),
     )
+    has_inc = False
     if include_incremental:
         # postings appended by stream_ann_ingest since the last base
         # merge: batch-keyed partitions with the cluster as an IN-FILE
@@ -582,8 +583,10 @@ def ivf_index_probe(
                 F.col("mn").alias("nmn"),
                 F.col("sp").alias("nsp"),
                 F.col("cluster").cast("bigint").alias("cluster"),
+                F.col("ingest_batch").cast("long").alias("__b"),
             )
             members = members.unionByName(inc)
+            has_inc = True
         except AnalysisException:
             pass  # no incremental postings yet — base-only probe
     lv = float(levels - 1)
@@ -593,6 +596,7 @@ def ivf_index_probe(
         .select(
             "query_id",
             "neighbor_id",
+            "__b",
             F.round(
                 F.expr(
                     "aggregate(zip_with(nc, qc, (a, b) ->"
@@ -604,6 +608,25 @@ def ivf_index_probe(
             ).alias("score"),
         )
     )
+    if has_inc:
+        # LSM read-your-latest: a vector present in base AND incremental
+        # (a re-delivered slice, or one re-ingested after the base build)
+        # must occupy ONE candidate slot, scored from its newest posting
+        # (base = batch -1) — otherwise duplicate rows displace
+        # legitimate top-k neighbors. Bounded: runs on the already
+        # probe-joined candidate set, never the full postings table.
+        # (A vector whose UPDATE moved it across clusters still needs
+        # compaction to retire the old-cluster posting — compact_keyed_
+        # store is that path.)
+        wd = Window.partitionBy("query_id", "neighbor_id").orderBy(
+            F.col("__b").desc()
+        )
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(wd))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    scored = scored.drop("__b")
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -722,4 +745,256 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("recall")
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    m: int,
+    init_ids: list[int],
+    iterations: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> list[dict[int, list[int]]]:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is split
+    into ``m`` contiguous subspaces of dim/m components and an INDEPENDENT
+    k-means codebook is trained per subspace with the existing exact
+    fixed-point Lloyd (``kmeans_train`` on a sliced column — same integer
+    arithmetic, so every codebook is bit-replayable in any engine). A
+    vector then encodes as m small code ids — with 256-entry codebooks
+    that is m BYTES per vector, the 16-64x compression a production
+    100 TB vector store actually serves from (scalar quantization,
+    ``quantize_embeddings``, only reaches 4-8x).
+
+    Returns one {cluster_label: fixed-point centroid} dict per subspace
+    (labels are the init vector ids, exactly like ``kmeans_train``).
+    Driver state is m * k * (dim/m) = k * dim integers — the same
+    codebook-transport budget as the coarse Lloyd loop."""
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+
+    dsub = dim // m
+    books: list[dict[int, list[int]]] = []
+    for s in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("embedding"),
+        )
+        _, cents = kmeans_train(sub, init_ids=init_ids, iterations=iterations)
+        books.append(cents)
+    return books
+
+
+def pq_code_columns(
+    books: list[dict[int, list[int]]], fp_arr_col: str
+) -> list:
+    """One dense-code Column per subspace for the FIXED-POINT full vector
+    column ``fp_arr_col``: argmin over that subspace's codebook (shared
+    integer L2 kernel + (score, cid) tiebreak — bit-parity with the Lloyd
+    assignment that trained it), then the cid mapped to its position in
+    sorted-cid order, so codes are compact 0..k-1 ints ready for a uint8
+    container. Map-only plan literals; no join, no shuffle."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        centroid_score_structs,
+    )
+
+    cols = []
+    dsub = len(next(iter(books[0].values())))
+    for s, cents in enumerate(books):
+        arr = f"slice({fp_arr_col}, {s * dsub + 1}, {dsub})"
+        cid = F.array_min(F.array(*centroid_score_structs(cents, arr)))["cid"]
+        dense = (
+            F.array_position(
+                F.array(*[F.lit(c).cast("bigint") for c in sorted(cents)]), cid
+            )
+            - 1
+        )
+        cols.append(dense.cast("int").alias(f"__pq{s}"))
+    return cols
+
+
+def build_pq_index(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    coarse_init_ids: list[int],
+    pq_init_ids: list[int],
+    m: int = 4,
+    coarse_iterations: int = 3,
+    pq_iterations: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> None:
+    """BUILD-once half of the persisted IVF-PQ index — the layout FAISS
+    calls IndexIVFPQ (no residual encoding: PQ codebooks are trained on
+    the raw vectors, which keeps every persisted quantity exact-integer
+    replayable):
+
+      ``<index_dir>/centroids``     (cid, cent) — the coarse fixed-point
+          codebook (same format as ``build_ivf_index``);
+      ``<index_dir>/pq_codebooks``  (sub, cid, cent) — m per-subspace
+          codebooks (k rows each, fixed-point);
+      ``<index_dir>/postings``      (vec_id, pq_codes) PARTITIONED BY
+          cluster — the inverted file, holding ONLY the m dense code ids
+          per vector: m bytes of payload against dim floats raw, the
+          16-64x compression tier under scalar quantization's 4-8x.
+
+    The probe side (``pq_index_probe``) never reads the float corpus:
+    candidates are scored in the compressed domain via per-query
+    asymmetric-distance lookup tables."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+        kmeans_train,
+    )
+
+    spark = emb.sparkSession
+    assign, coarse = kmeans_train(
+        emb,
+        init_ids=coarse_init_ids,
+        iterations=coarse_iterations,
+        vec_col=vec_col,
+        codebook_as_literals=codebook_as_literals,
+    )
+    books = pq_train(
+        emb, m=m, init_ids=pq_init_ids, iterations=pq_iterations,
+        dim=dim, vec_col=vec_col,
+    )
+    spark.createDataFrame(
+        [(int(cid), [int(x) for x in coarse[cid]]) for cid in sorted(coarse)],
+        "cid bigint, cent array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark.createDataFrame(
+        [
+            (s, int(cid), [int(x) for x in books[s][cid]])
+            for s in range(m)
+            for cid in sorted(books[s])
+        ],
+        "sub int, cid bigint, cent array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
+    v = emb.select("vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa"))
+    (
+        v.select("vec_id", F.array(*pq_code_columns(books, "__fa")).alias(
+            "pq_codes"
+        ))
+        .join(assign.select("vec_id", "cluster"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{index_dir}/postings")
+    )
+
+
+def load_pq_codebooks(
+    spark: SparkSession, index_dir: str
+) -> list[dict[int, list[int]]]:
+    """The persisted per-subspace codebooks as [{cid: centroid}, ...] —
+    an m*k-row cold read, O(k*dim) total on the driver."""
+    rows = spark.read.parquet(f"{index_dir}/pq_codebooks").collect()
+    m = max(r["sub"] for r in rows) + 1
+    books: list[dict[int, list[int]]] = [{} for _ in range(m)]
+    for r in rows:
+        books[r["sub"]][int(r["cid"])] = list(r["cent"])
+    return books
+
+
+def pq_index_probe(
+    queries: DataFrame,
+    index_dir: str,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> DataFrame:
+    """SERVE-many half of the persisted IVF-PQ index: asymmetric-distance
+    (ADC) scoring of the compressed postings, no training, no scan of the
+    raw float corpus.
+
+    Plan shape: both codebooks are cold-read and collected O(k*dim) to
+    the driver. Queries rank the coarse codebook through the shared
+    literal/broadcast kernel (same integer score and tiebreak as the
+    build) and probe ``nprobe`` clusters. Per query, ONE lookup table per
+    subspace is computed map-side — lut[s][j] = <q_s, c_s(j)>, the
+    fixed-point dot of the query's subspace slice with codeword j, an
+    EXACT bigint (this is the "asymmetric" half: the query stays
+    unquantized). The probe set (queries x clusters, luts attached)
+    broadcasts into the postings join, dynamic partition pruning restricts
+    the scan to probed clusters, and each candidate scores as
+    sum_s lut[s][code_s] — m integer array lookups per candidate, never
+    touching floats. The ADC score is the exact inner product of the
+    query with the candidate's PQ reconstruction, so ranking (score desc,
+    id asc) is integer-deterministic and engine-exact.
+
+    Returns (query_id, neighbor_id, rank, adc_score); adc_score is in
+    fp_scale^2 fixed-point inner-product units."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+        centroid_score_structs,
+        codebook_frame,
+        codebook_score_structs_expr,
+        use_literal_codebook,
+    )
+
+    spark = queries.sparkSession
+    coarse = load_index_codebook(spark, index_dir)
+    books = load_pq_codebooks(spark, index_dir)
+    m = len(books)
+    dsub = len(next(iter(books[0].values())))
+    qsrc = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _to_fp(vec_col, FP_SCALE).alias("__qa"),
+    )
+    if use_literal_codebook(coarse, codebook_as_literals):
+        ranked = F.array_sort(F.array(*centroid_score_structs(coarse, "__qa")))
+    else:
+        qsrc = qsrc.crossJoin(F.broadcast(codebook_frame(spark, coarse)))
+        ranked = F.array_sort(codebook_score_structs_expr("__qa"))
+    lut_cols = []
+    for s, cents in enumerate(books):
+        dots = []
+        for cid in sorted(cents):
+            lits = ", ".join(str(x) + "L" for x in cents[cid])
+            dots.append(
+                F.expr(
+                    f"aggregate(zip_with(slice(__qa, {s * dsub + 1}, {dsub}),"
+                    f" array({lits}), (x, y) -> x * y),"
+                    " 0L, (acc, x) -> acc + x)"
+                )
+            )
+        lut_cols.append(F.array(*dots).alias(f"__lut{s}"))
+    probes = qsrc.select(
+        "query_id",
+        F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
+        *lut_cols,
+    ).select(
+        "query_id",
+        F.col("pr.cid").cast("bigint").alias("cluster"),
+        *[f"__lut{s}" for s in range(m)],
+    )
+    members = spark.read.parquet(f"{index_dir}/postings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "pq_codes",
+        F.col("cluster").cast("bigint").alias("cluster"),
+    )
+    adc = None
+    for s in range(m):
+        term = F.get(F.col(f"__lut{s}"), F.col("pq_codes").getItem(s))
+        adc = term if adc is None else adc + term
+    scored = (
+        members.join(F.broadcast(probes), "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.cast("bigint").alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
     )

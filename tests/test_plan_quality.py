@@ -527,3 +527,30 @@ def test_stream_ann_ingest_union_probe_never_scans_floats(spark, tmp_path):
     for b in emb_blocks:  # ...but only with the IN filter pushed down
         assert re.search(r"PushedFilters: \[In\(vec_id", b), b
     assert "postings_inc" in p  # the incremental tail is in the union
+
+
+def test_pq_index_probe_prunes_partitions_never_scans_floats(spark):
+    """IVF-PQ serve path: the candidate side reads ONLY the persisted
+    compressed postings (dynamic partition pruning restricts the scan to
+    probed clusters; the postings schema holds just vec_id + the m code
+    ids); the raw embeddings parquet appears solely as the filtered
+    query-vector side with the vec_id IN filter pushed to the reader."""
+    import re
+
+    df = entry_mod.queries()["ann_pq"](spark, SF_DIR)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in p, p
+    blocks = re.split(r"\n\n", p)
+    emb_blocks = [b for b in blocks if "embeddings.parquet" in b]
+    assert emb_blocks, p
+    for b in emb_blocks:
+        assert re.search(r"PushedFilters: \[In\(vec_id", b), b
+    # the postings scan reads codes, never a float embedding column
+    post_blocks = [b for b in blocks if "/postings" in b]
+    assert post_blocks, p
+    for b in post_blocks:
+        assert "pq_codes" in b and "embedding" not in b, b

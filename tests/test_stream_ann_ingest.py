@@ -171,3 +171,39 @@ def test_rebuild_clears_stale_incremental_postings(spark, tmp_path):
         schema="vec_id long, embedding array<double>",
     )
     assert {r["vec_id"] for r in got.collect()} == {100, 101, 200}
+
+
+def test_union_probe_dedups_re_ingested_vector(spark, tmp_path):
+    """A vector present in BOTH the base postings and an incremental
+    batch (re-delivered slice, or re-ingested after the base build) must
+    occupy ONE candidate slot — LSM read-your-latest — not displace a
+    legitimate top-k neighbor with its duplicate row."""
+    idx = str(tmp_path / "index")
+    ann.build_ivf_index(_emb(spark, BASE), idx, init_ids=[0, 1], iterations=2)
+    # re-ingest base vector 2 verbatim as an incremental posting (same
+    # codebook -> same cluster, same codes), plus one genuinely new vector
+    dup_and_new = _emb(spark, [(2, [0.9, 0.1, 0.0, 0.0]),
+                               (300, [0.85, 0.15, 0.0, 0.0])])
+    cents = ann.load_index_codebook(spark, idx)
+    assigned = ann.assign_against_codebook(dup_and_new, cents)
+    q = ann.quantize_embeddings(dup_and_new)
+    (
+        q.select(
+            "vec_id", "codes",
+            F.col("scale_min").alias("mn"),
+            (F.col("scale_max") - F.col("scale_min")).alias("sp"),
+        )
+        .join(assigned, "vec_id")
+        .withColumn("ingest_batch", F.lit(7).cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{idx}/postings_inc/batch=7")
+    )
+    queries = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+    got = ann.ivf_index_probe(
+        queries, idx, k=4, nprobe=1, include_incremental=True
+    ).collect()
+    neighbors = [r["neighbor_id"] for r in got]
+    assert len(neighbors) == len(set(neighbors)), neighbors
+    assert 2 in neighbors and 300 in neighbors
+    # ranks stay dense 1..n
+    assert sorted(r["rank"] for r in got) == list(range(1, len(got) + 1))
