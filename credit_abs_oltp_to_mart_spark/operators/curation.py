@@ -228,9 +228,39 @@ def add_eval_suite(
     cross-suite gram dedup. Suites legitimately share grams across
     partitions; readers dedup at pin time, so an uncompacted store is
     still correct. The partition write is an overwrite: re-adding a
-    suite id replaces it idempotently."""
+    suite id replaces it idempotently.
+
+    The store must be batch-keyed FROM CREATION (built by this function,
+    or by ``compact_gram_store`` which folds back into ``batch=0``): a
+    FLAT store (root-level parquet files) must not be grown in place,
+    because once a ``batch=<id>`` dir exists alongside root-level files
+    Spark's partition discovery returns ONLY the partitioned rows — the
+    original blocklist would silently vanish from every subsequent read
+    and previously blocked eval grams would pass decontamination with no
+    error. Detected and refused here rather than discovered as a silent
+    recall hole."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import _hadoop_fs
+
+    root = gram_store_path.rstrip("/")
+    fs, hpath = _hadoop_fs(eval_docs.sparkSession, root)
+    if fs.exists(hpath):
+        flat = [
+            s.getPath().getName()
+            for s in fs.listStatus(hpath)
+            if not s.isDirectory()
+            and not s.getPath().getName().startswith(("_", "."))
+        ]
+        if flat:
+            raise ValueError(
+                f"gram store at {root} holds root-level data files "
+                f"({flat[:3]}...): growing it with a batch=<id> partition "
+                "would make Spark's partition discovery drop the flat rows "
+                "and silently disable the original blocklist. Rebuild the "
+                "store batch-keyed (write the initial suite through "
+                "add_eval_suite, e.g. suite_id=0) before growing it."
+            )
     build_eval_gram_store(eval_docs, n).write.mode("overwrite").parquet(
-        f"{gram_store_path.rstrip('/')}/batch={suite_id}"
+        f"{root}/batch={suite_id}"
     )
 
 

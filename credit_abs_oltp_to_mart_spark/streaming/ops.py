@@ -804,7 +804,17 @@ def stream_corpus_ingest(
     partitioned parquet; the eval gram store is built offline and grown
     incrementally by partition appends (``on_batch_complete`` is the
     between-batches hook for suite additions / compaction triggers —
-    called after the batch's sinks are written, before its commit)."""
+    called after the batch's sinks are written, before its commit).
+
+    Replay caveat: because the hook runs BEFORE the checkpoint commit,
+    a crash in that window replays the batch against any state the hook
+    just mutated — a suite landed by the hook means the replay
+    decontaminates against the GROWN blocklist and overwrites the
+    batch's partitions with a (correctly) stricter admitted set. Replay
+    is therefore self-consistent and never under-blocks, but it is not
+    byte-identical to the pre-crash attempt when the hook mutates the
+    blocklist; hooks needing byte-identical replay should snapshot their
+    state keyed by batch_id and no-op on re-delivery."""
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D

@@ -385,3 +385,44 @@ def test_stream_bpe_pack_matches_batch_bpe_pack(spark, tmp_path):
     }
     n_vocab = bpe.vocab_frame(wf).count()
     assert ids and max(ids) < n_vocab
+
+
+def test_add_eval_suite_refuses_flat_store(spark, tmp_path):
+    """Growing a FLAT-built gram store in place would make Spark's
+    partition discovery drop the root-level rows and silently disable
+    the original blocklist — add_eval_suite must refuse with a clear
+    error instead of creating the recall hole."""
+    import pytest
+
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        add_eval_suite,
+        build_eval_gram_store,
+    )
+
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    gram_store = str(tmp_path / "flat_grams")
+    # a flat store: root-level parquet files, no batch= partitions
+    build_eval_gram_store(
+        spark.createDataFrame([Row(doc_id=900, text=EVAL_DOC)], schema)
+    ).write.parquet(gram_store)
+    with pytest.raises(ValueError, match="batch-keyed"):
+        add_eval_suite(
+            gram_store,
+            spark.createDataFrame([Row(doc_id=901, text=GOOD_A)], schema),
+            suite_id=1,
+        )
+    # the flat store is untouched and still reads back whole
+    assert spark.read.parquet(gram_store).count() > 0
+    # a batch-keyed store still grows fine
+    keyed = str(tmp_path / "keyed_grams")
+    add_eval_suite(
+        keyed,
+        spark.createDataFrame([Row(doc_id=900, text=EVAL_DOC)], schema),
+        suite_id=0,
+    )
+    add_eval_suite(
+        keyed,
+        spark.createDataFrame([Row(doc_id=901, text=GOOD_A)], schema),
+        suite_id=1,
+    )
+    assert spark.read.parquet(keyed).select("batch").distinct().count() == 2
