@@ -1518,6 +1518,33 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_SEEDS = [0, 1]
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-epoch read order over the packed (shard, bin) units —
+    the deterministic global shuffle a trainer's loader applies each
+    epoch, published as a manifest so every rank agrees without
+    coordination. Two seeds gate in one verdict: each epoch is its own
+    md5-rank permutation, replayed exactly by the oracle. The rank
+    itself is computed scalably (range-bucketed md5 key + driver prefix
+    sum + per-bucket window), never a one-task global sort."""
+    manifest = curation.pack_manifest(
+        curation.pack_chunks(_t(spark, sf_dir, "documents"))
+    ).persist()
+    out = None
+    for seed in EPOCH_SEEDS:
+        e = curation.epoch_shuffle(manifest, seed=seed).select(
+            F.lit(seed).cast("int").alias("epoch"),
+            "read_order",
+            "shard",
+            "bin",
+            "filled_tokens",
+        )
+        out = e if out is None else out.unionByName(e)
+    return out
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The redaction rewrite (map-only regexp chain): emails/URLs/digit
     runs replaced by typed placeholders — the privacy scrub a corpus runs
@@ -4591,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_soft": q_semantic_dedup_soft,
         "ann_pq": q_ann_pq,
+        "epoch_shuffle": q_epoch_shuffle,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -4606,9 +4634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stats": q_profile_stats,
         "bitmap_distinct": q_bitmap_distinct,
         "grouping_sets_revenue": q_grouping_sets_revenue,
+        # ---- driver gate window (50) ends here ----
         "dedup_exact": q_dedup_exact,
         "triangle_count": q_triangle_count,
-        # ---- driver gate window (50) ends here ----
         "udtf_sentences": q_udtf_sentences,
         # -- r05-evidence remainder
         "dup_spans_keep_first": q_dup_spans_keep_first,
@@ -5166,6 +5194,22 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "semantic_dedup_soft": _semantic_dedup_soft_oracle(),
         "ann_pq": _ann_pq_oracle(),
+        "epoch_shuffle": f"""
+            with p as ({_pack_chunks_oracle()}),
+            mf as (select shard, bin, sum(n_tokens)::bigint as filled_tokens
+                   from p group by 1, 2),
+            e as (select s.epoch, mf.shard, mf.bin, mf.filled_tokens,
+                         ('0x' || substr(md5('epoch:' || s.epoch::varchar
+                            || ':' || mf.shard::varchar
+                            || ':' || mf.bin::varchar), 1, 15))::bigint as k
+                  from mf, (values (0), (1)) s(epoch))
+            select epoch::int as epoch,
+                   row_number() over (partition by epoch
+                                      order by k, shard, bin)::bigint
+                     as read_order,
+                   shard, bin, filled_tokens
+            from e
+        """,
         "stream_ann_ingest": _stream_ann_ingest_oracle(),
         "stream_bpe_ingest": _stream_bpe_ingest_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),

@@ -714,3 +714,77 @@ def weighted_sample(
     )
     race = rep.groupBy(id_col).agg(F.min(draw).alias("priority"))
     return race.orderBy("priority").limit(k)
+
+
+def epoch_shuffle(
+    manifest: DataFrame,
+    *,
+    seed: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic seeded EPOCH ordering over packed (shard, bin) read
+    units: the global shuffle a trainer's data loader applies per epoch,
+    published as a manifest so every rank reads the same order without
+    coordination. read_order is the 1-based rank of
+    md5('epoch:<seed>:<shard>:<bin>') — a new seed is a new permutation,
+    the same seed replays bit-exactly in any engine.
+
+    Scale shape: a naive global row_number would sort the whole manifest
+    in ONE task. Instead the md5 key (< 2^60, uniform) is range-bucketed
+    into ``n_buckets`` aligned slices (bucket = key div (2^60/n_buckets),
+    so bucket order IS key order); per-bucket counts — n_buckets rows —
+    come to the driver for an exact prefix sum, and the global rank is
+    offset[bucket] + row_number within the bucket. One count aggregation,
+    one broadcast of the offsets, one bucket-partitioned window: the sort
+    parallelism is n_buckets regardless of manifest size. ``n_buckets``
+    must be a power of two (keeps the slice arithmetic exact).
+
+    Input is ``pack_manifest`` output (or anything with shard, bin,
+    filled_tokens); returns (read_order, shard, bin, filled_tokens)."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets={n_buckets} must be a power of two")
+    step = (1 << 60) // n_buckets
+    key = md5_long(
+        F.concat(
+            F.lit(f"epoch:{seed}:"),
+            F.col("shard").cast("string"),
+            F.lit(":"),
+            F.col("bin").cast("string"),
+        )
+    )
+    keyed = manifest.select(
+        "shard",
+        "bin",
+        "filled_tokens",
+        key.alias("__k"),
+        (key / F.lit(step)).cast("long").alias("__bkt"),
+    )
+    counts = sorted(
+        (r["__bkt"], r["n"])
+        for r in keyed.groupBy("__bkt").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    offsets, running = [], 0
+    for bkt, n in counts:
+        offsets.append((bkt, running))
+        running += n
+    off = F.broadcast(
+        manifest.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__bkt long, __off long"
+        )
+    )
+    w = Window.partitionBy("__bkt").orderBy(
+        F.col("__k").asc(), F.col("shard").asc(), F.col("bin").asc()
+    )
+    return (
+        keyed.join(off, "__bkt")
+        .select(
+            (F.col("__off") + F.row_number().over(w))
+            .cast("long")
+            .alias("read_order"),
+            "shard",
+            "bin",
+            "filled_tokens",
+        )
+    )
