@@ -1399,6 +1399,132 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_near_dups(media, max_hamming=3, n_bands=4)
 
 
+def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection by frame-set overlap — pure composition
+    of shipped kernels: sampled frames as image rows -> per-frame 64-bit
+    aHash -> the shared banded-hamming kernel -> per-video-pair
+    matched-frame share (the smaller of the two matched fractions). The
+    corpus has no duplicate media, so the query plants copies of every
+    10th video (doc_id + IMG_PLANT_OFFSET, ≡ 0 mod 12 so modality and
+    chunk count survive); each must surface at share 1.0."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 30 == 2).select(
+        (F.col("doc_id") + F.lit(IMG_PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    media = multimodal.synthesize_blobs(docs.unionByName(planted))
+    return multimodal.video_near_dups(media, max_hamming=3, n_bands=4)
+
+
+def _video_near_dups_oracle(out_w: int = 8, out_h: int = 8) -> str:
+    """Replays blob synthesis (planted video copies), the frame grid +
+    every-kth sampling, the per-frame integer-exact aHash, the banded
+    hamming join, and the per-video-pair matched-frame aggregation.
+    Same band-from-pixel-bits assembly as the image oracle (never
+    arithmetic-shifts a negative BIGINT)."""
+    from credit_abs_oltp_to_mart_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_SAMPLE_EVERY,
+        VIDEO_FRAME_ID_STRIDE,
+    )
+
+    n_px = out_w * out_h
+    stride = VIDEO_FRAME_ID_STRIDE
+    fb2 = FRAME_BYTES * 2
+    px_exprs = []
+    for r in range(out_h):
+        for c in range(out_w):
+            idx = f"(({r} * hh) // {out_h}) * ww + (({c} * ww) // {out_w})"
+            px_exprs.append(
+                f"('0x' || substr(hx, (({idx}) % nb) * 2 + 1, 2))::int"
+                f" as p{r * out_w + c}"
+            )
+    total = " + ".join(f"p{i}" for i in range(n_px))
+    bit_terms = " + ".join(
+        f"case when p{i} * {n_px} > total then "
+        + ("(-9223372036854775807 - 1)" if i == 63 else f"(1::bigint << {i})")
+        + " else 0::bigint end"
+        for i in range(n_px)
+    )
+    band_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"case when p{16 * b + j} * {n_px} > total then (1::bigint << {j})"
+            " else 0::bigint end"
+            for j in range(16)
+        )
+        + f") as band{b}"
+        for b in range(4)
+    )
+    return f"""
+    with base as (
+      select doc_id, text from documents
+      union all
+      select doc_id + {IMG_PLANT_OFFSET} as doc_id, text
+      from documents where doc_id % 30 = 2),
+    media as (
+      select doc_id,
+             upper(md5(text)
+               || case when doc_id % 4 >= 1 then md5(text || 'c1') else '' end
+               || case when doc_id % 4 >= 2 then md5(text || 'c2') else '' end
+               || case when doc_id % 4 >= 3 then md5(text || 'c3') else '' end
+             ) as vhx
+      from base where doc_id % 3 = 2),
+    frames as (
+      select doc_id * {stride} + fno as doc_id,
+             substr(vhx, fno * {fb2} + 1, {fb2}) as hx
+      from (select doc_id, vhx,
+                   unnest(generate_series(0,
+                     (length(vhx) // 2 + {FRAME_BYTES - 1}) // {FRAME_BYTES}
+                       - 1,
+                     {FRAME_SAMPLE_EVERY})) as fno
+            from media where length(vhx) > 0)),
+    dims as (
+      select doc_id, hx, length(hx) // 2 as nb,
+             1 + ('0x' || substr(hx, 1, 2))::int % 64 as ww,
+             1 + ('0x' || substr(hx, 3, 2))::int % 64 as hh
+      from frames),
+    pix as (select doc_id, {", ".join(px_exprs)} from dims),
+    tot as (select *, {total} as total from pix),
+    hashed as (
+      select doc_id, cast({bit_terms} as bigint) as phash, {band_exprs}
+      from tot),
+    banded as (
+      select doc_id, phash, t.b,
+             case t.b when 0 then band0 when 1 then band1
+                      when 2 then band2 else band3 end as band
+      from hashed, (values (0), (1), (2), (3)) t(b)),
+    cand as (
+      select distinct a.doc_id as doc_a, b2.doc_id as doc_b,
+             a.phash as sa, b2.phash as sb
+      from banded a
+      join banded b2 on a.b = b2.b and a.band = b2.band
+      where a.doc_id < b2.doc_id),
+    pairs as (
+      select doc_a, doc_b from cand
+      where bit_count(xor(sa, sb)) <= 3),
+    crossv as (
+      select doc_a // {stride} as video_a, doc_b // {stride} as video_b,
+             doc_a, doc_b
+      from pairs where doc_a // {stride} <> doc_b // {stride}),
+    matched as (
+      select video_a, video_b,
+             count(distinct doc_a)::int as n_matched_a,
+             count(distinct doc_b)::int as n_matched_b
+      from crossv group by 1, 2),
+    fcnt as (
+      select doc_id // {stride} as video, count(*)::int as nf
+      from frames group by 1)
+    select m.video_a, m.video_b,
+           fa.nf as n_frames_a, fb.nf as n_frames_b,
+           m.n_matched_a, m.n_matched_b,
+           round(least(m.n_matched_a::double / fa.nf,
+                       m.n_matched_b::double / fb.nf), 6) as match_share
+    from matched m
+    join fcnt fa on fa.video = m.video_a
+    join fcnt fb on fb.video = m.video_b
+    """
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-substring spans (token-level, k=8,
     occurrences >= 2 anywhere incl. the doc itself) merged into maximal
@@ -4619,6 +4745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_soft": q_semantic_dedup_soft,
         "ann_pq": q_ann_pq,
         "epoch_shuffle": q_epoch_shuffle,
+        "video_near_dups": q_video_near_dups,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -4633,8 +4760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "profile_stats": q_profile_stats,
         "bitmap_distinct": q_bitmap_distinct,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
         # ---- driver gate window (50) ends here ----
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         "dedup_exact": q_dedup_exact,
         "triangle_count": q_triangle_count,
         "udtf_sentences": q_udtf_sentences,
@@ -5194,6 +5321,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "semantic_dedup_soft": _semantic_dedup_soft_oracle(),
         "ann_pq": _ann_pq_oracle(),
+        "video_near_dups": _video_near_dups_oracle(),
         "epoch_shuffle": f"""
             with p as ({_pack_chunks_oracle()}),
             mf as (select shard, bin, sum(n_tokens)::bigint as filled_tokens

@@ -339,3 +339,137 @@ def resize_images(
         "doc_id long, src_w int, src_h int, out_w int, out_h int, "
         "pixels binary, pixels_md5 string",
     )
+
+
+VIDEO_FRAME_ID_STRIDE = 1_000_000
+
+
+def video_frame_images(
+    media: DataFrame,
+    *,
+    frame_bytes: int = FRAME_BYTES,
+    every: int = FRAME_SAMPLE_EVERY,
+    id_stride: int = VIDEO_FRAME_ID_STRIDE,
+) -> DataFrame:
+    """Each sampled video frame re-presented as an "image" media row, so
+    the whole image fingerprint stack (``image_phash`` -> banded hamming)
+    runs on frames unchanged: frame id = video_id * ``id_stride`` +
+    frame_no (recoverable by integer division), content = the frame's
+    byte slice, modality = 'image'. Same frame grid and every-kth
+    sampling as ``sample_frames``, but built from pure column
+    expressions (one hex() + substr slices) instead of the pandas
+    kernel — map-only, no shuffle, no UDF."""
+    fb2 = frame_bytes * 2
+    videos = media.where(F.col("modality") == "video").select(
+        "doc_id",
+        F.hex(F.col("content")).alias("hx"),
+        F.length("content").alias("nb"),
+    )
+    n_frames = (
+        (F.col("nb") + F.lit(frame_bytes - 1)) / F.lit(frame_bytes)
+    ).cast("int")
+    return (
+        videos.where(F.col("nb") > 0)
+        .select(
+            "doc_id",
+            "hx",
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(every))
+            ).alias("frame_no"),
+        )
+        .select(
+            (F.col("doc_id") * id_stride + F.col("frame_no")).alias("doc_id"),
+            F.unhex(
+                F.col("hx").substr(F.col("frame_no") * fb2 + 1, F.lit(fb2))
+            ).alias("content"),
+            F.lit("image").alias("modality"),
+        )
+    )
+
+
+def video_near_dups(
+    media: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    frame_bytes: int = FRAME_BYTES,
+    every: int = FRAME_SAMPLE_EVERY,
+    id_stride: int = VIDEO_FRAME_ID_STRIDE,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Video near-duplicate pairs by FRAME-SET overlap — the composition
+    the image stack was built for: sampled frames (``video_frame_images``)
+    -> per-frame 64-bit perceptual hash (``image_phash``, integer-exact)
+    -> the shared banded-hamming kernel (``dedup.banded_hamming_pairs``,
+    candidate pairs only where a 16-bit band collides) -> per-video-pair
+    matched-frame share. A re-encoded copy keeps most frames within
+    ``max_hamming`` of the original's, so the pair surfaces with a high
+    share even when no byte is identical.
+
+    Returns (video_a, video_b, n_frames_a, n_frames_b, n_matched_a,
+    n_matched_b, match_share): matched = the video's distinct frames with
+    >= 1 near-dup frame in the other video; match_share = the SMALLER of
+    the two matched fractions (conservative — both videos must agree),
+    rounded 6dp; pairs below ``min_share`` drop.
+
+    Scale: frame explosion and hashing are map-only; candidates come from
+    the band equi-join (never all-pairs across frames); the per-pair
+    aggregation and the two frame-count joins shuffle only matched pairs
+    and per-video counts. Frame ids order like (video, frame), so the
+    kernel's doc_a < doc_b guarantees video_a < video_b on cross-video
+    pairs — each pair aggregates exactly once."""
+    from credit_abs_oltp_to_mart_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    frames = video_frame_images(
+        media, frame_bytes=frame_bytes, every=every, id_stride=id_stride
+    )
+    # persist: same projection-collapse hazard as image_near_dups — the
+    # band self-join would re-evaluate the inlined pixel fold per side
+    fp = image_phash(frames).persist()
+    pairs = banded_hamming_pairs(
+        fp, "phash", max_hamming=max_hamming, n_bands=n_bands, n_bits=64
+    )
+    cross = pairs.select(
+        F.expr(f"doc_a div {id_stride}").alias("video_a"),
+        F.expr(f"doc_b div {id_stride}").alias("video_b"),
+        "doc_a",
+        "doc_b",
+    ).where(F.col("video_a") != F.col("video_b"))
+    matched = cross.groupBy("video_a", "video_b").agg(
+        F.countDistinct("doc_a").cast("int").alias("n_matched_a"),
+        F.countDistinct("doc_b").cast("int").alias("n_matched_b"),
+    )
+    counts = (
+        fp.select(F.expr(f"doc_id div {id_stride}").alias("video"))
+        .groupBy("video")
+        .agg(F.count(F.lit(1)).cast("int").alias("nf"))
+    )
+    ca = counts.select(
+        F.col("video").alias("video_a"), F.col("nf").alias("n_frames_a")
+    )
+    cb = counts.select(
+        F.col("video").alias("video_b"), F.col("nf").alias("n_frames_b")
+    )
+    share = F.round(
+        F.least(
+            F.col("n_matched_a").cast("double") / F.col("n_frames_a"),
+            F.col("n_matched_b").cast("double") / F.col("n_frames_b"),
+        ),
+        6,
+    )
+    return (
+        matched.join(ca, "video_a")
+        .join(cb, "video_b")
+        .select(
+            "video_a",
+            "video_b",
+            "n_frames_a",
+            "n_frames_b",
+            "n_matched_a",
+            "n_matched_b",
+            share.alias("match_share"),
+        )
+        .where(F.col("match_share") >= min_share)
+    )

@@ -190,3 +190,70 @@ def test_banded_hamming_pigeonhole(spark):
         for r in banded_hamming_pairs(fp, "phash").collect()
     }
     assert got == {(1, 2): 3}
+
+
+def test_video_near_dups_re_encoded_copy(spark):
+    """A re-encoded copy — every frame perturbed by one flipped pixel, so
+    NO byte (and no frame md5) is identical — must still surface with
+    match_share 1.0: each perturbed frame sits at hamming 1 from the
+    original's aHash. An unrelated video must not pair with either."""
+    # frames are 8 bytes; build 4-frame videos (every-2nd sampling keeps
+    # frames 0 and 2). Frame layout: [w=7, h=7, 6 pixels] -> the 8x8
+    # plane tiles the 8 bytes cyclically, so a single byte flip moves a
+    # bounded number of above-mean bits.
+    def frame(hot: int) -> list[int]:
+        return [7, 7] + [255 if i == hot else 0 for i in range(6)]
+
+    base = bytes(frame(1) + frame(2) + frame(1) + frame(3))
+    # "re-encode": flip one zero byte to a small value in every frame —
+    # bytes differ everywhere it matters, perceptual hash barely moves
+    def perturb(raw: bytes) -> bytes:
+        out = bytearray(raw)
+        for f0 in range(0, len(out), 8):
+            for i in range(f0 + 2, f0 + 8):
+                if out[i] == 0:
+                    out[i] = 1
+                    break
+        return bytes(out)
+
+    other = bytes(frame(4) + frame(5) + frame(0) + frame(2))
+    rows = [
+        (1, bytearray(base), "video"),
+        (2, bytearray(perturb(base)), "video"),
+        (3, bytearray(other), "video"),
+        (4, bytearray(base), "image"),  # filtered out by modality
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, modality string"
+    )
+    assert bytes(rows[1][1]) != base  # genuinely no byte-identical copy
+    got = {
+        (r["video_a"], r["video_b"]): r
+        for r in multimodal.video_near_dups(media).collect()
+    }
+    assert (1, 2) in got, got
+    r = got[(1, 2)]
+    assert r["match_share"] == 1.0
+    assert r["n_frames_a"] == 2 and r["n_frames_b"] == 2  # every-2nd of 4
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_video_frame_images_matches_sample_frames(spark, media):
+    """The column-expression frame grid must agree with the pandas
+    sample_frames kernel on ids, sampling, and bytes (via the md5
+    fingerprint both sides can compute)."""
+    frames = multimodal.video_frame_images(media)
+    via_expr = frames.select(
+        F.expr(f"doc_id div {multimodal.VIDEO_FRAME_ID_STRIDE}").alias(
+            "doc_id"
+        ),
+        F.expr(f"doc_id % {multimodal.VIDEO_FRAME_ID_STRIDE}").cast(
+            "int"
+        ).alias("frame_no"),
+        F.md5(F.hex("content")).alias("frame_md5"),
+    )
+    via_kernel = multimodal.sample_frames(media).select(
+        "doc_id", "frame_no", "frame_md5"
+    )
+    assert via_expr.exceptAll(via_kernel).count() == 0
+    assert via_kernel.exceptAll(via_expr).count() == 0
