@@ -3945,6 +3945,120 @@ def _ann_pq_oracle(
     """
 
 
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018) —
+    the BPE alternative: seed candidate pieces from word substrings,
+    then EM rounds where the E-step Viterbi-segments every word under
+    the current fixed-point piece weights (one map-only fold over the
+    word table) and the M-step re-estimates weights from the counts
+    (O(V) driver collect, the codebook pattern). The Viterbi objective
+    is the exact piecewise-linear -log p surrogate (cost = S - weight,
+    integer), so every round — and therefore the final vocabulary — is
+    bit-replayable; the oracle replays both EM rounds with a recursive-
+    CTE dynamic program."""
+    from credit_abs_oltp_to_mart_spark.operators import unigram
+
+    vocab, _ = unigram.unigram_train(_t(spark, sf_dir, "documents"))
+    return vocab
+
+
+def _unigram_oracle(
+    rounds: int | None = None,
+    max_piece_len: int | None = None,
+    vocab_size: int | None = None,
+) -> str:
+    """EM-round replay for unigram_train: seed substring counts -> top-V
+    cut (+ permanent single chars) -> per round a recursive-CTE Viterbi
+    DP (sliding window of best-suffix structs, (cost asc, piece-length
+    desc) tiebreak, OOV sentinel) + count aggregation + exact
+    fixed-point re-weighting. All integer arithmetic; DuckDB's
+    struct-list sort order matches Spark's array_min struct
+    comparison."""
+    from credit_abs_oltp_to_mart_spark.operators.unigram import (
+        MAX_PIECE_LEN,
+        OOV_COST,
+        UNIGRAM_ROUNDS,
+        UNIGRAM_SCALE,
+        UNIGRAM_VOCAB,
+    )
+
+    R = UNIGRAM_ROUNDS if rounds is None else rounds
+    L = MAX_PIECE_LEN if max_piece_len is None else max_piece_len
+    V = UNIGRAM_VOCAB if vocab_size is None else vocab_size
+    S = UNIGRAM_SCALE
+    parts = [
+        f"""
+    with recursive wrds as materialized (
+      select word, count(*)::bigint as cnt
+      from (select unnest(string_split_regex(trim(text), ' +')) as word
+            from documents where trim(text) <> '')
+      group by 1),
+    seed as materialized (
+      select piece, sum(cnt)::bigint as cnt
+      from (select cnt, substr(word, i.i::int, l.l::int) as piece
+            from wrds,
+                 unnest(generate_series(1, length(word))) i(i),
+                 unnest(generate_series(1,
+                   least({L}, length(word) - i.i + 1))) l(l))
+      group by 1),
+    v0 as materialized (
+      select piece, cnt from (
+        select piece, cnt,
+               row_number() over (order by cnt desc, piece) as rn
+        from seed) z
+      where rn <= {V} or length(piece) = 1),
+    w0 as materialized (
+      select piece, cnt, (2 * {S} * cnt + t.tot) // (2 * t.tot) as wgt
+      from v0, (select sum(cnt) as tot from v0) t)"""
+    ]
+    for r in range(R):
+        parts.append(f"""
+    vc{r} as materialized (
+      select map(list(piece order by piece),
+                 list(({S} - wgt)::bigint order by piece)) as vm
+      from w{r}),
+    dp{r} as (
+      select word, cnt, length(word) as len, length(word) + 1 as j,
+             [struct_pack(cost := 0::bigint, negl := 0::bigint,
+                          segs := []::varchar[])] as win,
+             vm
+      from wrds, vc{r}
+      union all
+      select word, cnt, len, j - 1,
+             list_prepend(
+               list_sort(list_transform(
+                 generate_series(1, least({L}, len - (j - 1) + 1)),
+                 l -> struct_pack(
+                   cost := coalesce(
+                       map_extract(vm, substr(word, (j - 1)::int,
+                                              l::int))[1],
+                       {OOV_COST}::bigint) + win[l].cost,
+                   negl := ({L} - l)::bigint,
+                   segs := list_prepend(
+                       substr(word, (j - 1)::int, l::int),
+                       win[l].segs))))[1],
+               win[1:{L - 1}]),
+             vm
+      from dp{r} where j > 1),
+    c{r} as materialized (
+      select piece, sum(cnt)::bigint as cnt
+      from (select cnt, unnest(win[1].segs) as piece
+            from dp{r} where j = 1)
+      group by 1),
+    v{r + 1} as materialized (
+      select w.piece, coalesce(c.cnt, 0)::bigint as cnt
+      from w{r} w left join c{r} c using (piece)
+      where length(w.piece) = 1 or coalesce(c.cnt, 0) > 0),
+    w{r + 1} as materialized (
+      select piece, cnt, (2 * {S} * cnt + t.tot) // (2 * t.tot) as wgt
+      from v{r + 1}, (select sum(cnt) as tot from v{r + 1}) t)""")
+    parts.append(f"""
+    select row_number() over (order by wgt desc, piece asc)::int as rank,
+           piece, cnt, wgt::bigint as weight
+    from w{R}""")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
 BPE_MERGES = 8
 
 
@@ -4746,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "epoch_shuffle": q_epoch_shuffle,
         "video_near_dups": q_video_near_dups,
+        "unigram_train": q_unigram_train,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -4759,8 +4874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nullsafe_join": q_nullsafe_join,
         "retention_cohorts": q_retention_cohorts,
         "profile_stats": q_profile_stats,
-        "bitmap_distinct": q_bitmap_distinct,
         # ---- driver gate window (50) ends here ----
+        "bitmap_distinct": q_bitmap_distinct,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "dedup_exact": q_dedup_exact,
         "triangle_count": q_triangle_count,
@@ -5322,6 +5437,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_soft": _semantic_dedup_soft_oracle(),
         "ann_pq": _ann_pq_oracle(),
         "video_near_dups": _video_near_dups_oracle(),
+        "unigram_train": _unigram_oracle(),
         "epoch_shuffle": f"""
             with p as ({_pack_chunks_oracle()}),
             mf as (select shard, bin, sum(n_tokens)::bigint as filled_tokens

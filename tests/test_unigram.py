@@ -1,0 +1,101 @@
+"""Unigram-LM tokenizer trainer: Viterbi DP correctness against a
+literal python reference, single-char coverage, EM membership rules,
+determinism. Values on the real tables are oracle-gated in
+test_entry_contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.operators import unigram
+
+
+def _viterbi_ref(word: str, costs: dict[str, int], L: int) -> list[str]:
+    """Literal reference DP: min total cost, ties -> longest piece."""
+    n = len(word)
+    best: list[tuple[int, int, list[str]]] = [(0, 0, [])] * (n + 1)
+    for j in range(n - 1, -1, -1):
+        cands = []
+        for l in range(1, min(L, n - j) + 1):
+            piece = word[j : j + l]
+            c = costs.get(piece, unigram.OOV_COST)
+            nxt = best[j + l]
+            cands.append((c + nxt[0], L - l, [piece] + nxt[2]))
+        best[j] = min(cands, key=lambda t: (t[0], t[1]))
+    return best[0][2]
+
+
+def test_viterbi_expr_matches_reference(spark):
+    costs = {
+        "a": 900_000, "b": 950_000, "c": 990_000, "d": 990_000,
+        "ab": 400_000, "bc": 300_000, "abc": 999_999, "cd": 100_000,
+    }
+    words = ["abcd", "abc", "dcba", "aaaa", "b", "abab", "dddd"]
+    vc = spark.createDataFrame([(costs,)], "__vc map<string,bigint>")
+    wf = spark.createDataFrame([(w, 1) for w in words], "word string, cnt long")
+    got = {
+        r["word"]: r["s"]["segs"]
+        for r in wf.crossJoin(F.broadcast(vc))
+        .select("word", unigram.viterbi_segment_expr("word").alias("s"))
+        .collect()
+    }
+    for w in words:
+        assert got[w] == _viterbi_ref(w, costs, unigram.MAX_PIECE_LEN), (
+            w, got[w]
+        )
+
+
+def test_oov_never_blocks_segmentation(spark):
+    """A word containing characters outside the multi-char vocab still
+    segments through single chars; the sentinel path never wins when a
+    char path exists."""
+    costs = {"x": 999_999, "y": 999_999, "xy": 1}
+    vc = spark.createDataFrame([(costs,)], "__vc map<string,bigint>")
+    wf = spark.createDataFrame([("xyx", 1)], "word string, cnt long")
+    r = (
+        wf.crossJoin(F.broadcast(vc))
+        .select(unigram.viterbi_segment_expr("word").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert r["segs"] == ["xy", "x"]
+    assert r["cost"] == 1_000_000
+
+
+def test_unigram_train_membership_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(4)]
+        + [(10 + i, "a bag of words and more words") for i in range(3)],
+        "doc_id long, text string",
+    )
+    vocab, weights = unigram.unigram_train(
+        docs, rounds=2, vocab_size=30
+    )
+    rows = vocab.collect()
+    pieces = {r["piece"]: r for r in rows}
+    # every single char of the corpus is a member, even at count 0
+    chars = {c for r in docs.collect() for c in r["text"] if c != " "}
+    assert chars <= set(pieces)
+    # multi-char members all carry positive final counts
+    for p, r in pieces.items():
+        if len(p) > 1:
+            assert r["cnt"] > 0, p
+    # ranks are dense and ordered by (weight desc, piece asc)
+    ordered = sorted(rows, key=lambda r: (-r["weight"], r["piece"]))
+    assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+    # bit-identical re-run
+    vocab2, weights2 = unigram.unigram_train(docs, rounds=2, vocab_size=30)
+    assert weights2 == weights
+    assert vocab2.exceptAll(vocab).count() == 0
+
+
+def test_em_rounds_change_the_model(spark):
+    """Round 1 re-weights by segmentation usage, so seed-frequency
+    weights and round-1 weights must differ (the EM actually moves)."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab baba abba")], "doc_id long, text string"
+    )
+    _, w0 = unigram.unigram_train(docs, rounds=0, vocab_size=10)
+    _, w1 = unigram.unigram_train(docs, rounds=1, vocab_size=10)
+    assert w0 != w1
+    # membership after a round is usage-pruned: strictly fewer or equal
+    assert set(w1) <= set(w0)
