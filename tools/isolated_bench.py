@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Fresh-session isolated timings for the lifecycle composite queries.
+
+The per-round driver bench times every query inside ONE long session, so
+session position (JVM heap state, codegen cache, GC pressure from ~130
+prior queries) swings composite timings by seconds and has repeatedly
+produced phantom "regressions" (VERDICT r06: dedup_embedding_lsh 2.4x in
+the driver run, 1.0x isolated). This tool records the ground truth each
+round: every listed query runs min-of-3 in its OWN fresh JVM/session.
+
+Usage: python tools/isolated_bench.py [--out bench_ab_r07/isolated.json]
+                                      [--queries a,b,c] [--sf-dir ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+DEFAULT_QUERIES = [
+    "stream_bpe_ingest",
+    "stream_corpus_ingest",
+    "stream_ann_ingest",
+    "ann_index_serve",
+    "corpus_pipeline",
+]
+
+_CHILD = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from credit_abs_oltp_to_mart_spark.session import get_spark
+import __spark_entry__ as entry_mod
+name, sf_dir = {name!r}, {sf_dir!r}
+spark = get_spark(app_name="isolated-" + name)
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    entry_mod.queries()[name](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    best = min(best, time.perf_counter() - t0)
+    spark.catalog.clearCache()
+print("ISOLATED_RESULT", best)
+"""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results: dict[str, float] = {}
+    for name in args.queries.split(","):
+        code = _CHILD.format(repo=repo, name=name, sf_dir=args.sf_dir)
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+        )
+        line = [
+            ln for ln in out.stdout.splitlines()
+            if ln.startswith("ISOLATED_RESULT")
+        ]
+        if not line:
+            print(f"{name}: FAILED\n{out.stderr[-2000:]}", file=sys.stderr)
+            return 1
+        results[name] = round(float(line[0].split()[1]), 3)
+        print(name, results[name], flush=True)
+    doc = {"sf_dir": args.sf_dir, "min_of": 3, "fresh_session": True,
+           "isolated_sec": results}
+    if args.out:
+        with open(os.path.join(repo, args.out), "w") as f:
+            json.dump(doc, f, indent=2)
+    print(json.dumps(doc))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -163,6 +163,26 @@ def main() -> int:
         "bpe_tokenize": lambda d: bpe.bpe_tokenize(
             d, bpe.bpe_train(d, n_merges=4)[1]
         ),
+        # round-7 operators: video near-dups (map-only frame explode +
+        # per-frame hash + band join), the epoch-shuffle manifest
+        # (bucket-partitioned rank over the pack manifest), and the
+        # unigram-LM trainer (2 EM rounds: word-table Viterbi fold +
+        # O(V) driver collect per round). The embeddings-based round-7
+        # ops (ann_pq, semantic_dedup soft/hardened) are not probed here
+        # — the probe corpus scales documents only; their scale shape is
+        # plan-gated instead (DPP-pruned postings, cluster equi-join).
+        "video_near_dups": lambda d: multimodal.video_near_dups(
+            multimodal.synthesize_blobs(d)
+        ),
+        "epoch_shuffle": lambda d: curation.epoch_shuffle(
+            curation.pack_manifest(curation.pack_chunks(d)), seed=0
+        ),
+        "unigram_train": lambda d: (
+            __import__(
+                "credit_abs_oltp_to_mart_spark.operators.unigram",
+                fromlist=["unigram_train"],
+            ).unigram_train(d, rounds=2)[0]
+        ),
     }
     results: dict[str, dict] = {}
     for name, build in probes.items():
