@@ -3962,17 +3962,33 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab
 
 
-def _unigram_oracle(
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram tokenizer's scoring pass: per-doc word/piece
+    counts and summed fixed-point Viterbi cost (the surrogate corpus
+    negative log-likelihood) under the vocabulary q_unigram_train
+    produces — distinct words segment once, the corpus stream joins the
+    broadcast word-level results, every doc emits a row."""
+    from credit_abs_oltp_to_mart_spark.operators import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    _, weights = unigram.unigram_train(docs)
+    return unigram.unigram_segment_stats(docs, weights)
+
+
+def _unigram_ctes(
     rounds: int | None = None,
     max_piece_len: int | None = None,
     vocab_size: int | None = None,
+    with_final_dp: bool = False,
 ) -> str:
-    """EM-round replay for unigram_train: seed substring counts -> top-V
-    cut (+ permanent single chars) -> per round a recursive-CTE Viterbi
-    DP (sliding window of best-suffix structs, (cost asc, piece-length
-    desc) tiebreak, OOV sentinel) + count aggregation + exact
-    fixed-point re-weighting. All integer arithmetic; DuckDB's
-    struct-list sort order matches Spark's array_min struct
+    """EM-round replay CTEs for the unigram trainer: seed substring
+    counts -> top-V cut (+ permanent single chars) -> per round a
+    recursive-CTE Viterbi DP (sliding window of best-suffix structs,
+    (cost asc, piece-length desc) tiebreak, OOV sentinel) + count
+    aggregation + exact fixed-point re-weighting; ends at w{rounds}.
+    ``with_final_dp`` appends one more DP under the FINAL weights
+    (vc{R}/dp{R}) for scoring-pass oracles. All integer arithmetic;
+    DuckDB's struct-list sort order matches Spark's array_min struct
     comparison."""
     from credit_abs_oltp_to_mart_spark.operators.unigram import (
         MAX_PIECE_LEN,
@@ -4052,11 +4068,78 @@ def _unigram_oracle(
     w{r + 1} as materialized (
       select piece, cnt, (2 * {S} * cnt + t.tot) // (2 * t.tot) as wgt
       from v{r + 1}, (select sum(cnt) as tot from v{r + 1}) t)""")
-    parts.append(f"""
+    if with_final_dp:
+        parts.append(f"""
+    vc{R} as materialized (
+      select map(list(piece order by piece),
+                 list(({S} - wgt)::bigint order by piece)) as vm
+      from w{R}),
+    dp{R} as (
+      select word, cnt, length(word) as len, length(word) + 1 as j,
+             [struct_pack(cost := 0::bigint, negl := 0::bigint,
+                          segs := []::varchar[])] as win,
+             vm
+      from wrds, vc{R}
+      union all
+      select word, cnt, len, j - 1,
+             list_prepend(
+               list_sort(list_transform(
+                 generate_series(1, least({L}, len - (j - 1) + 1)),
+                 l -> struct_pack(
+                   cost := coalesce(
+                       map_extract(vm, substr(word, (j - 1)::int,
+                                              l::int))[1],
+                       {OOV_COST}::bigint) + win[l].cost,
+                   negl := ({L} - l)::bigint,
+                   segs := list_prepend(
+                       substr(word, (j - 1)::int, l::int),
+                       win[l].segs))))[1],
+               win[1:{L - 1}]),
+             vm
+      from dp{R} where j > 1)""")
+    return ",".join(parts)
+
+
+def _unigram_oracle(
+    rounds: int | None = None,
+    max_piece_len: int | None = None,
+    vocab_size: int | None = None,
+) -> str:
+    from credit_abs_oltp_to_mart_spark.operators.unigram import UNIGRAM_ROUNDS
+
+    R = UNIGRAM_ROUNDS if rounds is None else rounds
+    return _unigram_ctes(rounds, max_piece_len, vocab_size) + f"""
     select row_number() over (order by wgt desc, piece asc)::int as rank,
            piece, cnt, wgt::bigint as weight
-    from w{R}""")
-    return ",".join(parts[:-1]) + parts[-1]
+    from w{R}"""
+
+
+def _unigram_segment_oracle() -> str:
+    """Replays training (shared CTEs), one MORE Viterbi DP under the
+    FINAL weights (vc{R}/dp{R}), then the per-doc word join + sums —
+    every doc emits a row, empty docs at zero."""
+    from credit_abs_oltp_to_mart_spark.operators.unigram import UNIGRAM_ROUNDS
+
+    R = UNIGRAM_ROUNDS
+    return _unigram_ctes(with_final_dp=True) + f""",
+    docwords as (
+      select d.doc_id, t.word
+      from (select doc_id, string_split_regex(trim(text), ' +') as tk
+            from documents where trim(text) <> '') d,
+           unnest(d.tk) as t(word)),
+    wseg as (
+      select word, len(win[1].segs)::int as n_pieces, win[1].cost as cost
+      from dp{R} where j = 1),
+    perdoc as (
+      select doc_id, count(*)::int as n_words,
+             sum(n_pieces)::int as n_pieces,
+             sum(cost)::bigint as total_cost
+      from docwords join wseg using (word) group by 1)
+    select d.doc_id,
+           coalesce(p.n_words, 0)::int as n_words,
+           coalesce(p.n_pieces, 0)::int as n_pieces,
+           coalesce(p.total_cost, 0)::bigint as total_cost
+    from documents d left join perdoc p using (doc_id)"""
 
 
 BPE_MERGES = 8
@@ -4861,6 +4944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "video_near_dups": q_video_near_dups,
         "unigram_train": q_unigram_train,
+        "unigram_segment": q_unigram_segment,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -4873,8 +4957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_positions": q_token_positions,
         "nullsafe_join": q_nullsafe_join,
         "retention_cohorts": q_retention_cohorts,
-        "profile_stats": q_profile_stats,
         # ---- driver gate window (50) ends here ----
+        "profile_stats": q_profile_stats,
         "bitmap_distinct": q_bitmap_distinct,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "dedup_exact": q_dedup_exact,
@@ -5438,6 +5522,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _ann_pq_oracle(),
         "video_near_dups": _video_near_dups_oracle(),
         "unigram_train": _unigram_oracle(),
+        "unigram_segment": _unigram_segment_oracle(),
         "epoch_shuffle": f"""
             with p as ({_pack_chunks_oracle()}),
             mf as (select shard, bin, sum(n_tokens)::bigint as filled_tokens

@@ -774,16 +774,30 @@ def pq_train(
     codebook-transport budget as the coarse Lloyd loop."""
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
-    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+        kmeans_train,
+    )
 
     dsub = dim // m
+    # ONE fixed-point pass + checkpoint feeds all m sub-trainings
+    # (fixed-pointing is elementwise: slice(to_fp(v)) == to_fp(slice(v)),
+    # so per-subspace results are bit-identical to training on raw
+    # slices) — m separate kmeans_train calls would each re-scale and
+    # re-checkpoint the vectors, pure fixed overhead
+    v = emb.select(
+        "vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa")
+    ).localCheckpoint(eager=True)
     books: list[dict[int, list[int]]] = []
     for s in range(m):
-        sub = emb.select(
+        sub = v.select(
             "vec_id",
-            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("embedding"),
+            F.slice(F.col("__fa"), s * dsub + 1, dsub).alias("embedding"),
         )
-        _, cents = kmeans_train(sub, init_ids=init_ids, iterations=iterations)
+        _, cents = kmeans_train(
+            sub, init_ids=init_ids, iterations=iterations, prescaled=True,
+        )
         books.append(cents)
     return books
 

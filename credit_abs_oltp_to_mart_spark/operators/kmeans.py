@@ -168,6 +168,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     fp_scale: int = FP_SCALE,
     codebook_as_literals: bool | None = None,
+    prescaled: bool = False,
 ) -> tuple[DataFrame, dict[int, list[int]]]:
     """``kmeans_assign`` plus the trained CODEBOOK: returns
     (assignments, {cluster_id: fixed-point centroid}) where the codebook
@@ -175,10 +176,20 @@ def kmeans_train(
     re-assigning any vector against it (integer argmin, same tiebreak)
     reproduces the returned assignment bit-for-bit. That equivalence is
     what lets ``ann.ivf_topk_trained`` use the assignment AS the IVF
-    coarse quantization while probing queries against the codebook."""
-    v = emb.select(
-        F.col(id_col).alias("vid"), _to_fp(vec_col, fp_scale).alias("a")
-    ).localCheckpoint(eager=True)
+    coarse quantization while probing queries against the codebook.
+
+    ``prescaled=True``: ``vec_col`` already holds the fixed-point bigint
+    array (scaled by ``fp_scale``, ideally off a checkpointed frame) —
+    skip the scaling pass and the per-call localCheckpoint. The batch
+    path for callers training SEVERAL codebooks over slices of ONE
+    vector table (``ann.pq_train``): fixed-pointing is elementwise, so
+    slice(to_fp(v)) == to_fp(slice(v)) and results are bit-identical."""
+    if prescaled:
+        v = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("a"))
+    else:
+        v = emb.select(
+            F.col(id_col).alias("vid"), _to_fp(vec_col, fp_scale).alias("a")
+        ).localCheckpoint(eager=True)
     cents: dict[int, list[int]] = {
         r["vid"]: list(r["a"])
         for r in v.where(F.col("vid").isin(init_ids)).collect()

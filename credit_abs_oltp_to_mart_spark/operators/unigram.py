@@ -216,3 +216,57 @@ def unigram_train(
         "weight",
     )
     return vocab, weights
+
+
+def unigram_segment_stats(
+    docs: DataFrame,
+    weights: dict[str, int],
+    *,
+    max_piece_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc statistics under the TRAINED unigram vocabulary — the
+    scoring twin of ``bpe_segment_stats``: (doc_id, n_words, n_pieces,
+    total_cost), where total_cost is the summed fixed-point Viterbi cost
+    of the doc's words (the surrogate corpus negative log-likelihood a
+    SentencePiece deployment monitors).
+
+    Plan: DISTINCT words are segmented once (the word-table-sized
+    Viterbi fold, model map via a one-row broadcast), then the corpus
+    token stream joins the broadcast word-level results — the corpus
+    never shuffles on the word key, identical scale shape to
+    ``bpe_segment_stats``. Every doc gets a row (empty docs at zero)."""
+    from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
+
+    spark = docs.sparkSession
+    wf = word_frequency_table(docs, text_col)
+    vc = _vmap_frame(spark, weights)
+    seg = (
+        wf.crossJoin(F.broadcast(vc))
+        .select(
+            "word", viterbi_segment_expr("word", max_piece_len).alias("s")
+        )
+        .select(
+            "word",
+            F.size(F.col("s.segs")).cast("int").alias("n_pieces"),
+            F.col("s.cost").alias("cost"),
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col(text_col))).alias("word")
+    )
+    per_doc = (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("n_pieces").cast("int").alias("n_pieces"),
+            F.sum("cost").cast("bigint").alias("total_cost"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("int").alias("n_words"),
+        F.coalesce("n_pieces", F.lit(0)).cast("int").alias("n_pieces"),
+        F.coalesce("total_cost", F.lit(0)).cast("bigint").alias("total_cost"),
+    )

@@ -237,3 +237,31 @@ def test_kmeans_missing_init_raises(spark):
 
     with pytest.raises(ValueError):
         kmeans_assign(df, init_ids=[1, 999])
+
+
+def test_kmeans_prescaled_path_is_bit_identical(spark):
+    """The prescaled batch path (one shared fixed-point checkpoint, used
+    by ann.pq_train for its m sub-trainings) must reproduce the default
+    path's assignments AND codebook bit-for-bit — fixed-pointing is
+    elementwise, so scaling before or after slicing cannot differ."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+        kmeans_train,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a1, c1 = kmeans_train(emb, init_ids=[0, 1, 2], iterations=3)
+    pre = emb.select(
+        "vec_id", _to_fp("embedding", FP_SCALE).alias("embedding")
+    ).localCheckpoint(eager=True)
+    a2, c2 = kmeans_train(
+        pre, init_ids=[0, 1, 2], iterations=3, prescaled=True
+    )
+    assert c1 == c2
+    assert a1.exceptAll(a2).count() == 0
+    assert a2.exceptAll(a1).count() == 0
