@@ -3845,20 +3845,31 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.pq_index_probe(queries, idx, k=ANN_K, nprobe=IVF_NPROBE)
 
 
-def _pq_sub_ctes(sub: int, iters: int = PQ_ITERS, dim: int = 64) -> str:
-    """Per-subspace Lloyd-replay CTEs (prefix s{sub}) over the shared
-    fixed-point vector CTE ``v`` from ``_kmeans_ctes``: subspace dims are
-    a[off+1 .. off+dsub], init centroids come from PQ_INIT_IDS slices,
-    rounds mirror the coarse chain exactly. Ends with s{sub}a{iters}
-    (the per-vector code = cluster label) and s{sub}c{iters-1} (the
-    codebook that produced it)."""
+def _pq_sub_ctes(
+    sub: int, iters: int = PQ_ITERS, dim: int = 64, src: str = "v",
+) -> str:
+    """Per-subspace Lloyd-replay CTEs (prefix s{sub}): with ``src="v"``
+    subspace dims come from the shared fixed-point vector CTE ``v``
+    (a[off+1 .. off+dsub]); with ``src="res"`` they come from the
+    residual row CTE ``res`` (vid, d, val) — the by_residual index.
+    Init centroids come from PQ_INIT_IDS slices, rounds mirror the
+    coarse chain exactly. Ends with s{sub}a{iters} (the per-vector
+    code = cluster label) and s{sub}c{iters-1} (the codebook that
+    produced it)."""
     dsub = dim // PQ_M
     off = sub * dsub
     ids = ", ".join(str(i) for i in PQ_INIT_IDS)
-    parts = [
-        f"""
+    if src == "v":
+        u_cte = f"""
         s{sub}u as (select vid, g.d, a[{off} + g.d] as val
-                    from v, generate_series(1, {dsub}) g(d)),
+                    from v, generate_series(1, {dsub}) g(d))"""
+    else:
+        u_cte = f"""
+        s{sub}u as (select vid, d - {off} as d, val from res
+                    where d > {off} and d <= {off + dsub})"""
+    parts = [
+        u_cte
+        + f""",
         s{sub}c0 as (select vid as cid, d, val as c
                      from s{sub}u where vid in ({ids}))"""
     ]
@@ -3940,6 +3951,105 @@ def _ann_pq_oracle(
               from cand c join adc
                 on adc.query_id = c.query_id
                and adc.neighbor_id = c.neighbor_id)
+    select query_id, neighbor_id, cast(rank as int) as rank, adc_score
+    from final where rank <= {ANN_K}
+    """
+
+
+def q_ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — FAISS's IndexIVFPQ default: the
+    per-subspace codebooks quantize v - coarse_centroid(v), whose spread
+    is the within-cell radius instead of the whole space (materially
+    finer cells at the same m x k code budget), and the probe scores
+    <q, cent_cluster> + <q, residual_reconstruction> — both exact
+    fixed-point dots, so the whole chain stays bit-replayable."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="spark_ann_pqr_")
+    ann.build_pq_index(
+        emb,
+        idx,
+        coarse_init_ids=KMEANS_INIT_IDS,
+        pq_init_ids=PQ_INIT_IDS,
+        m=PQ_M,
+        coarse_iterations=KMEANS_ITERS,
+        pq_iterations=PQ_ITERS,
+        by_residual=True,
+    )
+    queries = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        "vec_id", "embedding"
+    )
+    return ann.pq_index_probe(queries, idx, k=ANN_K, nprobe=IVF_NPROBE)
+
+
+def _ann_pq_residual_oracle(
+    iters: int = KMEANS_ITERS, piters: int = PQ_ITERS, nprobe: int = IVF_NPROBE
+) -> str:
+    """Residual-IVF-PQ replay: on top of the coarse Lloyd CTEs, ``res``
+    holds each vector's exact residual rows (u.val - assigned centroid
+    component); the per-subspace Lloyd chains train on ``res`` slices;
+    lookup tables dot the RAW query slices against residual codewords;
+    the final score adds the per-(query, probed-cluster) base term
+    <q, cent> — mirroring ann.pq_index_probe's by_residual identity."""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cb = f"c{iters - 1}"
+    dsub = 64 // PQ_M
+    subs = ",".join(_pq_sub_ctes(s, piters, src="res") for s in range(PQ_M))
+    luts = ",".join(
+        f"""
+        s{s}lut as (select q.vid as query_id, c.cid,
+                           sum(q.val * c.c)::bigint as dp
+                    from (select vid, d - {s * dsub} as d, val from u
+                          where d > {s * dsub} and d <= {(s + 1) * dsub}
+                            and vid in ({qids})) q
+                    join s{s}c{piters - 1} c using (d) group by 1, 2)"""
+        for s in range(PQ_M)
+    )
+    contribs = " union all ".join(
+        f"""select l.query_id, a.vid as neighbor_id, l.dp
+            from s{s}a{piters} a join s{s}lut l on l.cid = a.cluster"""
+        for s in range(PQ_M)
+    )
+    return f"""
+    {_kmeans_ctes(iters)},
+    res as (select u.vid, u.d, u.val - cb.c as val
+            from u
+            join a{iters} on a{iters}.vid = u.vid
+            join {cb} cb on cb.cid = a{iters}.cluster and cb.d = u.d),
+    {subs},
+    {luts},
+    adc as (select query_id, neighbor_id, sum(dp)::bigint as adc_score
+            from ({contribs}) group by 1, 2),
+    qc as (select u.vid as query_id, {cb}.cid as cluster,
+                  sum(u.val * {cb}.c)::bigint as qdotc
+           from u join {cb} using (d)
+           where u.vid in ({qids}) group by 1, 2),
+    psc as (select u.vid, {cb}.cid,
+                   (sum({cb}.c * {cb}.c) - 2 * sum(u.val * {cb}.c))::bigint
+                     as score
+            from u join {cb} using (d)
+            where u.vid in ({qids}) group by 1, 2),
+    pr as (select vid as query_id, cid as cluster from (
+             select vid, cid,
+                    row_number() over (partition by vid
+                                       order by score, cid) as rn
+             from psc) z
+           where rn <= {nprobe}),
+    cand as (select pr.query_id, pr.cluster, a{iters}.vid as neighbor_id
+             from pr join a{iters} on a{iters}.cluster = pr.cluster
+             where a{iters}.vid <> pr.query_id),
+    final as (select c.query_id, c.neighbor_id,
+                     (qc.qdotc + adc.adc_score)::bigint as adc_score,
+                     row_number() over (partition by c.query_id
+                                        order by qc.qdotc + adc.adc_score
+                                                   desc,
+                                                 c.neighbor_id asc) as rank
+              from cand c
+              join adc on adc.query_id = c.query_id
+                      and adc.neighbor_id = c.neighbor_id
+              join qc on qc.query_id = c.query_id
+                     and qc.cluster = c.cluster)
     select query_id, neighbor_id, cast(rank as int) as rank, adc_score
     from final where rank <= {ANN_K}
     """
@@ -4941,6 +5051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_soft": q_semantic_dedup_soft,
         "ann_pq": q_ann_pq,
+        "ann_pq_residual": q_ann_pq_residual,
         "epoch_shuffle": q_epoch_shuffle,
         "video_near_dups": q_video_near_dups,
         "unigram_train": q_unigram_train,
@@ -4956,8 +5067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg_sorted": q_array_agg_sorted,
         "token_positions": q_token_positions,
         "nullsafe_join": q_nullsafe_join,
-        "retention_cohorts": q_retention_cohorts,
         # ---- driver gate window (50) ends here ----
+        "retention_cohorts": q_retention_cohorts,
         "profile_stats": q_profile_stats,
         "bitmap_distinct": q_bitmap_distinct,
         "grouping_sets_revenue": q_grouping_sets_revenue,
@@ -5520,6 +5631,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "semantic_dedup_soft": _semantic_dedup_soft_oracle(),
         "ann_pq": _ann_pq_oracle(),
+        "ann_pq_residual": _ann_pq_residual_oracle(),
         "video_near_dups": _video_near_dups_oracle(),
         "unigram_train": _unigram_oracle(),
         "unigram_segment": _unigram_segment_oracle(),

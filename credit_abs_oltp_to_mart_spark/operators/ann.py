@@ -777,10 +777,8 @@ def pq_train(
     from credit_abs_oltp_to_mart_spark.operators.kmeans import (
         FP_SCALE,
         _to_fp,
-        kmeans_train,
     )
 
-    dsub = dim // m
     # ONE fixed-point pass + checkpoint feeds all m sub-trainings
     # (fixed-pointing is elementwise: slice(to_fp(v)) == to_fp(slice(v)),
     # so per-subspace results are bit-identical to training on raw
@@ -789,6 +787,26 @@ def pq_train(
     v = emb.select(
         "vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa")
     ).localCheckpoint(eager=True)
+    return pq_train_fp(
+        v, m=m, init_ids=init_ids, iterations=iterations, dim=dim
+    )
+
+
+def pq_train_fp(
+    v: DataFrame,
+    *,
+    m: int,
+    init_ids: list[int],
+    iterations: int = 2,
+    dim: int = 64,
+) -> list[dict[int, list[int]]]:
+    """``pq_train`` over an ALREADY fixed-point (vec_id, __fa) frame —
+    the entry point for residual encoding, where __fa holds the exact
+    bigint residual v_fp - coarse_centroid_fp instead of the raw
+    vector's fixed-point image."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+
+    dsub = dim // m
     books: list[dict[int, list[int]]] = []
     for s in range(m):
         sub = v.select(
@@ -842,20 +860,30 @@ def build_pq_index(
     dim: int = 64,
     vec_col: str = "embedding",
     codebook_as_literals: bool | None = None,
+    by_residual: bool = False,
 ) -> None:
     """BUILD-once half of the persisted IVF-PQ index — the layout FAISS
-    calls IndexIVFPQ (no residual encoding: PQ codebooks are trained on
-    the raw vectors, which keeps every persisted quantity exact-integer
-    replayable):
+    calls IndexIVFPQ:
 
       ``<index_dir>/centroids``     (cid, cent) — the coarse fixed-point
           codebook (same format as ``build_ivf_index``);
       ``<index_dir>/pq_codebooks``  (sub, cid, cent) — m per-subspace
           codebooks (k rows each, fixed-point);
+      ``<index_dir>/pq_meta``       (by_residual, m) — the probe needs to
+          know which scoring identity the codes were built under;
       ``<index_dir>/postings``      (vec_id, pq_codes) PARTITIONED BY
           cluster — the inverted file, holding ONLY the m dense code ids
           per vector: m bytes of payload against dim floats raw, the
           16-64x compression tier under scalar quantization's 4-8x.
+
+    ``by_residual=False`` trains the PQ codebooks on the raw vectors;
+    ``=True`` is FAISS's default refinement: codebooks quantize the
+    RESIDUAL v - coarse_centroid(v), whose spread is the within-cell
+    radius instead of the whole space — materially finer cells at the
+    same m x k code budget. Residuals are exact bigint differences of
+    fixed-point values, so every persisted quantity stays
+    engine-replayable; the probe then scores
+    <q, cent_cluster> + <q, residual_reconstruction>, both exact.
 
     The probe side (``pq_index_probe``) never reads the float corpus:
     candidates are scored in the compressed domain via per-query
@@ -867,16 +895,47 @@ def build_pq_index(
     )
 
     spark = emb.sparkSession
+    v = emb.select(
+        "vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa")
+    ).localCheckpoint(eager=True)
     assign, coarse = kmeans_train(
-        emb,
+        v,
         init_ids=coarse_init_ids,
         iterations=coarse_iterations,
-        vec_col=vec_col,
+        vec_col="__fa",
         codebook_as_literals=codebook_as_literals,
+        prescaled=True,
     )
-    books = pq_train(
-        emb, m=m, init_ids=pq_init_ids, iterations=pq_iterations,
-        dim=dim, vec_col=vec_col,
+    if by_residual:
+        cents_frame = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(cid), [int(x) for x in coarse[cid]])
+                    for cid in sorted(coarse)
+                ],
+                "cluster bigint, __cent array<bigint>",
+            )
+        )
+        enc = (
+            v.join(assign.select("vec_id", "cluster"), "vec_id")
+            .join(cents_frame, "cluster")
+            .select(
+                "vec_id",
+                "cluster",
+                F.expr("zip_with(__fa, __cent, (x, y) -> x - y)").alias(
+                    "__fa"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # codes are cluster-independent here: train from the checkpointed
+        # fp frame directly (no per-round re-join), attach clusters only
+        # for the postings write
+        enc = v.join(assign.select("vec_id", "cluster"), "vec_id")
+    books = pq_train_fp(
+        enc if by_residual else v,
+        m=m, init_ids=pq_init_ids, iterations=pq_iterations, dim=dim,
     )
     spark.createDataFrame(
         [(int(cid), [int(x) for x in coarse[cid]]) for cid in sorted(coarse)],
@@ -890,12 +949,15 @@ def build_pq_index(
         ],
         "sub int, cid bigint, cent array<bigint>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
-    v = emb.select("vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa"))
+    spark.createDataFrame(
+        [(bool(by_residual), int(m))], "by_residual boolean, m int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_meta")
     (
-        v.select("vec_id", F.array(*pq_code_columns(books, "__fa")).alias(
-            "pq_codes"
-        ))
-        .join(assign.select("vec_id", "cluster"), "vec_id")
+        enc.select(
+            "vec_id",
+            "cluster",
+            F.array(*pq_code_columns(books, "__fa")).alias("pq_codes"),
+        )
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(f"{index_dir}/postings")
@@ -943,6 +1005,12 @@ def pq_index_probe(
     query with the candidate's PQ reconstruction, so ranking (score desc,
     id asc) is integer-deterministic and engine-exact.
 
+    Under a ``by_residual`` index (``pq_meta``) the identity is
+    <q, v> ~ <q, cent_cluster> + <q, residual_reconstruction>: the
+    per-(query, probed-cluster) base term <q, cent> is one more exact
+    fixed-point dot computed on the tiny probe side; the lookup tables
+    hold residual-codeword dots. Candidates still cost m array lookups.
+
     Returns (query_id, neighbor_id, rank, adc_score); adc_score is in
     fp_scale^2 fixed-point inner-product units."""
     from credit_abs_oltp_to_mart_spark.operators.kmeans import (
@@ -957,6 +1025,8 @@ def pq_index_probe(
     spark = queries.sparkSession
     coarse = load_index_codebook(spark, index_dir)
     books = load_pq_codebooks(spark, index_dir)
+    meta = spark.read.parquet(f"{index_dir}/pq_meta").collect()[0]
+    by_residual = bool(meta["by_residual"])
     m = len(books)
     dsub = len(next(iter(books[0].values())))
     qsrc = queries.select(
@@ -981,13 +1051,32 @@ def pq_index_probe(
                 )
             )
         lut_cols.append(F.array(*dots).alias(f"__lut{s}"))
+    if by_residual:
+        # base term per probed cluster: <q, cent> as a (cid -> dot)
+        # literal lookup — k entries, probe-side only
+        base_entries = []
+        for cid in sorted(coarse):
+            lits = ", ".join(str(x) + "L" for x in coarse[cid])
+            base_entries.append(
+                f"struct({cid}L as cid,"
+                f" aggregate(zip_with(__qa, array({lits}),"
+                f" (x, y) -> x * y), 0L, (acc, x) -> acc + x) as dot)"
+            )
+        qdotc = F.expr(
+            f"filter(array({', '.join(base_entries)}),"
+            f" e -> e.cid = pr.cid)[0].dot"
+        )
+    else:
+        qdotc = F.lit(0).cast("long")
     probes = qsrc.select(
         "query_id",
+        "__qa",
         F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
         *lut_cols,
     ).select(
         "query_id",
         F.col("pr.cid").cast("bigint").alias("cluster"),
+        qdotc.alias("__qdotc"),
         *[f"__lut{s}" for s in range(m)],
     )
     members = spark.read.parquet(f"{index_dir}/postings").select(
@@ -995,10 +1084,9 @@ def pq_index_probe(
         "pq_codes",
         F.col("cluster").cast("bigint").alias("cluster"),
     )
-    adc = None
+    adc = F.col("__qdotc")
     for s in range(m):
-        term = F.get(F.col(f"__lut{s}"), F.col("pq_codes").getItem(s))
-        adc = term if adc is None else adc + term
+        adc = adc + F.get(F.col(f"__lut{s}"), F.col("pq_codes").getItem(s))
     scored = (
         members.join(F.broadcast(probes), "cluster")
         .where(F.col("neighbor_id") != F.col("query_id"))

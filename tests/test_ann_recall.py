@@ -259,3 +259,29 @@ def test_pq_index_recall_on_planted_neighbors(spark, planted, tmp_path):
     approx = ann.pq_index_probe(queries, idx, k=1, nprobe=4)
     mean = _mean_recall(spark, approx, exact)
     assert mean >= 0.85, f"IVF-PQ planted recall {mean:.3f} < 0.85"
+
+
+def test_pq_residual_recall_and_finer_cells(spark, planted, tmp_path):
+    """Residual encoding must retrieve the planted twins too — and with
+    COARSER sub-codebooks than the raw-vector mode needs, because the
+    codewords only have to span the within-cell radius. 8 codewords per
+    16-dim subspace (which left raw-mode recall at 0.68) suffice here."""
+    emb, qids = planted
+    exact = ann.brute_force_topk(emb, qids, k=1)
+    idx = str(tmp_path / "pq_res_index")
+    ann.build_pq_index(
+        emb,
+        idx,
+        coarse_init_ids=list(range(0, 64, 8)),
+        pq_init_ids=list(range(4, 68, 8)),
+        m=4,
+        coarse_iterations=3,
+        pq_iterations=2,
+        by_residual=True,
+    )
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id").isin(qids))
+    approx = ann.pq_index_probe(queries, idx, k=1, nprobe=4)
+    mean = _mean_recall(spark, approx, exact)
+    assert mean >= 0.85, f"residual IVF-PQ planted recall {mean:.3f} < 0.85"

@@ -537,20 +537,54 @@ def test_pq_index_probe_prunes_partitions_never_scans_floats(spark):
     query-vector side with the vec_id IN filter pushed to the reader."""
     import re
 
-    df = entry_mod.queries()["ann_pq"](spark, SF_DIR)
-    p = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+    for qname in ("ann_pq", "ann_pq_residual"):
+        df = entry_mod.queries()[qname](spark, SF_DIR)
+        p = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
-    )
-    assert "dynamicpruningexpression" in p, p
-    blocks = re.split(r"\n\n", p)
-    emb_blocks = [b for b in blocks if "embeddings.parquet" in b]
-    assert emb_blocks, p
-    for b in emb_blocks:
-        assert re.search(r"PushedFilters: \[In\(vec_id", b), b
-    # the postings scan reads codes, never a float embedding column
-    post_blocks = [b for b in blocks if "/postings" in b]
-    assert post_blocks, p
-    for b in post_blocks:
-        assert "pq_codes" in b and "embedding" not in b, b
+        assert "dynamicpruningexpression" in p, (qname, p)
+        blocks = re.split(r"\n\n", p)
+        emb_blocks = [b for b in blocks if "embeddings.parquet" in b]
+        assert emb_blocks, (qname, p)
+        for b in emb_blocks:
+            assert re.search(r"PushedFilters: \[In\(vec_id", b), (qname, b)
+        # the postings scan reads codes, never a float embedding column
+        post_blocks = [b for b in blocks if "/postings" in b]
+        assert post_blocks, (qname, p)
+        for b in post_blocks:
+            assert "pq_codes" in b and "embedding" not in b, (qname, b)
+
+
+def test_video_near_dups_band_join_never_cartesian(spark):
+    """Frame-pair candidates must come from the banded equi-join: a
+    CartesianProduct / BroadcastNestedLoopJoin on the frame side means
+    candidate generation degraded to all-pairs across frames."""
+    p = _plan(spark, "video_near_dups")
+    assert "CartesianProduct" not in p, p
+    # the only BNLJ allowed would be a literal one-row side; the frame
+    # fingerprint side must never appear under one
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_unigram_segment_corpus_never_shuffles_on_word(spark):
+    """The scoring pass's corpus token stream joins the BROADCAST
+    word-level segmentation results — the corpus side must reach its
+    per-doc aggregation without a word-key exchange (one doc_id
+    aggregation exchange + the one-row model broadcast only)."""
+    from credit_abs_oltp_to_mart_spark.operators import unigram
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _, weights = unigram.unigram_train(docs, rounds=1, vocab_size=40)
+    out = unigram.unigram_segment_stats(docs, weights)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    # exactly ONE word-key exchange is inherent: the distinct-word table
+    # build (word-table sized). The corpus token stream itself is the
+    # broadcast-join PROBE side and must contribute none beyond it.
+    word_exchanges = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning(word" in ln
+    ]
+    assert len(word_exchanges) <= 1, p
