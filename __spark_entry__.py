@@ -4974,6 +4974,151 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-facing tail composed end to end (clean corpus ->
+    temperature mixture -> packed replicated shards -> loader manifest ->
+    two seeded epoch orders), folded into violation counts like
+    ``corpus_pipeline``: the oracle is the invariant CONTRACT (constant
+    all-zeros), so a mixture bound breach, a non-permutation epoch order,
+    seed collapse, a packed chunk from an unadmitted doc, an offset/bin
+    mismatch, or a lossy manifest roll-up each flip a count and break
+    the value hash."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        WEIGHT_FP_SCALE,
+    )
+    from credit_abs_oltp_to_mart_spark.plans.corpus import (
+        build_training_manifest,
+    )
+
+    stride = 64
+    stages = build_training_manifest(
+        _t(spark, sf_dir, "documents"), copy_id_stride=stride
+    )
+    train = stages["train"]
+    weights, mixture = stages["weights"], stages["mixture"].persist()
+    packed, manifest = stages["packed_mix"].persist(), stages["manifest"]
+    epochs = stages["epochs"].persist()
+
+    def viol(name: str, df: DataFrame, cond=None) -> DataFrame:
+        src = df.where(cond) if cond is not None else df
+        return src.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations")
+        ).select(F.lit(name).alias("invariant"), "n_violations")
+
+    # per-doc replication stays within [floor(factor), floor(factor)+1]
+    # and copy numbers are dense 1..n_copies
+    f_u = F.floor(
+        F.col("sample_factor") * WEIGHT_FP_SCALE + F.lit(0.5)
+    ).cast("bigint")
+    base = (f_u / WEIGHT_FP_SCALE).cast("bigint")
+    per_doc = (
+        mixture.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("copy_no").alias("max_copy"),
+        )
+        .join(F.broadcast(weights.select("lang", "sample_factor")), "lang")
+        .withColumn("__base", base)
+    )
+    # every epoch order is a permutation of the manifest's (shard, bin)
+    mcount = manifest.agg(F.count(F.lit(1)).alias("__m"))
+    epstats = (
+        epochs.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("read_order").alias("nd"),
+            F.countDistinct("shard", "bin").alias("ndk"),
+            F.min("read_order").alias("mn"),
+            F.max("read_order").alias("mx"),
+        )
+        .crossJoin(F.broadcast(mcount))
+    )
+    # the two seeds must not produce the same order
+    e0 = epochs.where(F.col("epoch") == 0).select(
+        "shard", "bin", F.col("read_order").alias("o0")
+    )
+    e1 = epochs.where(F.col("epoch") == 1).select(
+        "shard", "bin", F.col("read_order").alias("o1")
+    )
+    seed_cmp = (
+        e0.join(e1, ["shard", "bin"])
+        .agg(
+            F.sum(
+                F.when(F.col("o0") != F.col("o1"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__ndiff")
+        )
+        .select(
+            F.lit("epoch_orders_differ").alias("invariant"),
+            F.when(F.col("__ndiff") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    # manifest roll-up is lossless over the packed chunks
+    lossless = (
+        manifest.agg(F.sum("n_chunks").alias("__mc"))
+        .crossJoin(F.broadcast(packed.agg(F.count(F.lit(1)).alias("__pc"))))
+        .select(
+            F.lit("manifest_lossless").alias("invariant"),
+            F.when(F.col("__mc") != F.col("__pc"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    frames = [
+        viol(
+            "mixture_copy_bounds",
+            per_doc,
+            (F.col("n_copies") < F.col("__base"))
+            | (F.col("n_copies") > F.col("__base") + 1)
+            | (F.col("max_copy") != F.col("n_copies")),
+        ),
+        viol(
+            "epoch_permutation",
+            epstats,
+            (F.col("n") != F.col("__m"))
+            | (F.col("nd") != F.col("__m"))
+            | (F.col("ndk") != F.col("__m"))
+            | (F.col("mn") != 1)
+            | (F.col("mx") != F.col("__m")),
+        ),
+        seed_cmp,
+        viol(
+            "packed_only_admitted",
+            packed.select(
+                F.expr(f"doc_id div {stride}").alias("doc_id")
+            ).join(train.select("doc_id"), "doc_id", "left_anti"),
+        ),
+        viol(
+            "bin_offset_consistency",
+            packed,
+            F.col("bin") != F.expr("start_tok div 256"),
+        ),
+        lossless,
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_TRAINING_MANIFEST_ORACLE = """
+    select invariant, n_violations::bigint as n_violations
+    from (values
+        ('mixture_copy_bounds', 0),
+        ('epoch_permutation', 0),
+        ('epoch_orders_differ', 0),
+        ('packed_only_admitted', 0),
+        ('bin_offset_consistency', 0),
+        ('manifest_lossless', 0)
+    ) t(invariant, n_violations)
+"""
+
+
 _CORPUS_PIPELINE_ORACLE = """
     select invariant, n_violations::bigint as n_violations
     from (values
@@ -5056,6 +5201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dups": q_video_near_dups,
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
+        "training_manifest": q_training_manifest,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -5066,8 +5212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_explode": q_map_explode,
         "array_agg_sorted": q_array_agg_sorted,
         "token_positions": q_token_positions,
-        "nullsafe_join": q_nullsafe_join,
         # ---- driver gate window (50) ends here ----
+        "nullsafe_join": q_nullsafe_join,
         "retention_cohorts": q_retention_cohorts,
         "profile_stats": q_profile_stats,
         "bitmap_distinct": q_bitmap_distinct,
@@ -5635,6 +5781,7 @@ def oracle_sql() -> dict[str, str]:
         "video_near_dups": _video_near_dups_oracle(),
         "unigram_train": _unigram_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
+        "training_manifest": _TRAINING_MANIFEST_ORACLE,
         "epoch_shuffle": f"""
             with p as ({_pack_chunks_oracle()}),
             mf as (select shard, bin, sum(n_tokens)::bigint as filled_tokens

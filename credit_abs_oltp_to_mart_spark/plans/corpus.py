@@ -320,3 +320,81 @@ def main(argv: list[str]) -> int:
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv))
+
+
+def build_training_manifest(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    bin_tokens: int = 256,
+    shards: int = 8,
+    epoch_seeds: tuple[int, ...] = (0, 1),
+    min_tokens: int = 8,
+    copy_id_stride: int = 64,
+) -> dict[str, DataFrame]:
+    """The trainer-facing TAIL of the pipeline, composed end to end: the
+    cleaned train split from ``build_corpus`` feeds the temperature
+    mixture (``mixture_weights`` -> ``mixture_apply``), the REPLICATED
+    corpus packs into fixed-width shard bins (copy k of doc d packs
+    under id d * ``copy_id_stride`` + k, so copies are distinct pack
+    units and the base doc is recoverable by integer division), the
+    packed table rolls up into the loader manifest, and each seed in
+    ``epoch_seeds`` yields its deterministic epoch read order — exactly
+    the artifact chain a distributed trainer consumes: WHAT to read
+    (manifest), HOW MUCH of each domain (mixture), in WHAT order per
+    epoch (epoch_shuffle).
+
+    Scale posture is inherited piecewise from the parts, all
+    individually plan-gated: map-only gate, single-shuffle dedup,
+    broadcast decontamination, broadcast domain weights + map-only
+    replication, one shard shuffle for packing, one integer groupBy for
+    the manifest, bucket-partitioned epoch rank. ``copy_id_stride``
+    bounds per-doc replication (sample_factor must stay below it — at
+    temperature alpha = 0.5 factors are single digits).
+
+    Returns every stage of ``build_corpus`` plus train / weights /
+    mixture / packed_mix / manifest / epochs."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        epoch_shuffle,
+        mixture_apply,
+        mixture_weights,
+        pack_manifest,
+    )
+
+    stages = build_corpus(
+        docs,
+        chunk_tokens=chunk_tokens,
+        bin_tokens=bin_tokens,
+        shards=shards,
+        min_tokens=min_tokens,
+    )
+    train = stages["clean"].where(F.col("split") == "train").persist()
+    weights = mixture_weights(train)
+    copies = mixture_apply(train, weights)
+    rep = copies.join(train.select("doc_id", "text"), "doc_id").select(
+        (F.col("doc_id") * copy_id_stride + F.col("copy_no")).alias("doc_id"),
+        "text",
+    )
+    packed = pack_chunks(
+        rep, chunk_tokens=chunk_tokens, bin_tokens=bin_tokens, shards=shards
+    )
+    manifest = pack_manifest(packed).persist()
+    epochs = None
+    for seed in epoch_seeds:
+        e = epoch_shuffle(manifest, seed=seed).select(
+            F.lit(seed).cast("int").alias("epoch"),
+            "read_order",
+            "shard",
+            "bin",
+            "filled_tokens",
+        )
+        epochs = e if epochs is None else epochs.unionByName(e)
+    stages.update(
+        train=train,
+        weights=weights,
+        mixture=copies,
+        packed_mix=packed,
+        manifest=manifest,
+        epochs=epochs,
+    )
+    return stages
