@@ -985,6 +985,7 @@ def pq_index_probe(
     nprobe: int = 2,
     vec_col: str = "embedding",
     codebook_as_literals: bool | None = None,
+    include_incremental: bool = False,
 ) -> DataFrame:
     """SERVE-many half of the persisted IVF-PQ index: asymmetric-distance
     (ADC) scoring of the compressed postings, no training, no scan of the
@@ -1083,15 +1084,50 @@ def pq_index_probe(
         F.col("vec_id").alias("neighbor_id"),
         "pq_codes",
         F.col("cluster").cast("bigint").alias("cluster"),
+        F.lit(-1).cast("long").alias("__b"),
     )
+    has_inc = False
+    if include_incremental:
+        # batch-scoped postings appended by pq_ingest_batch since the
+        # last rebuild — same LSM union shape as ivf_index_probe
+        from pyspark.errors import AnalysisException
+
+        try:
+            inc = spark.read.parquet(f"{index_dir}/postings_inc").select(
+                F.col("vec_id").alias("neighbor_id"),
+                "pq_codes",
+                F.col("cluster").cast("bigint").alias("cluster"),
+                F.col("ingest_batch").cast("long").alias("__b"),
+            )
+            members = members.unionByName(inc)
+            has_inc = True
+        except AnalysisException:
+            pass  # no incremental postings yet — base-only probe
     adc = F.col("__qdotc")
     for s in range(m):
         adc = adc + F.get(F.col(f"__lut{s}"), F.col("pq_codes").getItem(s))
     scored = (
         members.join(F.broadcast(probes), "cluster")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.cast("bigint").alias("adc_score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__b",
+            adc.cast("bigint").alias("adc_score"),
+        )
     )
+    if has_inc:
+        # LSM read-your-latest on the probe-joined candidate set (same
+        # rationale and bound as ivf_index_probe)
+        wd = Window.partitionBy("query_id", "neighbor_id").orderBy(
+            F.col("__b").desc()
+        )
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(wd))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    scored = scored.drop("__b")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id").asc()
     )
@@ -1100,3 +1136,68 @@ def pq_index_probe(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_score")
     )
+
+
+def pq_ingest_batch(
+    batch: DataFrame,
+    index_dir: str,
+    *,
+    batch_id: int,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> DataFrame:
+    """Online half of the persisted IVF-PQ index — encode ONE batch of
+    NEW vectors against the FIXED persisted codebooks (no retraining,
+    the same offline-train / online-assign regime ``stream_ann_ingest``
+    runs for the scalar-quantized index) and append it as a batch-scoped
+    partition under ``<index_dir>/postings_inc/batch=<batch_id>``.
+
+    Bit-parity with the build: coarse assignment goes through
+    ``assign_against_codebook`` (same integer score + tiebreak), PQ
+    codes through the same ``pq_code_columns`` argmin over the persisted
+    sub-codebooks — under ``by_residual`` the residual is the same exact
+    bigint difference — so a vector ingested online gets exactly the
+    posting a rebuild would give it. Map-only (codebooks ship as plan
+    literals / broadcast); the batch-id-scoped overwrite is idempotent
+    under crash replay. Returns (vec_id, cluster) for the ingested rows."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _to_fp,
+    )
+
+    spark = batch.sparkSession
+    coarse = load_index_codebook(spark, index_dir)
+    books = load_pq_codebooks(spark, index_dir)
+    meta = spark.read.parquet(f"{index_dir}/pq_meta").collect()[0]
+    assigned = assign_against_codebook(
+        batch, coarse, vec_col=vec_col,
+        codebook_as_literals=codebook_as_literals,
+    )
+    v = batch.select(
+        "vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa")
+    ).join(assigned, "vec_id")
+    if bool(meta["by_residual"]):
+        cents_frame = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(cid), [int(x) for x in coarse[cid]])
+                    for cid in sorted(coarse)
+                ],
+                "cluster bigint, __cent array<bigint>",
+            )
+        )
+        v = v.join(cents_frame, "cluster").select(
+            "vec_id",
+            "cluster",
+            F.expr("zip_with(__fa, __cent, (x, y) -> x - y)").alias("__fa"),
+        )
+    out = v.select(
+        "vec_id",
+        "cluster",
+        F.array(*pq_code_columns(books, "__fa")).alias("pq_codes"),
+        F.lit(batch_id).cast("long").alias("ingest_batch"),
+    )
+    out.write.mode("overwrite").parquet(
+        f"{index_dir}/postings_inc/batch={batch_id}"
+    )
+    return out.select("vec_id", "cluster")

@@ -207,3 +207,93 @@ def test_union_probe_dedups_re_ingested_vector(spark, tmp_path):
     assert 2 in neighbors and 300 in neighbors
     # ranks stay dense 1..n
     assert sorted(r["rank"] for r in got) == list(range(1, len(got) + 1))
+
+
+def test_pq_ingest_parity_with_build(spark, tmp_path):
+    """A vector ingested online against the persisted codebooks must get
+    EXACTLY the posting a full rebuild would give it (same cluster, same
+    pq codes) — the offline-train / online-assign contract, in both
+    by_residual modes."""
+    for by_residual in (False, True):
+        idx_base = str(tmp_path / f"base_{int(by_residual)}")
+        ann.build_pq_index(
+            _emb(spark, BASE), idx_base,
+            coarse_init_ids=[0, 1], pq_init_ids=[0, 1, 2],
+            m=2, coarse_iterations=2, pq_iterations=2, dim=DIM,
+            by_residual=by_residual,
+        )
+        ann.pq_ingest_batch(_emb(spark, S1), idx_base, batch_id=0)
+        ingested = {
+            r["vec_id"]: (r["cluster"], list(r["pq_codes"]))
+            for r in spark.read.parquet(
+                f"{idx_base}/postings_inc"
+            ).collect()
+        }
+        # re-derive expected codes by running the build-time encode path
+        # on base+batch under the base codebooks
+        from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+            FP_SCALE, _to_fp,
+        )
+        coarse = ann.load_index_codebook(spark, idx_base)
+        books = ann.load_pq_codebooks(spark, idx_base)
+        batch = _emb(spark, S1)
+        assigned = ann.assign_against_codebook(batch, coarse)
+        v = batch.select(
+            "vec_id", _to_fp("embedding", FP_SCALE).alias("__fa")
+        ).join(assigned, "vec_id")
+        if by_residual:
+            cents_frame = F.broadcast(
+                spark.createDataFrame(
+                    [(int(c), [int(x) for x in coarse[c]])
+                     for c in sorted(coarse)],
+                    "cluster bigint, __cent array<bigint>",
+                )
+            )
+            v = v.join(cents_frame, "cluster").select(
+                "vec_id", "cluster",
+                F.expr("zip_with(__fa, __cent, (x, y) -> x - y)").alias(
+                    "__fa"
+                ),
+            )
+        expected = {
+            r["vec_id"]: (r["cluster"], list(r["pq_codes"]))
+            for r in v.select(
+                "vec_id", "cluster",
+                F.array(*ann.pq_code_columns(books, "__fa")).alias(
+                    "pq_codes"
+                ),
+            ).collect()
+        }
+        assert ingested == expected, (by_residual, ingested, expected)
+
+
+def test_pq_union_probe_serves_ingested_and_dedups(spark, tmp_path):
+    """The PQ union probe must retrieve a vector that arrived ONLY as an
+    incremental posting, and a re-ingested base vector must occupy one
+    candidate slot (LSM read-your-latest), in both by_residual modes."""
+    for by_residual in (False, True):
+        idx = str(tmp_path / f"pqu_{int(by_residual)}")
+        ann.build_pq_index(
+            _emb(spark, BASE), idx,
+            coarse_init_ids=[0, 1], pq_init_ids=[0, 1, 2],
+            m=2, coarse_iterations=2, pq_iterations=2, dim=DIM,
+            by_residual=by_residual,
+        )
+        # batch: one new near-copy of base 0, plus base vector 2 verbatim
+        ann.pq_ingest_batch(
+            _emb(spark, [(200, [0.99, 0.01, 0.0, 0.0]),
+                         (2, [0.9, 0.1, 0.0, 0.0])]),
+            idx, batch_id=3,
+        )
+        queries = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+        got = ann.pq_index_probe(
+            queries, idx, k=4, nprobe=1, include_incremental=True
+        ).collect()
+        neighbors = [r["neighbor_id"] for r in got]
+        assert 200 in neighbors, (by_residual, got)
+        assert len(neighbors) == len(set(neighbors)), (by_residual, got)
+        # base-only probe ignores the overlay
+        base_only = ann.pq_index_probe(queries, idx, k=4, nprobe=1)
+        assert 200 not in [
+            r["neighbor_id"] for r in base_only.collect()
+        ], by_residual
