@@ -617,9 +617,12 @@ def ivf_index_probe(
         # probe-joined candidate set, never the full postings table.
         # (A vector whose UPDATE moved it across clusters still needs
         # compaction to retire the old-cluster posting — compact_keyed_
-        # store is that path.)
+        # store is that path.)  The score tiebreak makes the kept row
+        # deterministic even if one ingest batch carries the same vec_id
+        # twice with different vectors (same __b): the higher score wins,
+        # so the engine-exact replay guarantee holds for any input.
         wd = Window.partitionBy("query_id", "neighbor_id").orderBy(
-            F.col("__b").desc()
+            F.col("__b").desc(), F.col("score").desc()
         )
         scored = (
             scored.withColumn("__rn", F.row_number().over(wd))
@@ -869,8 +872,10 @@ def build_pq_index(
           codebook (same format as ``build_ivf_index``);
       ``<index_dir>/pq_codebooks``  (sub, cid, cent) — m per-subspace
           codebooks (k rows each, fixed-point);
-      ``<index_dir>/pq_meta``       (by_residual, m) — the probe needs to
-          know which scoring identity the codes were built under;
+      ``<index_dir>/pq_meta``       (by_residual, m, dim) — the probe
+          needs to know which scoring identity the codes were built
+          under; ``dim`` lets online ingest reject wrong-width batches
+          loudly instead of encoding truncated garbage;
       ``<index_dir>/postings``      (vec_id, pq_codes) PARTITIONED BY
           cluster — the inverted file, holding ONLY the m dense code ids
           per vector: m bytes of payload against dim floats raw, the
@@ -950,7 +955,8 @@ def build_pq_index(
         "sub int, cid bigint, cent array<bigint>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
     spark.createDataFrame(
-        [(bool(by_residual), int(m))], "by_residual boolean, m int"
+        [(bool(by_residual), int(m), int(dim))],
+        "by_residual boolean, m int, dim int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_meta")
     (
         enc.select(
@@ -1016,6 +1022,7 @@ def pq_index_probe(
     fp_scale^2 fixed-point inner-product units."""
     from credit_abs_oltp_to_mart_spark.operators.kmeans import (
         FP_SCALE,
+        LITERAL_CODEBOOK_MAX_VALUES,
         _to_fp,
         centroid_score_structs,
         codebook_frame,
@@ -1030,48 +1037,97 @@ def pq_index_probe(
     by_residual = bool(meta["by_residual"])
     m = len(books)
     dsub = len(next(iter(books[0].values())))
+    lit_coarse = use_literal_codebook(coarse, codebook_as_literals)
+    # PQ codebooks hold m*k*dsub = k*dim values — the same plan-size
+    # hazard the coarse literal cap guards, resolved with the same dial:
+    # explicit flag wins, None auto-selects by total value count
+    if codebook_as_literals is not None:
+        lit_pq = codebook_as_literals
+    else:
+        lit_pq = (
+            sum(len(b) * dsub for b in books) <= LITERAL_CODEBOOK_MAX_VALUES
+        )
     qsrc = queries.select(
         F.col("vec_id").alias("query_id"),
         _to_fp(vec_col, FP_SCALE).alias("__qa"),
     )
-    if use_literal_codebook(coarse, codebook_as_literals):
+    if lit_coarse:
         ranked = F.array_sort(F.array(*centroid_score_structs(coarse, "__qa")))
     else:
         qsrc = qsrc.crossJoin(F.broadcast(codebook_frame(spark, coarse)))
         ranked = F.array_sort(codebook_score_structs_expr("__qa"))
     lut_cols = []
-    for s, cents in enumerate(books):
-        dots = []
-        for cid in sorted(cents):
-            lits = ", ".join(str(x) + "L" for x in cents[cid])
-            dots.append(
-                F.expr(
-                    f"aggregate(zip_with(slice(__qa, {s * dsub + 1}, {dsub}),"
-                    f" array({lits}), (x, y) -> x * y),"
-                    " 0L, (acc, x) -> acc + x)"
+    if lit_pq:
+        for s, cents in enumerate(books):
+            dots = []
+            for cid in sorted(cents):
+                lits = ", ".join(str(x) + "L" for x in cents[cid])
+                dots.append(
+                    F.expr(
+                        f"aggregate(zip_with("
+                        f"slice(__qa, {s * dsub + 1}, {dsub}),"
+                        f" array({lits}), (x, y) -> x * y),"
+                        " 0L, (acc, x) -> acc + x)"
+                    )
+                )
+            lut_cols.append(F.array(*dots).alias(f"__lut{s}"))
+    else:
+        # large-k transport: the m codebooks ride the broadcast manager
+        # as ONE one-row frame (__pqcb[s] = codewords of subspace s in
+        # cid order); each LUT is a HOF transform over its subspace —
+        # identical arithmetic to the literal path, O(1) plan size
+        pq_row = [
+            [[int(x) for x in cents[cid]] for cid in sorted(cents)]
+            for cents in books
+        ]
+        qsrc = qsrc.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(pq_row,)], "__pqcb array<array<array<bigint>>>"
                 )
             )
-        lut_cols.append(F.array(*dots).alias(f"__lut{s}"))
-    if by_residual:
-        # base term per probed cluster: <q, cent> as a (cid -> dot)
-        # literal lookup — k entries, probe-side only
-        base_entries = []
-        for cid in sorted(coarse):
-            lits = ", ".join(str(x) + "L" for x in coarse[cid])
-            base_entries.append(
-                f"struct({cid}L as cid,"
-                f" aggregate(zip_with(__qa, array({lits}),"
-                f" (x, y) -> x * y), 0L, (acc, x) -> acc + x) as dot)"
-            )
-        qdotc = F.expr(
-            f"filter(array({', '.join(base_entries)}),"
-            f" e -> e.cid = pr.cid)[0].dot"
         )
+        for s in range(m):
+            lut_cols.append(
+                F.expr(
+                    f"transform(element_at(__pqcb, {s + 1}), cw ->"
+                    f" aggregate(zip_with("
+                    f"slice(__qa, {s * dsub + 1}, {dsub}), cw,"
+                    f" (x, y) -> x * y), 0L, (acc, x) -> acc + x))"
+                ).alias(f"__lut{s}")
+            )
+    if by_residual:
+        if lit_coarse:
+            # base term per probed cluster: <q, cent> as a (cid -> dot)
+            # literal lookup — k entries, probe-side only
+            base_entries = []
+            for cid in sorted(coarse):
+                lits = ", ".join(str(x) + "L" for x in coarse[cid])
+                base_entries.append(
+                    f"struct({cid}L as cid,"
+                    f" aggregate(zip_with(__qa, array({lits}),"
+                    f" (x, y) -> x * y), 0L, (acc, x) -> acc + x) as dot)"
+                )
+            qdotc = F.expr(
+                f"filter(array({', '.join(base_entries)}),"
+                f" e -> e.cid = pr.cid)[0].dot"
+            )
+        else:
+            # broadcast-path base term: the joined __cbk column already
+            # carries every coarse centroid — pick the probed cluster's
+            # and dot it with the query, same exact bigint arithmetic
+            qdotc = F.expr(
+                "aggregate(zip_with(__qa,"
+                " filter(__cbk, c -> c.cid = pr.cid)[0].arr,"
+                " (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            )
     else:
         qdotc = F.lit(0).cast("long")
+    carry = ["__cbk"] if (by_residual and not lit_coarse) else []
     probes = qsrc.select(
         "query_id",
         "__qa",
+        *carry,
         F.explode(F.slice(ranked, 1, nprobe)).alias("pr"),
         *lut_cols,
     ).select(
@@ -1118,9 +1174,10 @@ def pq_index_probe(
     )
     if has_inc:
         # LSM read-your-latest on the probe-joined candidate set (same
-        # rationale and bound as ivf_index_probe)
+        # rationale, bound, and same-batch-duplicate tiebreak as
+        # ivf_index_probe: newest batch first, higher ADC score wins ties)
         wd = Window.partitionBy("query_id", "neighbor_id").orderBy(
-            F.col("__b").desc()
+            F.col("__b").desc(), F.col("adc_score").desc()
         )
         scored = (
             scored.withColumn("__rn", F.row_number().over(wd))
@@ -1176,6 +1233,29 @@ def pq_ingest_batch(
     v = batch.select(
         "vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa")
     ).join(assigned, "vec_id")
+    if "dim" in (meta.__fields__ or []):
+        # a wrong-width batch would otherwise encode garbage codes
+        # SILENTLY (zip_with/slice truncate); fail loudly row-side
+        # instead — assert_true is a map-only null column, no extra job
+        idx_dim = int(meta["dim"])
+        guard = F.assert_true(
+            F.size("__fa") == idx_dim,
+            F.concat(
+                F.lit(
+                    f"pq_ingest_batch: index at {index_dir} was built"
+                    f" with dim={idx_dim}, got a vector of dim="
+                ),
+                F.size("__fa").cast("string"),
+                F.lit(" (vec_id="),
+                F.col("vec_id").cast("string"),
+                F.lit(")"),
+            ),
+        )
+        # the guard must ride a LIVE column or pruning elides it:
+        # assert_true is null on success, so this is the identity on __fa
+        v = v.withColumn(
+            "__fa", F.when(guard.isNull(), F.col("__fa"))
+        )
     if bool(meta["by_residual"]):
         cents_frame = F.broadcast(
             spark.createDataFrame(

@@ -757,7 +757,11 @@ def epoch_shuffle(
         "bin",
         "filled_tokens",
         key.alias("__k"),
-        (key / F.lit(step)).cast("long").alias("__bkt"),
+    ).withColumn(
+        # exact integer quotient — md5_long keys reach 2^60 > 2^53, so a
+        # float division could land boundary keys in the wrong slice
+        "__bkt",
+        F.expr(f"__k div {step}L"),
     )
     counts = sorted(
         (r["__bkt"], r["n"])

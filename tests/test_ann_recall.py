@@ -285,3 +285,36 @@ def test_pq_residual_recall_and_finer_cells(spark, planted, tmp_path):
     approx = ann.pq_index_probe(queries, idx, k=1, nprobe=4)
     mean = _mean_recall(spark, approx, exact)
     assert mean >= 0.85, f"residual IVF-PQ planted recall {mean:.3f} < 0.85"
+
+
+def test_pq_probe_codebook_paths_agree(spark, planted, tmp_path):
+    """The PQ probe's literal and broadcast codebook transports must be
+    BIT-IDENTICAL — same LUT arithmetic, same residual base term, same
+    ranking — in both by_residual modes. At production k=256 the literal
+    path would embed ~k*dim bigints in the plan, so the broadcast path is
+    the scale route; parity means the choice is purely a plan-size dial."""
+    from pyspark.sql import functions as F
+
+    emb, qids = planted
+    for by_residual in (False, True):
+        idx = str(tmp_path / f"pq_dual_{int(by_residual)}")
+        ann.build_pq_index(
+            emb,
+            idx,
+            coarse_init_ids=list(range(0, 64, 8)),
+            pq_init_ids=list(range(0, 64, 4)),
+            m=4,
+            coarse_iterations=2,
+            pq_iterations=2,
+            by_residual=by_residual,
+        )
+        queries = emb.where(F.col("vec_id").isin(qids[:8]))
+        lit = ann.pq_index_probe(
+            queries, idx, k=3, nprobe=2, codebook_as_literals=True
+        )
+        bc = ann.pq_index_probe(
+            queries, idx, k=3, nprobe=2, codebook_as_literals=False
+        )
+        assert lit.exceptAll(bc).count() == 0, by_residual
+        assert bc.exceptAll(lit).count() == 0, by_residual
+        assert bc.count() > 0

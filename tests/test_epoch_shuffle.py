@@ -64,6 +64,39 @@ def test_epoch_is_permutation_and_seeds_differ(spark):
     assert o0 != o1
 
 
+def test_bucket_is_exact_integer_quotient(spark):
+    """The bucket must be the EXACT integer quotient key div step —
+    md5_long keys reach 2^60 > 2^53, so a float-division implementation
+    can misplace keys near slice boundaries. Checked against Python
+    bigint division on a manifest large enough to land keys everywhere
+    in the range."""
+    n_buckets = 64
+    step = (1 << 60) // n_buckets
+    mf = _manifest(spark, n_shards=16, n_bins=64)
+    key = md5_long(
+        F.concat(
+            F.lit("epoch:7:"),
+            F.col("shard").cast("string"),
+            F.lit(":"),
+            F.col("bin").cast("string"),
+        )
+    )
+    # the operator's own plan must carry the integer `div`, not a
+    # float division recast to long
+    plan = curation.epoch_shuffle(
+        mf, seed=7, n_buckets=n_buckets
+    )._jdf.queryExecution().analyzed().toString()
+    assert f"div {step}" in plan, plan
+    rows = (
+        mf.select(key.alias("k"))
+        .withColumn("bkt", F.expr(f"k div {step}L"))
+        .collect()
+    )
+    assert rows, "manifest produced no keys"
+    for r in rows:
+        assert r["bkt"] == r["k"] // step
+
+
 def test_n_buckets_must_be_power_of_two(spark):
     with pytest.raises(ValueError, match="power of two"):
         curation.epoch_shuffle(_manifest(spark), seed=0, n_buckets=100)

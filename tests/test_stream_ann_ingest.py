@@ -297,3 +297,30 @@ def test_pq_union_probe_serves_ingested_and_dedups(spark, tmp_path):
         assert 200 not in [
             r["neighbor_id"] for r in base_only.collect()
         ], by_residual
+
+
+def test_pq_ingest_dim_mismatch_raises(spark, tmp_path):
+    """A batch whose vectors are a different width than the index was
+    built with must FAIL LOUDLY — zip_with/slice would otherwise encode
+    truncated garbage codes silently. pq_meta persists dim for this."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    idx = str(tmp_path / "dim_guard")
+    ann.build_pq_index(
+        _emb(spark, BASE), idx,
+        coarse_init_ids=[0, 1], pq_init_ids=[0, 1, 2],
+        m=2, coarse_iterations=2, pq_iterations=2, dim=DIM,
+    )
+    meta = spark.read.parquet(f"{idx}/pq_meta").collect()[0]
+    assert int(meta["dim"]) == DIM
+    bad = spark.createDataFrame(
+        [(500, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(PySparkException, match="dim"):
+        ann.pq_ingest_batch(bad, idx, batch_id=9)
+    # the right width still ingests cleanly after the failed attempt
+    ann.pq_ingest_batch(_emb(spark, S2), idx, batch_id=10)
+    inc = spark.read.parquet(f"{idx}/postings_inc").collect()
+    assert {r["vec_id"] for r in inc} == {200}
