@@ -28,7 +28,11 @@ the transcendental with an exact rational surrogate):
     and the sentinel never wins.
 
 Scale: seed counting explodes word substrings (word-table sized, not
-corpus sized), the top-V cut is one window; each EM round re-reads the
+corpus sized), and the top-V cut runs IN-CLUSTER — a TakeOrdered limit
+by (cnt desc, piece asc) unioned with the distinct single-char frame
+(the coverage guarantee) — so the driver collects O(V + |charset|)
+rows, never the full substring table (on a CJK-charset 100 TB corpus
+distinct <=4-grams are O(10^7-10^8) rows). Each EM round re-reads the
 checkpointed word table once with the V-entry weight map shipped as a
 one-row broadcast (the codebook transport), counts shuffle O(V *
 partitions) after partial aggregation, and the driver holds O(V) state.
@@ -73,16 +77,22 @@ def seed_pieces(
     )
 
 
-def _select_vocab(seeds: list, vocab_size: int) -> dict[str, int]:
-    """Driver-side top-V cut by (cnt desc, piece asc), single characters
-    always retained (the segmentability guarantee). Returns
-    {piece: cnt}."""
-    ordered = sorted(seeds, key=lambda r: (-r[1], r[0]))
-    vocab = {p: c for p, c in ordered[:vocab_size]}
-    for p, c in ordered:
-        if len(p) == 1:
-            vocab.setdefault(p, c)
-    return vocab
+def seed_vocab_frame(sp: DataFrame, vocab_size: int) -> DataFrame:
+    """The IN-CLUSTER top-V cut over the seed-piece table: the best
+    ``vocab_size`` pieces under the total order (cnt desc, piece asc) —
+    an orderBy+limit Spark executes as TakeOrderedAndProject
+    (per-partition heads + a driver merge of V rows, never a global
+    sort) — unioned with every distinct single character (the
+    segmentability guarantee; the groupBy dedups chars that already made
+    the cut). Collecting THIS frame is O(V + |charset|) rows; the full
+    substring table never reaches the driver."""
+    topv = sp.orderBy(F.col("cnt").desc(), F.col("piece").asc()).limit(
+        vocab_size
+    )
+    chars = sp.where(F.length("piece") == 1)
+    return topv.unionByName(chars).groupBy("piece").agg(
+        F.max("cnt").alias("cnt")
+    )
 
 
 def _weights(counts: dict[str, int]) -> dict[str, int]:
@@ -178,11 +188,12 @@ def unigram_train(
     dict, ready for a scoring pass."""
     spark = docs.sparkSession
     wf = word_frequency_table(docs, text_col).localCheckpoint(eager=True)
-    seeds = [
-        (r["piece"], int(r["cnt"]))
-        for r in seed_pieces(wf, max_piece_len=max_piece_len).collect()
-    ]
-    counts = _select_vocab(seeds, vocab_size)
+    counts = {
+        r["piece"]: int(r["cnt"])
+        for r in seed_vocab_frame(
+            seed_pieces(wf, max_piece_len=max_piece_len), vocab_size
+        ).collect()
+    }
     weights = _weights(counts)
     for _ in range(rounds):
         vc = _vmap_frame(spark, weights)

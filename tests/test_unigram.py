@@ -99,3 +99,31 @@ def test_em_rounds_change_the_model(spark):
     assert w0 != w1
     # membership after a round is usage-pruned: strictly fewer or equal
     assert set(w1) <= set(w0)
+
+
+def test_seed_cut_is_in_cluster_and_bounded(spark):
+    """The top-V seed cut must run in-cluster (TakeOrderedAndProject —
+    per-partition heads, a V-row driver merge) and collect only
+    O(V + |charset|) rows, matching the driver-side sort it replaced
+    exactly. The full substring table must never reach the driver."""
+    docs = spark.createDataFrame(
+        [(i, f"banana band bandana ab{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    wf = unigram.word_frequency_table(docs, "text")
+    sp = unigram.seed_pieces(wf)
+    vocab_size = 10
+    cut = unigram.seed_vocab_frame(sp, vocab_size)
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = cut.collect()
+    n_chars = sp.where(F.length("piece") == 1).count()
+    assert len(rows) <= vocab_size + n_chars
+    # exact equivalence with the full driver-side cut it replaced
+    seeds = [(r["piece"], int(r["cnt"])) for r in sp.collect()]
+    ordered = sorted(seeds, key=lambda r: (-r[1], r[0]))
+    expect = {p: c for p, c in ordered[:vocab_size]}
+    for p, c in ordered:
+        if len(p) == 1:
+            expect.setdefault(p, c)
+    assert {r["piece"]: int(r["cnt"]) for r in rows} == expect
