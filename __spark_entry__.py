@@ -5119,6 +5119,215 @@ _TRAINING_MANIFEST_ORACLE = """
 """
 
 
+def q_bpe_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKENIZER-AWARE trainer tail (VERDICT r07 #4): the same
+    clean-corpus -> mixture -> replicated packing -> manifest -> epoch
+    chain as ``training_manifest``, but the shards carry TRAINED-BPE
+    token-id runs (``build_training_manifest(tokenizer_word_frame=...)``
+    routes packing through ``bpe.bpe_pack``) — the batch twin of
+    ``stream_corpus_ingest``'s tokenizer mode, closing the last seam in
+    the raw-text -> trained tokenizer -> shards -> manifest chain.
+
+    Folded into violation counts; the oracle is the invariant CONTRACT
+    (constant all-zeros). Beyond ``training_manifest``'s six, four
+    tokenizer-specific invariants tie the payload to the trained model:
+    ``token_parity`` (each replicated doc's packed token total equals the
+    base doc's independent ``bpe_segment_stats`` count — segmentation and
+    packing agree), ``all_copies_packed`` (every mixture copy produced
+    chunks: the training-corpus vocabulary covers the train split, so
+    ``bpe_pack``'s unseen-word exclusion must fire zero times),
+    ``ids_in_vocab`` (every packed id parses and falls in
+    [0, |vocabulary|)), and ``chunk_token_budget``."""
+    from credit_abs_oltp_to_mart_spark.operators import bpe
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        WEIGHT_FP_SCALE,
+    )
+    from credit_abs_oltp_to_mart_spark.plans.corpus import (
+        build_training_manifest,
+    )
+
+    stride = 64
+    docs = _t(spark, sf_dir, "documents")
+    _, wf = bpe.bpe_train(docs, n_merges=BPE_MERGES)
+    n_vocab = bpe.vocab_frame(wf).count()
+    stages = build_training_manifest(
+        docs, copy_id_stride=stride, tokenizer_word_frame=wf
+    )
+    train = stages["train"]
+    weights, mixture = stages["weights"], stages["mixture"].persist()
+    packed, manifest = stages["packed_mix"].persist(), stages["manifest"]
+    epochs = stages["epochs"].persist()
+
+    def viol(name: str, df: DataFrame, cond=None) -> DataFrame:
+        src = df.where(cond) if cond is not None else df
+        return src.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations")
+        ).select(F.lit(name).alias("invariant"), "n_violations")
+
+    f_u = F.floor(
+        F.col("sample_factor") * WEIGHT_FP_SCALE + F.lit(0.5)
+    ).cast("bigint")
+    base = (f_u / WEIGHT_FP_SCALE).cast("bigint")
+    per_doc = (
+        mixture.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("copy_no").alias("max_copy"),
+        )
+        .join(F.broadcast(weights.select("lang", "sample_factor")), "lang")
+        .withColumn("__base", base)
+    )
+    mcount = manifest.agg(F.count(F.lit(1)).alias("__m"))
+    epstats = (
+        epochs.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("read_order").alias("nd"),
+            F.countDistinct("shard", "bin").alias("ndk"),
+            F.min("read_order").alias("mn"),
+            F.max("read_order").alias("mx"),
+        )
+        .crossJoin(F.broadcast(mcount))
+    )
+    e0 = epochs.where(F.col("epoch") == 0).select(
+        "shard", "bin", F.col("read_order").alias("o0")
+    )
+    e1 = epochs.where(F.col("epoch") == 1).select(
+        "shard", "bin", F.col("read_order").alias("o1")
+    )
+    seed_cmp = (
+        e0.join(e1, ["shard", "bin"])
+        .agg(
+            F.sum(
+                F.when(F.col("o0") != F.col("o1"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__ndiff")
+        )
+        .select(
+            F.lit("epoch_orders_differ").alias("invariant"),
+            F.when(F.col("__ndiff") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    lossless = (
+        manifest.agg(F.sum("n_chunks").alias("__mc"))
+        .crossJoin(F.broadcast(packed.agg(F.count(F.lit(1)).alias("__pc"))))
+        .select(
+            F.lit("manifest_lossless").alias("invariant"),
+            F.when(F.col("__mc") != F.col("__pc"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    # tokenizer invariants: packing must agree with an INDEPENDENT
+    # segmentation pass (bpe_segment_stats joins the broadcast word
+    # frame, no shared lineage with bpe_pack's tokenize)
+    seg = bpe.bpe_segment_stats(train.select("doc_id", "text"), wf)
+    per_copy = packed.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("__packed_toks")
+    )
+    parity = (
+        per_copy.withColumn(
+            "__base_doc", F.expr(f"doc_id div {stride}")
+        )
+        .join(
+            seg.select(
+                F.col("doc_id").alias("__base_doc"), "n_bpe_tokens"
+            ),
+            "__base_doc",
+        )
+    )
+    copies_packed = (
+        mixture.agg(F.count(F.lit(1)).alias("__n_copies"))
+        .crossJoin(
+            F.broadcast(
+                per_copy.agg(F.count(F.lit(1)).alias("__n_packed_docs"))
+            )
+        )
+        .select(
+            F.lit("all_copies_packed").alias("invariant"),
+            F.when(
+                F.col("__n_copies") != F.col("__n_packed_docs"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    ids = F.expr("transform(split(chunk_ids, ' '), x -> cast(x as int))")
+    frames = [
+        viol(
+            "mixture_copy_bounds",
+            per_doc,
+            (F.col("n_copies") < F.col("__base"))
+            | (F.col("n_copies") > F.col("__base") + 1)
+            | (F.col("max_copy") != F.col("n_copies")),
+        ),
+        viol(
+            "epoch_permutation",
+            epstats,
+            (F.col("n") != F.col("__m"))
+            | (F.col("nd") != F.col("__m"))
+            | (F.col("ndk") != F.col("__m"))
+            | (F.col("mn") != 1)
+            | (F.col("mx") != F.col("__m")),
+        ),
+        seed_cmp,
+        viol(
+            "packed_only_admitted",
+            packed.select(
+                F.expr(f"doc_id div {stride}").alias("doc_id")
+            ).join(train.select("doc_id"), "doc_id", "left_anti"),
+        ),
+        viol(
+            "bin_offset_consistency",
+            packed,
+            F.col("bin") != F.expr("start_tok div 256"),
+        ),
+        lossless,
+        viol(
+            "token_parity",
+            parity,
+            F.col("__packed_toks") != F.col("n_bpe_tokens"),
+        ),
+        copies_packed,
+        viol(
+            "ids_in_vocab",
+            packed,
+            F.exists(
+                ids,
+                lambda i: i.isNull() | (i < 0) | (i >= F.lit(n_vocab)),
+            ),
+        ),
+        viol("chunk_token_budget", packed, F.col("n_tokens") > 64),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_BPE_TRAINING_MANIFEST_ORACLE = """
+    select invariant, n_violations::bigint as n_violations
+    from (values
+        ('mixture_copy_bounds', 0),
+        ('epoch_permutation', 0),
+        ('epoch_orders_differ', 0),
+        ('packed_only_admitted', 0),
+        ('bin_offset_consistency', 0),
+        ('manifest_lossless', 0),
+        ('token_parity', 0),
+        ('all_copies_packed', 0),
+        ('ids_in_vocab', 0),
+        ('chunk_token_budget', 0)
+    ) t(invariant, n_violations)
+"""
+
+
 _CORPUS_PIPELINE_ORACLE = """
     select invariant, n_violations::bigint as n_violations
     from (values
@@ -5202,6 +5411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
         "training_manifest": q_training_manifest,
+        "bpe_training_manifest": q_bpe_training_manifest,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -5782,6 +5992,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train": _unigram_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
         "training_manifest": _TRAINING_MANIFEST_ORACLE,
+        "bpe_training_manifest": _BPE_TRAINING_MANIFEST_ORACLE,
         "epoch_shuffle": f"""
             with p as ({_pack_chunks_oracle()}),
             mf as (select shard, bin, sum(n_tokens)::bigint as filled_tokens

@@ -331,6 +331,7 @@ def build_training_manifest(
     epoch_seeds: tuple[int, ...] = (0, 1),
     min_tokens: int = 8,
     copy_id_stride: int = 64,
+    tokenizer_word_frame: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The trainer-facing TAIL of the pipeline, composed end to end: the
     cleaned train split from ``build_corpus`` feeds the temperature
@@ -352,8 +353,18 @@ def build_training_manifest(
     bounds per-doc replication (sample_factor must stay below it — at
     temperature alpha = 0.5 factors are single digits).
 
+    ``tokenizer_word_frame`` (a trained ``bpe_train`` word frame) swaps
+    the whitespace ``pack_chunks`` tail for ``bpe_pack``: the replicated
+    corpus is segmented under the TRAINED vocabulary and the shards carry
+    token-id runs — the payload a real trainer consumes, and the batch
+    twin of ``stream_corpus_ingest``'s tokenizer mode. Same shuffle
+    budget (one broadcast-mapped tokenize pass replaces the whitespace
+    chunk split); docs with unseen words are excluded by ``bpe_pack``'s
+    contract rather than packed truncated.
+
     Returns every stage of ``build_corpus`` plus train / weights /
     mixture / packed_mix / manifest / epochs."""
+    from credit_abs_oltp_to_mart_spark.operators.bpe import bpe_pack
     from credit_abs_oltp_to_mart_spark.operators.curation import (
         epoch_shuffle,
         mixture_apply,
@@ -375,9 +386,18 @@ def build_training_manifest(
         (F.col("doc_id") * copy_id_stride + F.col("copy_no")).alias("doc_id"),
         "text",
     )
-    packed = pack_chunks(
-        rep, chunk_tokens=chunk_tokens, bin_tokens=bin_tokens, shards=shards
-    )
+    if tokenizer_word_frame is not None:
+        packed = bpe_pack(
+            rep,
+            tokenizer_word_frame,
+            chunk_tokens=chunk_tokens,
+            bin_tokens=bin_tokens,
+            shards=shards,
+        )
+    else:
+        packed = pack_chunks(
+            rep, chunk_tokens=chunk_tokens, bin_tokens=bin_tokens, shards=shards
+        )
     manifest = pack_manifest(packed).persist()
     epochs = None
     for seed in epoch_seeds:
