@@ -4055,6 +4055,124 @@ def _ann_pq_residual_oracle(
     """
 
 
+ANN_REFINE_K = 10
+
+
+def q_ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the ADC-shortlist + exact re-rank stage — FAISS's
+    IndexRefine serving shape (VERDICT r07 #5): the index persists a
+    scalar-quantized refine tier next to the PQ postings; the probe
+    ADC-ranks a shortlist of refine_k candidates from the integer LUTs,
+    joins ONLY the shortlist to the refine tier (broadcast keys into the
+    cluster-partitioned store — bounded by n_queries*refine_k, plan-gated
+    no corpus scan), and re-scores <raw query, SQ reconstruction> exactly
+    (IEEE double in array order, 6dp, id tiebreak). Recovers most of the
+    recall the 16-64x PQ compression costs at a bounded extra read."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="spark_ann_pqref_")
+    ann.build_pq_index(
+        emb,
+        idx,
+        coarse_init_ids=KMEANS_INIT_IDS,
+        pq_init_ids=PQ_INIT_IDS,
+        m=PQ_M,
+        coarse_iterations=KMEANS_ITERS,
+        pq_iterations=PQ_ITERS,
+        with_refine=True,
+    )
+    queries = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        "vec_id", "embedding"
+    )
+    return ann.pq_index_probe(
+        queries, idx, k=ANN_K, nprobe=IVF_NPROBE, refine_k=ANN_REFINE_K
+    )
+
+
+def _ann_pq_refine_oracle(
+    iters: int = KMEANS_ITERS, piters: int = PQ_ITERS, nprobe: int = IVF_NPROBE
+) -> str:
+    """The ann_pq ADC replay, extended two stages: shortlist = ADC rank
+    <= refine_k, then the refined score re-ranks the shortlist by
+    <raw query, scalar-quantized reconstruction> — the same quantize
+    replay the ann_index_serve oracle uses, against the RAW query floats
+    (asymmetric-exact, mirroring ann.pq_index_probe's refine path)."""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cb = f"c{iters - 1}"
+    subs = ",".join(_pq_sub_ctes(s, piters) for s in range(PQ_M))
+    luts = ",".join(
+        f"""
+        s{s}lut as (select q.vid as query_id, c.cid,
+                           sum(q.val * c.c)::bigint as dp
+                    from s{s}u q join s{s}c{piters - 1} c using (d)
+                    where q.vid in ({qids}) group by 1, 2)"""
+        for s in range(PQ_M)
+    )
+    contribs = " union all ".join(
+        f"""select l.query_id, a.vid as neighbor_id, l.dp
+            from s{s}a{piters} a join s{s}lut l on l.cid = a.cluster"""
+        for s in range(PQ_M)
+    )
+    return f"""
+    {_kmeans_ctes(iters)},
+    {subs},
+    {luts},
+    adc as (select query_id, neighbor_id, sum(dp)::bigint as adc_score
+            from ({contribs}) group by 1, 2),
+    psc as (select u.vid, {cb}.cid,
+                   (sum({cb}.c * {cb}.c) - 2 * sum(u.val * {cb}.c))::bigint
+                     as score
+            from u join {cb} using (d)
+            where u.vid in ({qids}) group by 1, 2),
+    pr as (select vid as query_id, cid as cluster from (
+             select vid, cid,
+                    row_number() over (partition by vid
+                                       order by score, cid) as rn
+             from psc) z
+           where rn <= {nprobe}),
+    cand as (select pr.query_id, a{iters}.vid as neighbor_id
+             from pr join a{iters} on a{iters}.cluster = pr.cluster
+             where a{iters}.vid <> pr.query_id),
+    shortlist as (select c.query_id, c.neighbor_id,
+                         row_number() over (partition by c.query_id
+                                            order by adc.adc_score desc,
+                                                     c.neighbor_id asc)
+                           as adc_rank
+                  from cand c join adc
+                    on adc.query_id = c.query_id
+                   and adc.neighbor_id = c.neighbor_id),
+    sq as (select vec_id,
+                  cast(list_min(embedding) as double) as mn,
+                  case when list_max(embedding) <> list_min(embedding)
+                       then cast(list_max(embedding) as double)
+                            - cast(list_min(embedding) as double)
+                       else 1.0 end as span,
+                  embedding
+           from embeddings),
+    rv as (select vec_id,
+                  list_transform(embedding,
+                    x -> mn + cast(floor((cast(x as double) - mn) / span
+                                         * 255.0 + 0.5) as double)
+                              * span / 255.0) as recon
+           from sq),
+    eq as (select vec_id, embedding::DOUBLE[] as qv from embeddings
+           where vec_id in ({qids})),
+    refined as (select s.query_id, s.neighbor_id,
+                       round(list_dot_product(eq.qv, rv.recon), 6) as score
+                from shortlist s
+                join rv on rv.vec_id = s.neighbor_id
+                join eq on eq.vec_id = s.query_id
+                where s.adc_rank <= {ANN_REFINE_K}),
+    final as (select *, row_number() over (partition by query_id
+                                           order by score desc,
+                                                    neighbor_id asc) as rank
+              from refined)
+    select query_id, neighbor_id, cast(rank as int) as rank, score
+    from final where rank <= {ANN_K}
+    """
+
+
 def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018) —
     the BPE alternative: seed candidate pieces from word substrings,
@@ -5406,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_soft": q_semantic_dedup_soft,
         "ann_pq": q_ann_pq,
         "ann_pq_residual": q_ann_pq_residual,
+        "ann_pq_refine": q_ann_pq_refine,
         "epoch_shuffle": q_epoch_shuffle,
         "video_near_dups": q_video_near_dups,
         "unigram_train": q_unigram_train,
@@ -5988,6 +6107,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_soft": _semantic_dedup_soft_oracle(),
         "ann_pq": _ann_pq_oracle(),
         "ann_pq_residual": _ann_pq_residual_oracle(),
+        "ann_pq_refine": _ann_pq_refine_oracle(),
         "video_near_dups": _video_near_dups_oracle(),
         "unigram_train": _unigram_oracle(),
         "unigram_segment": _unigram_segment_oracle(),

@@ -864,6 +864,8 @@ def build_pq_index(
     vec_col: str = "embedding",
     codebook_as_literals: bool | None = None,
     by_residual: bool = False,
+    with_refine: bool = False,
+    refine_levels: int = 256,
 ) -> None:
     """BUILD-once half of the persisted IVF-PQ index — the layout FAISS
     calls IndexIVFPQ:
@@ -880,6 +882,14 @@ def build_pq_index(
           cluster — the inverted file, holding ONLY the m dense code ids
           per vector: m bytes of payload against dim floats raw, the
           16-64x compression tier under scalar quantization's 4-8x.
+
+    ``with_refine`` additionally writes ``<index_dir>/refine`` — the
+    scalar-quantized representation (codes, mn, sp) partitioned by
+    cluster, FAISS's IndexRefine companion tier: the probe can ADC-rank
+    a shortlist from the PQ codes, then re-score just the shortlist
+    against this finer 4-8x representation (``pq_index_probe`` with
+    ``refine_k``), recovering most of the recall PQ compression costs
+    while still never touching the float corpus.
 
     ``by_residual=False`` trains the PQ codebooks on the raw vectors;
     ``=True`` is FAISS's default refinement: codebooks quantize the
@@ -898,8 +908,22 @@ def build_pq_index(
         _to_fp,
         kmeans_train,
     )
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import _hadoop_fs
 
     spark = emb.sparkSession
+    # a REBUILD retrains every codebook: postings ingested under the OLD
+    # codebooks (and their refine payloads, and an unrequested refine
+    # tier) would mix geometries — clear them, same contract as
+    # build_ivf_index (retrain => re-ingest)
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    stale = ["postings_inc", "refine_inc"] + (
+        [] if with_refine else ["refine"]
+    )
+    for name in stale:
+        p = jvm_path(f"{index_dir}/{name}")
+        if fs.exists(p):
+            fs.delete(p, True)
     v = emb.select(
         "vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa")
     ).localCheckpoint(eager=True)
@@ -955,8 +979,15 @@ def build_pq_index(
         "sub int, cid bigint, cent array<bigint>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
     spark.createDataFrame(
-        [(bool(by_residual), int(m), int(dim))],
-        "by_residual boolean, m int, dim int",
+        [
+            (
+                bool(by_residual),
+                int(m),
+                int(dim),
+                int(refine_levels) if with_refine else None,
+            )
+        ],
+        "by_residual boolean, m int, dim int, refine_levels int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_meta")
     (
         enc.select(
@@ -968,6 +999,20 @@ def build_pq_index(
         .partitionBy("cluster")
         .parquet(f"{index_dir}/postings")
     )
+    if with_refine:
+        (
+            quantize_embeddings(emb, vec_col=vec_col, levels=refine_levels)
+            .select(
+                "vec_id",
+                "codes",
+                F.col("scale_min").alias("mn"),
+                (F.col("scale_max") - F.col("scale_min")).alias("sp"),
+            )
+            .join(assign.select("vec_id", "cluster"), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{index_dir}/refine")
+        )
 
 
 def load_pq_codebooks(
@@ -992,10 +1037,21 @@ def pq_index_probe(
     vec_col: str = "embedding",
     codebook_as_literals: bool | None = None,
     include_incremental: bool = False,
+    refine_k: int | None = None,
 ) -> DataFrame:
     """SERVE-many half of the persisted IVF-PQ index: asymmetric-distance
     (ADC) scoring of the compressed postings, no training, no scan of the
     raw float corpus.
+
+    ``refine_k`` enables the FAISS IndexRefine pattern on an index built
+    ``with_refine``: the ADC ranking keeps a shortlist of ``refine_k``
+    candidates per query, ONLY the shortlist joins the scalar-quantized
+    refine tier (broadcast keys into the cluster-partitioned refine
+    store — partition-pruned, bounded by n_queries * refine_k), and the
+    final top-k ranks by the exact re-score <raw query, SQ
+    reconstruction>. Output becomes (query_id, neighbor_id, rank,
+    score); the re-score restores most of the recall PQ compression
+    costs at a bounded extra read.
 
     Plan shape: both codebooks are cold-read and collected O(k*dim) to
     the driver. Queries rank the coarse codebook through the shared
@@ -1168,6 +1224,7 @@ def pq_index_probe(
         .select(
             "query_id",
             "neighbor_id",
+            "cluster",
             "__b",
             adc.cast("bigint").alias("adc_score"),
         )
@@ -1184,14 +1241,91 @@ def pq_index_probe(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-    scored = scored.drop("__b")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id").asc()
     )
+    if refine_k is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc_score")
+        )
+    # ---- ADC-shortlist + exact re-scoring (FAISS IndexRefine) ----
+    # The ADC ranking keeps refine_k candidates per query; ONLY those
+    # rows join the scalar-quantized refine tier — a broadcast of
+    # n_queries*refine_k keys against the cluster-partitioned refine
+    # store (DPP prunes to the shortlisted clusters), never a corpus
+    # scan. The re-score is asymmetric-exact: the RAW query against the
+    # neighbor's reconstruction, IEEE double in array order (6dp,
+    # id tiebreak), so any engine replays the refined ranking.
+    if refine_k < k:
+        raise ValueError(f"refine_k={refine_k} must be >= k={k}")
+    if (
+        "refine_levels" not in (meta.__fields__ or [])
+        or meta["refine_levels"] is None
+    ):
+        raise ValueError(
+            f"index at {index_dir} was built without with_refine=True"
+        )
+    rl = int(meta["refine_levels"])
+    shortlist = (
+        scored.withColumn("__sr", F.row_number().over(w))
+        .where(F.col("__sr") <= refine_k)
+        .select("query_id", "neighbor_id", "cluster", "__b")
+    )
+    ref = spark.read.parquet(f"{index_dir}/refine").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("codes").alias("nc"),
+        F.col("mn").alias("nmn"),
+        F.col("sp").alias("nsp"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.lit(-1).cast("long").alias("__b"),
+    )
+    if has_inc:
+        from pyspark.errors import AnalysisException
+
+        try:
+            rinc = spark.read.parquet(f"{index_dir}/refine_inc").select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("codes").alias("nc"),
+                F.col("mn").alias("nmn"),
+                F.col("sp").alias("nsp"),
+                F.col("cluster").cast("bigint").alias("cluster"),
+                F.col("ingest_batch").cast("long").alias("__b"),
+            )
+            ref = ref.unionByName(rinc)
+        except AnalysisException:
+            pass  # no incremental refine payload — base tier only
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    lvr = float(rl - 1)
+    refined = (
+        ref.join(
+            F.broadcast(shortlist), ["cluster", "neighbor_id", "__b"]
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(nc, __qv, (a, x) ->"
+                    f" (nmn + cast(a as double) * nsp / {lvr}d)"
+                    " * cast(x as double)),"
+                    " cast(0 as double), (acc, x) -> acc + x)"
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        refined.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_score")
+        .select("query_id", "neighbor_id", "rank", "score")
     )
 
 
@@ -1280,4 +1414,26 @@ def pq_ingest_batch(
     out.write.mode("overwrite").parquet(
         f"{index_dir}/postings_inc/batch={batch_id}"
     )
+    if (
+        "refine_levels" in (meta.__fields__ or [])
+        and meta["refine_levels"] is not None
+    ):
+        # the index carries a refine tier — keep it consistent: encode
+        # the batch's SQ payload too, so a refined probe can re-score
+        # ingested vectors (same batch-scoped idempotent overwrite)
+        (
+            quantize_embeddings(
+                batch, vec_col=vec_col, levels=int(meta["refine_levels"])
+            )
+            .select(
+                "vec_id",
+                "codes",
+                F.col("scale_min").alias("mn"),
+                (F.col("scale_max") - F.col("scale_min")).alias("sp"),
+            )
+            .join(assigned, "vec_id")
+            .withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/refine_inc/batch={batch_id}")
+        )
     return out.select("vec_id", "cluster")

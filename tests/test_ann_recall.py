@@ -318,3 +318,52 @@ def test_pq_probe_codebook_paths_agree(spark, planted, tmp_path):
         assert lit.exceptAll(bc).count() == 0, by_residual
         assert bc.exceptAll(lit).count() == 0, by_residual
         assert bc.count() > 0
+
+
+def test_pq_refine_recovers_adc_recall(spark, planted, tmp_path):
+    """The IndexRefine pattern: with COARSE sub-codebooks (8 codewords
+    per 16-dim subspace, raw mode — a config whose plain ADC recall sits
+    at ~0.68) the ADC shortlist + exact SQ re-score must recover the
+    planted twins. Checks refine recall strictly above the ADC recall of
+    the SAME index at equal final k, and >= 0.95 absolutely."""
+    from pyspark.sql import functions as F
+
+    emb, qids = planted
+    exact = ann.brute_force_topk(emb, qids, k=1)
+    idx = str(tmp_path / "pq_refine")
+    ann.build_pq_index(
+        emb,
+        idx,
+        coarse_init_ids=list(range(0, 64, 8)),
+        pq_init_ids=list(range(4, 68, 8)),
+        m=4,
+        coarse_iterations=3,
+        pq_iterations=2,
+        with_refine=True,
+    )
+    queries = emb.where(F.col("vec_id").isin(qids))
+    adc = ann.pq_index_probe(queries, idx, k=1, nprobe=4)
+    refined = ann.pq_index_probe(queries, idx, k=1, nprobe=4, refine_k=10)
+    r_adc = _mean_recall(spark, adc, exact)
+    r_ref = _mean_recall(spark, refined, exact)
+    assert r_ref > r_adc, (r_ref, r_adc)
+    assert r_ref >= 0.95, f"refined recall {r_ref:.3f} < 0.95"
+
+
+def test_pq_refine_requires_refine_tier(spark, planted, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    emb, qids = planted
+    idx = str(tmp_path / "pq_norefine")
+    ann.build_pq_index(
+        emb, idx,
+        coarse_init_ids=list(range(0, 64, 8)),
+        pq_init_ids=list(range(0, 64, 2)),
+        m=4, coarse_iterations=2, pq_iterations=1,
+    )
+    queries = emb.where(F.col("vec_id").isin(qids[:2]))
+    with pytest.raises(ValueError, match="with_refine"):
+        ann.pq_index_probe(queries, idx, k=1, nprobe=2, refine_k=5)
+    with pytest.raises(ValueError, match="refine_k"):
+        ann.pq_index_probe(queries, idx, k=5, nprobe=2, refine_k=3)

@@ -588,3 +588,36 @@ def test_unigram_segment_corpus_never_shuffles_on_word(spark):
         if "Exchange hashpartitioning(word" in ln
     ]
     assert len(word_exchanges) <= 1, p
+
+
+def test_pq_refine_reads_shortlist_only_never_corpus(spark):
+    """The refined PQ probe adds exactly one bounded stage: the refine
+    tier scan must be DPP-pruned (cluster partitions) and joined against
+    the BROADCAST shortlist — never a float-corpus scan. The refine scan
+    reads SQ codes + reconstruction scalars, no embedding column; the
+    raw embeddings parquet still appears only as the IN-filtered query
+    side."""
+    import re
+
+    df = entry_mod.queries()["ann_pq_refine"](spark, SF_DIR)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in p, p
+    blocks = re.split(r"\n\n", p)
+    emb_blocks = [b for b in blocks if "embeddings.parquet" in b]
+    assert emb_blocks, p
+    for b in emb_blocks:
+        assert re.search(r"PushedFilters: \[In\(vec_id", b), b
+    ref_blocks = [b for b in blocks if "/refine" in b]
+    assert ref_blocks, p
+    for b in ref_blocks:
+        assert "codes" in b and "embedding" not in b, b
+    post_blocks = [
+        b for b in blocks if "/postings" in b and "/refine" not in b
+    ]
+    assert post_blocks, p
+    for b in post_blocks:
+        assert "pq_codes" in b and "embedding" not in b, b

@@ -324,3 +324,36 @@ def test_pq_ingest_dim_mismatch_raises(spark, tmp_path):
     ann.pq_ingest_batch(_emb(spark, S2), idx, batch_id=10)
     inc = spark.read.parquet(f"{idx}/postings_inc").collect()
     assert {r["vec_id"] for r in inc} == {200}
+
+
+def test_pq_refine_covers_ingested_vectors(spark, tmp_path):
+    """An index built with_refine keeps its refine tier consistent under
+    online ingest: pq_ingest_batch writes the batch's SQ payload to
+    refine_inc, so a REFINED union probe retrieves and re-scores a
+    vector that arrived only incrementally."""
+    idx = str(tmp_path / "pq_refine_ing")
+    ann.build_pq_index(
+        _emb(spark, BASE), idx,
+        coarse_init_ids=[0, 1], pq_init_ids=[0, 1, 2],
+        m=2, coarse_iterations=2, pq_iterations=2, dim=DIM,
+        with_refine=True,
+    )
+    ann.pq_ingest_batch(_emb(spark, S2), idx, batch_id=5)
+    assert spark.read.parquet(f"{idx}/refine_inc").count() == len(S2)
+    queries = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+    got = ann.pq_index_probe(
+        queries, idx, k=3, nprobe=1, include_incremental=True, refine_k=6
+    ).collect()
+    neighbors = [r["neighbor_id"] for r in got]
+    assert 200 in neighbors, got
+    assert sorted(r["rank"] for r in got) == list(range(1, len(got) + 1))
+    # a rebuild clears BOTH overlays (stale geometry must not leak)
+    ann.build_pq_index(
+        _emb(spark, BASE), idx,
+        coarse_init_ids=[0, 1], pq_init_ids=[0, 1, 2],
+        m=2, coarse_iterations=2, pq_iterations=2, dim=DIM,
+        with_refine=True,
+    )
+    import os
+    assert not os.path.exists(f"{idx}/postings_inc")
+    assert not os.path.exists(f"{idx}/refine_inc")
