@@ -1932,6 +1932,86 @@ def _bigram_fluency_oracle(rare_max: int = 2, fp_scale: int = 10**6) -> str:
     """
 
 
+BM25_K = 10
+BM25_QUERIES = [
+    (0, "spark window agg"),
+    (1, "fast table scan"),
+    (2, "customer order query"),
+    (3, "vector batch stream"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k document retrieval (Robertson & Zaragoza 2009)
+    over an inverted postings frame — the retrieval-side curation tool
+    (decontamination-by-retrieval, hard-negative mining). Exact bigint
+    arithmetic end to end: the log-free Robertson-ratio IDF surrogate at
+    fixed point, the k1/b saturation kept in exact rational form
+    (k1 = 6/5, b = 3/4, avgdl = T/N multiplied through), truncation only
+    at two documented div sites — so the oracle replays bit-exactly.
+    Postings restrict to the broadcast query-term list before df
+    counting or scoring; no corpus-wide cross join."""
+    from credit_abs_oltp_to_mart_spark.operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return retrieval.bm25_topk(docs, qs, k=BM25_K)
+
+
+def _bm25_topk_oracle(fp_scale: int = 10**6) -> str:
+    """Replay of retrieval.bm25_topk: postings with dl attached, df over
+    the query-term slice, the same two-div fixed-point contribution, sum
+    and rank. Integer `//` floordiv == Spark `div` (all operands
+    positive)."""
+    k1n, k1d = 6, 5
+    bn, bd = 3, 4
+    qrows = ", ".join(
+        f"({qid}::bigint, '{term}')"
+        for qid, q in BM25_QUERIES
+        for term in q.split()
+    )
+    return f"""
+    with tk as (
+      select doc_id,
+             case when trim(text) = '' then []
+                  else string_split_regex(trim(text), ' +') end as tk
+      from documents),
+    post as (
+      select term, doc_id, dl, count(*)::bigint as tf
+      from (select doc_id, len(tk) as dl, unnest(tk) as term from tk)
+      group by 1, 2, 3),
+    qt as (select * from (values {qrows}) q(query_id, term)),
+    tot as (select count(*)::bigint as n_docs,
+                   coalesce(sum(len(tk)), 0)::bigint as n_toks
+            from tk),
+    dfq as (select term, count(*)::bigint as df from post
+            where term in (select distinct term from qt) group by 1),
+    cand as (select q.query_id, p.doc_id, p.tf, p.dl, d.df,
+                    t.n_docs, t.n_toks
+             from post p
+             join qt q using (term)
+             join dfq d using (term)
+             cross join tot t),
+    sc as (select query_id, doc_id,
+                  ((({fp_scale} * (2 * (n_docs - df) + 1))
+                      // (2 * n_docs + 1))
+                   * (({fp_scale} * tf * {k1n + k1d} * {bd} * n_toks)
+                      // (tf * {k1d * bd} * n_toks
+                          + {k1n * (bd - bn)} * n_toks
+                          + {k1n * bn} * dl * n_docs)))
+                  // {fp_scale} as contrib
+           from cand),
+    agg as (select query_id, doc_id, sum(contrib)::bigint as score_fp
+            from sc group by 1, 2),
+    rk as (select *, row_number() over (partition by query_id
+                                        order by score_fp desc,
+                                                 doc_id asc) as rank
+           from agg)
+    select query_id, doc_id, rank::int as rank, score_fp
+    from rk where rank <= {BM25_K}
+    """
+
+
 def _corpus_admitted_ctes(min_est: float = 0.25) -> str:
     """Shared CTE fragment: the batch-sequential replay of the streaming
     corpus ingest up to the per-batch ADMITTED sets (adm0/adm1/adm2,
@@ -5555,6 +5635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_ivf": q_ann_quantized_ivf,
         "pii_redact": q_pii_redact,
         "bigram_fluency": q_bigram_fluency,
+        "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
         "ann_ivf_trained": q_ann_ivf_trained,
         "dup_spans": q_dup_spans,
@@ -6100,6 +6181,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_serve": _ann_quantized_ivf_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "bigram_fluency": _bigram_fluency_oracle(),
+        "bm25_topk": _bm25_topk_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
         "bpe_pack": _bpe_pack_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
