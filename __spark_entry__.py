@@ -1525,6 +1525,122 @@ def _video_near_dups_oracle(out_w: int = 8, out_h: int = 8) -> str:
     """
 
 
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection by matched-window share — the third
+    modality on the one shared kernel (VERDICT r07 #7): overlapping
+    65-sample windows -> sign-of-first-difference 64-bit fingerprint
+    (the Chromaprint-style delta coding; deterministic fake decode,
+    bytes == samples) -> the shared banded-hamming kernel -> per-pair
+    matched-window share. The corpus has no duplicate media, so the
+    query plants copies of every 30th audio stream (doc_id +
+    IMG_PLANT_OFFSET, ≡ 0 mod 12 so modality and chunk count survive);
+    each must surface at share 1.0."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 30 == 1).select(
+        (F.col("doc_id") + F.lit(IMG_PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    media = multimodal.synthesize_blobs(docs.unionByName(planted))
+    return multimodal.audio_near_dups(media, max_hamming=3, n_bands=4)
+
+
+def _audio_near_dups_oracle() -> str:
+    """Replays blob synthesis (planted audio copies), the overlapping
+    window grid, the 65-sample first-difference fingerprint with cyclic
+    tiling, the banded hamming join, and the matched-window share
+    aggregation. Band assembly from the comparison predicates directly
+    (never arithmetic-shifts a negative BIGINT)."""
+    from credit_abs_oltp_to_mart_spark.operators.multimodal import (
+        AUDIO_WINDOW_HOP,
+        AUDIO_WINDOW_ID_STRIDE,
+        AUDIO_WINDOW_SAMPLES,
+    )
+
+    w = AUDIO_WINDOW_SAMPLES
+    hop = AUDIO_WINDOW_HOP
+    stride = AUDIO_WINDOW_ID_STRIDE
+    px_exprs = ", ".join(
+        f"('0x' || substr(hx, ((start + {i}) % nb) * 2 + 1, 2))::int"
+        f" as p{i}"
+        for i in range(w)
+    )
+    bit_terms = " + ".join(
+        f"case when p{i + 1} > p{i} then "
+        + ("(-9223372036854775807 - 1)" if i == 63 else f"(1::bigint << {i})")
+        + " else 0::bigint end"
+        for i in range(w - 1)
+    )
+    band_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"case when p{16 * b + j + 1} > p{16 * b + j} then"
+            f" (1::bigint << {j}) else 0::bigint end"
+            for j in range(16)
+        )
+        + f") as band{b}"
+        for b in range(4)
+    )
+    return f"""
+    with base as (
+      select doc_id, text from documents
+      union all
+      select doc_id + {IMG_PLANT_OFFSET} as doc_id, text
+      from documents where doc_id % 30 = 1),
+    media as (
+      select doc_id,
+             upper(md5(text)
+               || case when doc_id % 4 >= 1 then md5(text || 'c1') else '' end
+               || case when doc_id % 4 >= 2 then md5(text || 'c2') else '' end
+               || case when doc_id % 4 >= 3 then md5(text || 'c3') else '' end
+             ) as ahx
+      from base where doc_id % 3 = 1),
+    wins as (
+      select doc_id * {stride} + wno as doc_id,
+             ahx as hx, length(ahx) // 2 as nb, wno * {hop} as start
+      from (select doc_id, ahx,
+                   unnest(generate_series(0,
+                     (length(ahx) // 2 + {hop - 1}) // {hop} - 1)) as wno
+            from media where length(ahx) > 0)),
+    pix as (select doc_id, {px_exprs} from wins),
+    hashed as (
+      select doc_id, cast({bit_terms} as bigint) as fp, {band_exprs}
+      from pix),
+    banded as (
+      select doc_id, fp, t.b,
+             case t.b when 0 then band0 when 1 then band1
+                      when 2 then band2 else band3 end as band
+      from hashed, (values (0), (1), (2), (3)) t(b)),
+    cand as (
+      select distinct a.doc_id as doc_a, b2.doc_id as doc_b,
+             a.fp as sa, b2.fp as sb
+      from banded a
+      join banded b2 on a.b = b2.b and a.band = b2.band
+      where a.doc_id < b2.doc_id),
+    pairs as (
+      select doc_a, doc_b from cand
+      where bit_count(xor(sa, sb)) <= 3),
+    crossa as (
+      select doc_a // {stride} as audio_a, doc_b // {stride} as audio_b,
+             doc_a, doc_b
+      from pairs where doc_a // {stride} <> doc_b // {stride}),
+    matched as (
+      select audio_a, audio_b,
+             count(distinct doc_a)::int as n_matched_a,
+             count(distinct doc_b)::int as n_matched_b
+      from crossa group by 1, 2),
+    wcnt as (
+      select doc_id // {stride} as audio, count(*)::int as nw
+      from wins group by 1)
+    select m.audio_a, m.audio_b,
+           wa.nw as n_windows_a, wb.nw as n_windows_b,
+           m.n_matched_a, m.n_matched_b,
+           round(least(m.n_matched_a::double / wa.nw,
+                       m.n_matched_b::double / wb.nw), 6) as match_share
+    from matched m
+    join wcnt wa on wa.audio = m.audio_a
+    join wcnt wb on wb.audio = m.audio_b
+    """
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-substring spans (token-level, k=8,
     occurrences >= 2 anywhere incl. the doc itself) merged into maximal
@@ -5607,6 +5723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_refine": q_ann_pq_refine,
         "epoch_shuffle": q_epoch_shuffle,
         "video_near_dups": q_video_near_dups,
+        "audio_near_dups": q_audio_near_dups,
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
         "training_manifest": q_training_manifest,
@@ -6191,6 +6308,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_residual": _ann_pq_residual_oracle(),
         "ann_pq_refine": _ann_pq_refine_oracle(),
         "video_near_dups": _video_near_dups_oracle(),
+        "audio_near_dups": _audio_near_dups_oracle(),
         "unigram_train": _unigram_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
         "training_manifest": _TRAINING_MANIFEST_ORACLE,

@@ -473,3 +473,145 @@ def video_near_dups(
         )
         .where(F.col("match_share") >= min_share)
     )
+
+
+AUDIO_WINDOW_SAMPLES = 65     # 65 samples -> 64 first-difference bits
+AUDIO_WINDOW_HOP = 32
+AUDIO_WINDOW_ID_STRIDE = 1_000_000
+
+
+def audio_window_fingerprints(
+    media: DataFrame,
+    *,
+    hop: int = AUDIO_WINDOW_HOP,
+    id_stride: int = AUDIO_WINDOW_ID_STRIDE,
+) -> DataFrame:
+    """64-bit spectral-style fingerprint per overlapping audio WINDOW —
+    the third modality on the shared fingerprint discipline: treat each
+    content byte as one fake PCM sample (the registry-fake decode; a real
+    codec would hand the same window math a true sample buffer), slice
+    the stream into 65-sample windows every ``hop`` samples, and set bit
+    i iff sample i+1 > sample i — the sign-of-first-difference coding at
+    the core of Chromaprint-class audio fingerprints, invariant to DC
+    offset and to any gain remap that preserves sample order (the
+    transforms a re-encode applies). Short/corrupt streams tile
+    cyclically (pmod nb), exactly the ``image_phash`` convention.
+
+    Pure column expressions over ONE hex() of the blob — map-only, no
+    UDF, no shuffle; the hash is two HOF expressions (sample array ->
+    bit fold), never 64 unrolled columns (codegen method limit). Window
+    id = audio_id * ``id_stride`` + window_no. Returns (doc_id, fp)."""
+    w = AUDIO_WINDOW_SAMPLES
+    audio = media.where(F.col("modality") == "audio").select(
+        "doc_id",
+        F.hex(F.col("content")).alias("hx"),
+        F.length("content").alias("nb"),
+    )
+    n_windows = ((F.col("nb") + F.lit(hop - 1)) / F.lit(hop)).cast("int")
+    wins = (
+        audio.where(F.col("nb") > 0)
+        .select(
+            "doc_id",
+            "hx",
+            "nb",
+            F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("win_no"),
+        )
+        .select(
+            (F.col("doc_id") * id_stride + F.col("win_no")).alias("doc_id"),
+            "hx",
+            "nb",
+            (F.col("win_no") * hop).alias("start"),
+        )
+    )
+    px = (
+        f"transform(sequence(0, {w - 1}), i -> cast(conv(substr(hx,"
+        f" pmod(start + i, nb) * 2 + 1, 2), 16, 10) as int))"
+    )
+    fold = (
+        f"aggregate(sequence(0, {w - 2}), 0L, (acc, i) ->"
+        f" acc + (case when __px[i + 1] > __px[i] then"
+        f" (case when i = 63 then {-(1 << 63)}L else shiftleft(1L, i) end)"
+        f" else 0L end))"
+    )
+    return (
+        wins.withColumn("__px", F.expr(px))
+        .select("doc_id", F.expr(fold).cast("long").alias("fp"))
+    )
+
+
+def audio_near_dups(
+    media: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    hop: int = AUDIO_WINDOW_HOP,
+    id_stride: int = AUDIO_WINDOW_ID_STRIDE,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Audio near-duplicate pairs by matched-WINDOW share — completing
+    the image/video/audio modality family on the one shared kernel:
+    overlapping window fingerprints (``audio_window_fingerprints``) ->
+    the banded-hamming candidate join (``dedup.banded_hamming_pairs``,
+    never all-pairs across windows) -> per-audio-pair matched-window
+    share, the exact aggregation shape of ``video_near_dups``. A
+    re-encoded copy keeps most windows within ``max_hamming`` of the
+    original's, so the pair surfaces with a high share with no byte
+    identical.
+
+    Returns (audio_a, audio_b, n_windows_a, n_windows_b, n_matched_a,
+    n_matched_b, match_share); share = the smaller matched fraction,
+    rounded 6dp; pairs below ``min_share`` drop."""
+    from credit_abs_oltp_to_mart_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    # persist: the band self-join would re-evaluate the inlined sample
+    # fold per side (the image/video projection-collapse hazard)
+    fp = audio_window_fingerprints(
+        media, hop=hop, id_stride=id_stride
+    ).persist()
+    pairs = banded_hamming_pairs(
+        fp, "fp", max_hamming=max_hamming, n_bands=n_bands, n_bits=64
+    )
+    cross = pairs.select(
+        F.expr(f"doc_a div {id_stride}").alias("audio_a"),
+        F.expr(f"doc_b div {id_stride}").alias("audio_b"),
+        "doc_a",
+        "doc_b",
+    ).where(F.col("audio_a") != F.col("audio_b"))
+    matched = cross.groupBy("audio_a", "audio_b").agg(
+        F.countDistinct("doc_a").cast("int").alias("n_matched_a"),
+        F.countDistinct("doc_b").cast("int").alias("n_matched_b"),
+    )
+    counts = (
+        fp.select(F.expr(f"doc_id div {id_stride}").alias("audio"))
+        .groupBy("audio")
+        .agg(F.count(F.lit(1)).cast("int").alias("nw"))
+    )
+    ca = counts.select(
+        F.col("audio").alias("audio_a"), F.col("nw").alias("n_windows_a")
+    )
+    cb = counts.select(
+        F.col("audio").alias("audio_b"), F.col("nw").alias("n_windows_b")
+    )
+    share = F.round(
+        F.least(
+            F.col("n_matched_a").cast("double") / F.col("n_windows_a"),
+            F.col("n_matched_b").cast("double") / F.col("n_windows_b"),
+        ),
+        6,
+    )
+    return (
+        matched.join(ca, "audio_a")
+        .join(cb, "audio_b")
+        .select(
+            "audio_a",
+            "audio_b",
+            "n_windows_a",
+            "n_windows_b",
+            "n_matched_a",
+            "n_matched_b",
+            share.alias("match_share"),
+        )
+        .where(F.col("match_share") >= min_share)
+    )

@@ -257,3 +257,65 @@ def test_video_frame_images_matches_sample_frames(spark, media):
     )
     assert via_expr.exceptAll(via_kernel).count() == 0
     assert via_kernel.exceptAll(via_expr).count() == 0
+
+
+def test_audio_fingerprint_gain_invariance(spark):
+    """The sign-of-first-difference fingerprint must be IDENTICAL under
+    a strictly order-preserving sample remap (DC offset + gain — the
+    transforms a lossy re-encode applies), and must differ when the
+    sample ORDER changes."""
+    rng = list(range(0, 130, 2))  # 65 strictly increasing samples
+    up = bytes(rng)
+    shifted = bytes(s + 1 for s in rng)          # DC offset
+    import random
+
+    r = random.Random(7)
+    perm = rng[:]
+    r.shuffle(perm)
+    scrambled = bytes(perm)
+    rows = [
+        (1, bytearray(up), "audio"),
+        (2, bytearray(shifted), "audio"),
+        (3, bytearray(scrambled), "audio"),
+        (4, bytearray(up), "video"),  # filtered out by modality
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, modality string"
+    )
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in multimodal.audio_window_fingerprints(media).collect()
+    }
+    stride = multimodal.AUDIO_WINDOW_ID_STRIDE
+    # 65 bytes -> ceil(65/32) = 3 windows per stream
+    assert set(fp) == {a * stride + w for a in (1, 2, 3) for w in range(3)}
+    for w in range(3):
+        assert fp[1 * stride + w] == fp[2 * stride + w]
+    assert any(fp[1 * stride + w] != fp[3 * stride + w] for w in range(3))
+
+
+def test_audio_near_dups_re_encoded_copy(spark):
+    """A re-encoded copy (every sample +1 — no byte identical) must
+    surface at match_share 1.0; an unrelated stream must not pair."""
+    rng = [((i * 37) % 200) for i in range(64)]
+    base = bytes(rng)
+    shifted = bytes(s + 1 for s in rng)
+    other = bytes(((i * 53) % 199) for i in range(64))
+    rows = [
+        (1, bytearray(base), "audio"),
+        (2, bytearray(shifted), "audio"),
+        (3, bytearray(other), "audio"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, modality string"
+    )
+    assert shifted != base
+    got = {
+        (r["audio_a"], r["audio_b"]): r
+        for r in multimodal.audio_near_dups(media).collect()
+    }
+    assert (1, 2) in got, got
+    r12 = got[(1, 2)]
+    assert r12["match_share"] == 1.0
+    assert r12["n_windows_a"] == 2 and r12["n_windows_b"] == 2
+    assert not any(3 in p for p in got)
