@@ -4043,6 +4043,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_sub_ctes(
     sub: int, iters: int = PQ_ITERS, dim: int = 64, src: str = "v",
+    init_ids: list[int] | None = None,
 ) -> str:
     """Per-subspace Lloyd-replay CTEs (prefix s{sub}): with ``src="v"``
     subspace dims come from the shared fixed-point vector CTE ``v``
@@ -4054,7 +4055,7 @@ def _pq_sub_ctes(
     produced it)."""
     dsub = dim // PQ_M
     off = sub * dsub
-    ids = ", ".join(str(i) for i in PQ_INIT_IDS)
+    ids = ", ".join(str(i) for i in (init_ids or PQ_INIT_IDS))
     if src == "v":
         u_cte = f"""
         s{sub}u as (select vid, g.d, a[{off} + g.d] as val
@@ -5048,6 +5049,166 @@ def _stream_ann_ingest_oracle(
     """
 
 
+# PQ init ids for the streaming contract: all in the base split
+# (vec_id % 4 != 3) — the sub-codebooks must train on base only
+STREAM_PQ_INIT_IDS = [4, 9, 14, 21, 24, 29, 34, 41]
+
+
+def q_stream_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous maintenance of the persisted IVF-PQ index — the
+    product-quantized twin of ``stream_ann_ingest``: the index is BUILT
+    once from the base 75% of the embeddings (coarse + per-subspace
+    codebooks), the remaining 25% ARRIVES as 2 streaming micro-batches —
+    each encoded against the FIXED persisted codebooks (coarse argmin +
+    per-subspace argmin, bit-parity with a rebuild) and appended as
+    batch-scoped postings — and the ADC probe finally serves base UNION
+    incremental from cold reads. The hash gate covers codebook training,
+    online encoding, the batch-keyed appends AND the integer ADC union
+    probe in one verdict."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from credit_abs_oltp_to_mart_spark.operators import ann as _ann
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 4 != 3)
+    tmp = tempfile.mkdtemp(prefix="spark_pq_ingest_")
+    try:
+        idx = os.path.join(tmp, "index")
+        _ann.build_pq_index(
+            base,
+            idx,
+            coarse_init_ids=KMEANS_INIT_IDS,
+            pq_init_ids=STREAM_PQ_INIT_IDS,
+            m=PQ_M,
+            coarse_iterations=KMEANS_ITERS,
+            pq_iterations=PQ_ITERS,
+        )
+        slices = os.path.join(tmp, "slices")
+        now = _time.time()
+        for k, resid in enumerate([3, 7]):
+            d = os.path.join(slices, f"b{k}")
+            emb.where(F.col("vec_id") % 8 == resid).coalesce(1).write.parquet(d)
+            for f2 in os.listdir(d):
+                if f2.endswith(".parquet"):
+                    t = now - 60 + 10 * k
+                    os.utime(os.path.join(d, f2), (t, t))
+        streaming.stream_pq_ingest(
+            spark, f"{slices}/b*", idx, schema=emb.schema
+        )
+        queries = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+        out = _ann.pq_index_probe(
+            queries, idx, k=ANN_K, nprobe=IVF_NPROBE,
+            include_incremental=True,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_pq_ingest_oracle(
+    iters: int = KMEANS_ITERS, piters: int = PQ_ITERS, nprobe: int = IVF_NPROBE
+) -> str:
+    """Replay: coarse + per-subspace Lloyd restricted to the base split;
+    stream vectors assign/encode against those FINAL codebooks (same
+    integer argmins); ADC lookup tables from the raw query slices; probe
+    over base UNION streamed code tables."""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cb = f"c{iters - 1}"
+    dsub = 64 // PQ_M
+    subs = ",".join(
+        _pq_sub_ctes(s, piters, init_ids=STREAM_PQ_INIT_IDS)
+        for s in range(PQ_M)
+    )
+    luts = ",".join(
+        f"""
+        s{s}lut as (select q.vid as query_id, c.cid,
+                           sum(q.val * c.c)::bigint as dp
+                    from (select vid, d - {s * dsub} as d, val from uall
+                          where d > {s * dsub} and d <= {(s + 1) * dsub}
+                            and vid in ({qids})) q
+                    join s{s}c{piters - 1} c using (d) group by 1, 2)"""
+        for s in range(PQ_M)
+    )
+    stream_codes = ",".join(
+        f"""
+        s{s}ssc as (select u2.vid, c.cid,
+                           (sum(c.c * c.c) - 2 * sum(u2.val * c.c))::bigint
+                             as score
+                    from (select vid, d - {s * dsub} as d, val from uall
+                          where d > {s * dsub} and d <= {(s + 1) * dsub}
+                            and vid % 4 = 3) u2
+                    join s{s}c{piters - 1} c using (d) group by 1, 2),
+        s{s}sa as (select vid, cid as cluster from (
+                     select vid, cid,
+                            row_number() over (partition by vid
+                                               order by score, cid) as rn
+                     from s{s}ssc) z where rn = 1),
+        s{s}all as (select vid, cluster from s{s}a{piters}
+                    union all
+                    select vid, cluster from s{s}sa)"""
+        for s in range(PQ_M)
+    )
+    contribs = " union all ".join(
+        f"""select l.query_id, a.vid as neighbor_id, l.dp
+            from s{s}all a join s{s}lut l on l.cid = a.cluster"""
+        for s in range(PQ_M)
+    )
+    return f"""
+    {_kmeans_ctes(iters, where_v="where vec_id % 4 <> 3")},
+    {subs},
+    vall as (select vec_id as vid,
+               list_transform(embedding, x -> cast(case when x >= 0
+                 then floor(x::double * 1000000 + 0.5)
+                 else -floor(-x::double * 1000000 + 0.5) end
+                 as bigint)) as a
+             from embeddings),
+    uall as (select vid, g.d, a[g.d] as val
+             from vall, generate_series(1, 64) g(d)),
+    {luts},
+    {stream_codes},
+    adc as (select query_id, neighbor_id, sum(dp)::bigint as adc_score
+            from ({contribs}) group by 1, 2),
+    ssc as (select u2.vid, {cb}.cid,
+                   (sum({cb}.c * {cb}.c) - 2 * sum(u2.val * {cb}.c))::bigint
+                     as score
+            from (select * from uall where vid % 4 = 3) u2
+            join {cb} using (d) group by 1, 2),
+    sassign as (select vid, cid as cluster from (
+                  select vid, cid,
+                         row_number() over (partition by vid
+                                            order by score, cid) as rn
+                  from ssc) z where rn = 1),
+    allassign as (select vid, cluster from a{iters}
+                  union all
+                  select vid, cluster from sassign),
+    psc as (select q.vid, {cb}.cid,
+                   (sum({cb}.c * {cb}.c) - 2 * sum(q.val * {cb}.c))::bigint
+                     as score
+            from (select * from uall where vid in ({qids})) q
+            join {cb} using (d) group by 1, 2),
+    pr as (select vid as query_id, cid as cluster from (
+             select vid, cid,
+                    row_number() over (partition by vid
+                                       order by score, cid) as rn
+             from psc) z
+           where rn <= {nprobe}),
+    cand as (select pr.query_id, allassign.vid as neighbor_id
+             from pr join allassign on allassign.cluster = pr.cluster
+             where allassign.vid <> pr.query_id),
+    final as (select c.query_id, c.neighbor_id, adc.adc_score,
+                     row_number() over (partition by c.query_id
+                                        order by adc.adc_score desc,
+                                                 c.neighbor_id asc) as rank
+              from cand c join adc
+                on adc.query_id = c.query_id
+               and adc.neighbor_id = c.neighbor_id)
+    select query_id, neighbor_id, cast(rank as int) as rank, adc_score
+    from final where rank <= {ANN_K}
+    """
+
+
 # --- generator parity (G1-G11): pinned tiny config, deterministic seed ---
 _GEN_PARAMS = dict(n_loans=60, n_borrowers=80, n_applications=100, seed=42)
 
@@ -5730,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_training_manifest": q_bpe_training_manifest,
         "ann_index_serve": q_ann_index_serve,
         "stream_ann_ingest": q_stream_ann_ingest,
+        "stream_pq_ingest": q_stream_pq_ingest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
         # -- (c) oldest r05-evidence entries (fill to 50)
         "window_frames": q_window_frames,
@@ -6330,6 +6492,7 @@ def oracle_sql() -> dict[str, str]:
             from e
         """,
         "stream_ann_ingest": _stream_ann_ingest_oracle(),
+        "stream_pq_ingest": _stream_pq_ingest_oracle(),
         "stream_bpe_ingest": _stream_bpe_ingest_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),
         "multimodal_features": _multimodal_features_oracle(),

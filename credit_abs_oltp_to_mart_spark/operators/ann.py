@@ -917,7 +917,7 @@ def build_pq_index(
     # build_ivf_index (retrain => re-ingest)
     fs, _ = _hadoop_fs(spark, index_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    stale = ["postings_inc", "refine_inc"] + (
+    stale = ["postings_inc", "refine_inc", "ingest_checkpoint"] + (
         [] if with_refine else ["refine"]
     )
     for name in stale:
@@ -1329,6 +1329,17 @@ def pq_index_probe(
     )
 
 
+def load_pq_index(spark: SparkSession, index_dir: str):
+    """(coarse codebook, pq codebooks, meta row) in one cold read —
+    O(k*dim) driver state, the load a long-running ingest job hoists
+    out of its per-batch loop."""
+    return (
+        load_index_codebook(spark, index_dir),
+        load_pq_codebooks(spark, index_dir),
+        spark.read.parquet(f"{index_dir}/pq_meta").collect()[0],
+    )
+
+
 def pq_ingest_batch(
     batch: DataFrame,
     index_dir: str,
@@ -1336,6 +1347,7 @@ def pq_ingest_batch(
     batch_id: int,
     vec_col: str = "embedding",
     codebook_as_literals: bool | None = None,
+    loaded=None,
 ) -> DataFrame:
     """Online half of the persisted IVF-PQ index — encode ONE batch of
     NEW vectors against the FIXED persisted codebooks (no retraining,
@@ -1350,16 +1362,16 @@ def pq_ingest_batch(
     bigint difference — so a vector ingested online gets exactly the
     posting a rebuild would give it. Map-only (codebooks ship as plan
     literals / broadcast); the batch-id-scoped overwrite is idempotent
-    under crash replay. Returns (vec_id, cluster) for the ingested rows."""
+    under crash replay. Returns (vec_id, cluster) for the ingested rows.
+    ``loaded`` takes a ``load_pq_index`` result so a streaming loop pays
+    the codebook cold read once, not per batch."""
     from credit_abs_oltp_to_mart_spark.operators.kmeans import (
         FP_SCALE,
         _to_fp,
     )
 
     spark = batch.sparkSession
-    coarse = load_index_codebook(spark, index_dir)
-    books = load_pq_codebooks(spark, index_dir)
-    meta = spark.read.parquet(f"{index_dir}/pq_meta").collect()[0]
+    coarse, books, meta = loaded or load_pq_index(spark, index_dir)
     assigned = assign_against_codebook(
         batch, coarse, vec_col=vec_col,
         codebook_as_literals=codebook_as_literals,

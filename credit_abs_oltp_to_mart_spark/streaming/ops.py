@@ -1121,3 +1121,69 @@ def stream_ann_ingest(
     return spark.read.parquet(inc_dir).select(
         "vec_id", "cluster", "ingest_batch"
     )
+
+
+def stream_pq_ingest(
+    spark: SparkSession,
+    slices_glob: str,
+    index_dir: str,
+    *,
+    schema,
+    vec_col: str = "embedding",
+    codebook_as_literals: bool | None = None,
+) -> DataFrame:
+    """Continuous maintenance of the persisted IVF-PQ index
+    (``ann.build_pq_index``) — the product-quantized twin of
+    ``stream_ann_ingest``: micro-batches of NEW vectors encode against
+    the FIXED persisted codebooks (coarse assignment + per-subspace
+    argmin, exact residuals under by_residual — all via
+    ``ann.pq_ingest_batch``, bit-parity with a rebuild) and append as
+    batch-scoped partitions under ``postings_inc/batch=<id>``; when the
+    index carries a refine tier, each batch's SQ payload lands in
+    ``refine_inc`` too, so refined probes stay consistent.
+
+    All three codebook tables are cold-read ONCE per run
+    (``ann.load_pq_index``, O(k*dim) driver state) and shipped into
+    every batch through the shared literal/broadcast kernels. Batch
+    output depends only on the batch input and the fixed codebooks, so
+    a crash replay rewrites byte-identical data over its own partition —
+    idempotent without an exclusion dance.
+    ``ann.pq_index_probe(..., include_incremental=True)`` serves base
+    UNION incremental with read-your-latest dedup. Returns
+    (vec_id, cluster, ingest_batch) for everything ingested."""
+    from credit_abs_oltp_to_mart_spark.operators import ann as A
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        resume_pending_compaction,
+    )
+
+    inc_dir = os.path.join(index_dir, "postings_inc")
+    ck_dir = os.path.join(index_dir, "ingest_checkpoint")
+    resume_pending_compaction(spark, inc_dir)
+    loaded = A.load_pq_index(spark, index_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        A.pq_ingest_batch(
+            batch_df,
+            index_dir,
+            batch_id=batch_id,
+            vec_col=vec_col,
+            codebook_as_literals=codebook_as_literals,
+            loaded=loaded,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(slices_glob)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(inc_dir).select(
+        "vec_id", "cluster", "ingest_batch"
+    )

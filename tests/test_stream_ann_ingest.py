@@ -357,3 +357,64 @@ def test_pq_refine_covers_ingested_vectors(spark, tmp_path):
     import os
     assert not os.path.exists(f"{idx}/postings_inc")
     assert not os.path.exists(f"{idx}/refine_inc")
+
+
+def test_stream_pq_ingest_parity_and_replay(spark, tmp_path):
+    """stream_pq_ingest must land exactly the postings pq_ingest_batch
+    would write per batch (offline/online bit-parity through the shared
+    encode path), serve them through the union probe, and stay
+    idempotent when the stream restarts over the same checkpoint."""
+    import time as _time
+
+    from credit_abs_oltp_to_mart_spark.streaming import stream_pq_ingest
+
+    idx = str(tmp_path / "pq_stream")
+    ann.build_pq_index(
+        _emb(spark, BASE), idx,
+        coarse_init_ids=[0, 1], pq_init_ids=[0, 1, 2],
+        m=2, coarse_iterations=2, pq_iterations=2, dim=DIM,
+    )
+    src = tmp_path / "slices"
+    t0 = _time.time() - 120
+    _land(_emb(spark, S1), src / "b0", 0, t0)
+    _land(_emb(spark, S2), src / "b1", 1, t0)
+    got = stream_pq_ingest(
+        spark, f"{src}/b*", idx,
+        schema="vec_id bigint, embedding array<double>",
+    )
+    rows = {r["vec_id"]: (r["cluster"], r["ingest_batch"])
+            for r in got.collect()}
+    assert set(rows) == {100, 101, 200}
+    # batches arrive oldest-first, one file per trigger
+    assert rows[100][1] == 0 and rows[200][1] == 1
+    # parity: same codes a direct pq_ingest_batch produces for batch 0
+    inc = spark.read.parquet(f"{idx}/postings_inc").collect()
+    direct_idx = str(tmp_path / "pq_direct")
+    ann.build_pq_index(
+        _emb(spark, BASE), direct_idx,
+        coarse_init_ids=[0, 1], pq_init_ids=[0, 1, 2],
+        m=2, coarse_iterations=2, pq_iterations=2, dim=DIM,
+    )
+    ann.pq_ingest_batch(_emb(spark, S1), direct_idx, batch_id=0)
+    direct = spark.read.parquet(f"{direct_idx}/postings_inc").collect()
+    by_id = {r["vec_id"]: (r["cluster"], list(r["pq_codes"])) for r in inc
+             if r["ingest_batch"] == 0}
+    by_id_direct = {
+        r["vec_id"]: (r["cluster"], list(r["pq_codes"])) for r in direct
+    }
+    assert by_id == by_id_direct
+    # union probe serves the streamed near-copy of query 0
+    queries = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+    neighbors = [
+        r["neighbor_id"]
+        for r in ann.pq_index_probe(
+            queries, idx, k=4, nprobe=1, include_incremental=True
+        ).collect()
+    ]
+    assert 200 in neighbors
+    # restart over the same checkpoint: no new batches, no duplicates
+    again = stream_pq_ingest(
+        spark, f"{src}/b*", idx,
+        schema="vec_id bigint, embedding array<double>",
+    )
+    assert sorted(r["vec_id"] for r in again.collect()) == [100, 101, 200]
