@@ -5832,75 +5832,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # === PRIORITY ORDER: the driver's gate checks the FIRST 50 entries
-        # in registration order. Round-7 window: (a) the 32 queries whose
-        # newest driver evidence is r04 (front-loaded per round-6 review
-        # item #1 -- their 2-round evidence policy expires at round-7
-        # close), (b) queries whose code changed this round (semantic_dedup
-        # hardening + soft assignment; ann probe vec_id dedup touching
-        # ann_index_serve / stream_ann_ingest; add_eval_suite flat-store
-        # guard touching stream_corpus_ingest) plus new round-7 operators,
-        # (c) the oldest r05-evidence entries with the remaining slots so
-        # next round's rotation debt shrinks. Round-6 greens rotate to the
-        # back; tools/gate_mirror.py re-verifies ALL entries locally. ===
-        # -- (a) r04-aged driver evidence (32)
-        "token_freq_stats": q_token_freq_stats,
-        "roll_rate": q_roll_rate,
-        "sessionize": q_sessionize,
-        "reconcile_waterfall": q_reconcile_waterfall,
-        "stream_sessionize": q_stream_sessionize,
-        "generator_invariants": q_generator_invariants,
-        "dedup_embedding": q_dedup_embedding,
-        "variant_extract": q_variant_extract,
-        "try_arithmetic": q_try_arithmetic,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_quantize": q_embedding_quantize,
-        "ann_quantized": q_ann_quantized,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
-        "text_repetition": q_text_repetition,
-        "split_assign": q_split_assign,
-        "stratified_sample": q_stratified_sample,
-        "doc_chunks": q_doc_chunks,
-        "tfidf_topk": q_tfidf_topk,
-        "pii_scan": q_pii_scan,
-        "weighted_sample": q_weighted_sample,
-        "interval_join_agg": q_interval_join_agg,
-        "hypertable_rollup": q_hypertable_rollup,
-        "scd2_changelog": q_scd2_changelog,
-        "kmv_distinct": q_kmv_distinct,
-        # -- (b) changed / new this round
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_soft": q_semantic_dedup_soft,
-        "ann_pq": q_ann_pq,
-        "ann_pq_residual": q_ann_pq_residual,
-        "ann_pq_refine": q_ann_pq_refine,
-        "epoch_shuffle": q_epoch_shuffle,
-        "video_near_dups": q_video_near_dups,
-        "audio_near_dups": q_audio_near_dups,
-        "unigram_train": q_unigram_train,
-        "unigram_segment": q_unigram_segment,
-        "training_manifest": q_training_manifest,
-        "bpe_training_manifest": q_bpe_training_manifest,
-        "ann_index_serve": q_ann_index_serve,
-        "stream_ann_ingest": q_stream_ann_ingest,
-        "stream_pq_ingest": q_stream_pq_ingest,
-        "stream_corpus_ingest": q_stream_corpus_ingest,
-        # -- (c) oldest r05-evidence entries (fill to 50)
-        "window_frames": q_window_frames,
-        "unpivot_measures": q_unpivot_measures,
-        "array_hof": q_array_hof,
-        "map_explode": q_map_explode,
-        "array_agg_sorted": q_array_agg_sorted,
-        "token_positions": q_token_positions,
-        # ---- driver gate window (50) ends here ----
+
+        # === PRIORITY ORDER: the driver's gate checks the FIRST 50
+        # entries in registration order. Round-8 window: (a) ALL 39
+        # queries whose newest driver evidence is r05 (front-loaded per
+        # round-7 review item #1 -- their 2-round evidence policy
+        # expires at round-8 close; the judge re-verified all 39
+        # hash-exact last round), (b) the 5 NEW round-8 contract
+        # queries (bpe_training_manifest, ann_pq_refine, bm25_topk,
+        # audio_near_dups, stream_pq_ingest -- no driver evidence yet),
+        # (c) 6 queries whose code changed this round (unigram seed-cut
+        # rewrite; epoch_shuffle exact integer division; the PQ/IVF
+        # probe tiebreak + literal-cap + meta-schema changes touching
+        # ann_pq, ann_pq_residual, ann_index_serve). stream_ann_ingest
+        # also changed (probe tiebreak) but its r07 driver evidence
+        # stays within policy -- it leads the out-of-window remainder
+        # and tools/gate_mirror.py re-verifies ALL entries locally at
+        # both SFs. Remainder: r06-evidence entries (expire at r9)
+        # before r07-evidence entries. ===
+        # -- (a) r05-aged driver evidence (39)
         "nullsafe_join": q_nullsafe_join,
         "retention_cohorts": q_retention_cohorts,
         "profile_stats": q_profile_stats,
@@ -5909,12 +5859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "triangle_count": q_triangle_count,
         "udtf_sentences": q_udtf_sentences,
-        # -- r05-evidence remainder
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "ann_quantized_ivf": q_ann_quantized_ivf,
         "pii_redact": q_pii_redact,
         "bigram_fluency": q_bigram_fluency,
-        "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
         "ann_ivf_trained": q_ann_ivf_trained,
         "dup_spans": q_dup_spans,
@@ -5942,8 +5890,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "month_end_snapshot": q_month_end_snapshot,
         "coalesce_nullif_arith": q_coalesce_nullif_arith,
-        # -- round-6 green driver rows (freshest evidence, rotate to
-        # the back)
+        # -- (b) new round-8 contract queries (5)
+        "bpe_training_manifest": q_bpe_training_manifest,
+        "ann_pq_refine": q_ann_pq_refine,
+        "bm25_topk": q_bm25_topk,
+        "audio_near_dups": q_audio_near_dups,
+        "stream_pq_ingest": q_stream_pq_ingest,
+        # -- (c) changed this round (6)
+        "unigram_train": q_unigram_train,
+        "unigram_segment": q_unigram_segment,
+        "epoch_shuffle": q_epoch_shuffle,
+        "ann_pq": q_ann_pq,
+        "ann_pq_residual": q_ann_pq_residual,
+        "ann_index_serve": q_ann_index_serve,
+        # ---- driver gate window (50) ends here ----
+        # changed this round, r07 evidence still within policy
+        "stream_ann_ingest": q_stream_ann_ingest,
+        # -- r06-evidence remainder (expires at round-9 close)
         "asof_join": q_asof_join,
         "cube_revenue": q_cube_revenue,
         "grouped_pandas_stats": q_grouped_pandas_stats,
@@ -5990,6 +5953,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_store": q_decontaminate_store,
         "cluster_sample": q_cluster_sample,
         "token_budget_sample": q_token_budget_sample,
+        # -- r07-evidence remainder (freshest)
+        "token_freq_stats": q_token_freq_stats,
+        "roll_rate": q_roll_rate,
+        "sessionize": q_sessionize,
+        "reconcile_waterfall": q_reconcile_waterfall,
+        "stream_sessionize": q_stream_sessionize,
+        "generator_invariants": q_generator_invariants,
+        "dedup_embedding": q_dedup_embedding,
+        "variant_extract": q_variant_extract,
+        "try_arithmetic": q_try_arithmetic,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_quantized": q_ann_quantized,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "text_repetition": q_text_repetition,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "tfidf_topk": q_tfidf_topk,
+        "pii_scan": q_pii_scan,
+        "weighted_sample": q_weighted_sample,
+        "interval_join_agg": q_interval_join_agg,
+        "hypertable_rollup": q_hypertable_rollup,
+        "scd2_changelog": q_scd2_changelog,
+        "kmv_distinct": q_kmv_distinct,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_soft": q_semantic_dedup_soft,
+        "video_near_dups": q_video_near_dups,
+        "training_manifest": q_training_manifest,
+        "stream_corpus_ingest": q_stream_corpus_ingest,
+        "window_frames": q_window_frames,
+        "unpivot_measures": q_unpivot_measures,
+        "array_hof": q_array_hof,
+        "map_explode": q_map_explode,
+        "array_agg_sorted": q_array_agg_sorted,
+        "token_positions": q_token_positions,
     }
 
 
