@@ -183,6 +183,34 @@ def main() -> int:
                 fromlist=["unigram_train"],
             ).unigram_train(d, rounds=2)[0]
         ),
+        # round-8 operators: BM25 retrieval (postings restricted to the
+        # broadcast query-term list before df counting/scoring — the
+        # probe re-derives query terms from the scaled corpus since
+        # retokenized copies share no vocabulary with the original) and
+        # audio near-dups (map-only window fingerprints + band join).
+        # The embeddings-based round-8 ops (ann_pq_refine,
+        # stream_pq_ingest) are probed by tools/scale_probe_emb.py.
+        "bm25_topk": lambda d: (
+            lambda R: R.bm25_topk(
+                d,
+                d.select(
+                    F.col("doc_id").alias("query_id"),
+                    F.substring("text", 1, 40).alias("query"),
+                ).where(
+                    (F.col("query_id") < 10_000_000)
+                    & (F.col("query_id") % 997 == 0)
+                ),
+                k=10,
+            )
+        )(
+            __import__(
+                "credit_abs_oltp_to_mart_spark.operators.retrieval",
+                fromlist=["bm25_topk"],
+            )
+        ),
+        "audio_near_dups": lambda d: multimodal.audio_near_dups(
+            multimodal.synthesize_blobs(d)
+        ),
     }
     results: dict[str, dict] = {}
     for name, build in probes.items():
