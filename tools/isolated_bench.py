@@ -24,8 +24,11 @@ DEFAULT_QUERIES = [
     "stream_bpe_ingest",
     "stream_corpus_ingest",
     "stream_ann_ingest",
+    "stream_pq_ingest",
     "ann_index_serve",
+    "ann_pq_refine",
     "corpus_pipeline",
+    "bpe_training_manifest",
 ]
 
 _CHILD = r"""

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Derive the driver-gate window order from the evidence-age record.
+
+The per-round driver gate checks the FIRST 50 ``queries()`` entries, and
+the review policy requires every query's newest driver evidence to be at
+most 2 rounds old — so each round the registration order must front-load
+(a) queries with NO driver evidence yet (new this round) and (b) queries
+whose newest evidence is about to expire. This tool computes that order
+mechanically from the committed ``CORRECTNESS_r*.json`` artifacts (each
+lists exactly the queries the driver gated that round), so the rotation
+stops being hand-maintained:
+
+  * prints every contract query with its newest evidence round;
+  * prints the recommended next-round window: no-evidence first, then
+    ascending evidence round (ties keep current registration order),
+    cut at --window (default 50);
+  * with --check, exits non-zero if any query whose evidence expires
+    next round (age >= --max-age at the NEXT round's close) is NOT
+    inside the current registration's first --window entries — the
+    pre-commit guard for the rotation.
+
+Usage: python tools/window_order.py [--check] [--window 50] [--max-age 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("--max-age", type=int, default=2)
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    evidence: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name, row in json.load(open(path)).items():
+            ok = isinstance(row, dict) and row.get("rows_match") and (
+                row.get("hash_match") is not False
+            ) and not row.get("err")
+            if ok:
+                evidence[name] = max(evidence.get(name, 0), rnd)
+    latest = max(rounds) if rounds else 0
+    names = list(entry_mod.queries())
+    pos = {n: i for i, n in enumerate(names)}
+
+    def key(n: str):
+        # no evidence first, then oldest evidence, stable on current order
+        return (evidence.get(n, -1), pos[n])
+
+    recommended = sorted(names, key=key)
+    print(f"# evidence through round {latest}; {len(names)} contract queries")
+    for n in recommended[: args.window]:
+        ev = evidence.get(n)
+        print(f"{n}\t{'r%02d' % ev if ev else 'NO-EVIDENCE'}")
+    print(f"# ---- recommended window ({args.window}) ends here ----")
+
+    if args.check:
+        current_window = set(names[: args.window])
+        # queries whose evidence would be STRICTLY older than max-age at
+        # the close of round latest+1 — age (latest+1) - ev > max_age,
+        # i.e. ev <= latest - max_age — plus no-evidence queries, must
+        # sit inside the current window (max-age-old evidence is still
+        # within policy; it expires the round AFTER)
+        must = [
+            n
+            for n in names
+            if evidence.get(n, -(10**9)) <= latest - args.max_age
+        ]
+        missing = [n for n in must if n not in current_window]
+        if missing:
+            print(
+                f"ROTATION GAP: {len(missing)} expiring/no-evidence queries"
+                f" outside the first {args.window} registration entries:",
+                file=sys.stderr,
+            )
+            for n in missing:
+                print(f"  {n} (evidence: {evidence.get(n)})", file=sys.stderr)
+            return 1
+        print(
+            f"check ok: all {len(must)} expiring/no-evidence queries are"
+            f" inside the first {args.window} entries"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
