@@ -15,5 +15,6 @@ from credit_abs_oltp_to_mart_spark.streaming.ops import (  # noqa: F401
     stream_sessionize,
     stream_stream_join,
     stream_upsert_snapshot,
+    stream_vocab_refresh,
     stream_windowed_agg,
 )

@@ -1187,3 +1187,133 @@ def stream_pq_ingest(
     return spark.read.parquet(inc_dir).select(
         "vec_id", "cluster", "ingest_batch"
     )
+
+
+def stream_vocab_refresh(
+    spark: SparkSession,
+    slices_glob: str,
+    init_docs: DataFrame,
+    out_dir: str,
+    *,
+    schema,
+    n_merges: int = 8,
+    refresh_every: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming tokenizer-vocabulary REFRESH — the production loop where
+    the deployed tokenizer periodically retrains on the grown corpus and
+    consumers atomically re-pin (the ``add_eval_suite`` re-pin pattern
+    applied to the word frame): micro-batches of new docs are segmented
+    under the vocabulary generation PINNED for that batch, appended to
+    the docs store, and every ``refresh_every`` batches the tokenizer
+    retrains on EVERYTHING ingested so far and publishes the next
+    versioned vocabulary partition.
+
+    Determinism is BY RULE, not by pointer: batch b segments under
+    version v(b) = b div ``refresh_every``, and version v > 0 is trained
+    on ``init_docs`` plus exactly the batches [0, v*refresh_every) —
+    both pure functions of the batch id, so a crash replay of batch b
+    re-derives the same vocabulary even if a newer version was already
+    published before the crash (the pointer-read design would segment
+    the replayed batch under the NEWER vocab — the replay caveat
+    ``stream_corpus_ingest`` documents; the rule sidesteps it). Missing
+    versions self-heal: the first batch of a segment retrains its own
+    vocabulary from the store if the publish was lost.
+
+    Layout under ``out_dir``:
+      ``docs_store/batch=<id>``    ingested docs (batch-scoped idempotent);
+      ``vocab/version=<v>``        the trained word frames (word, cnt, syms);
+      ``vocab_current``            one-row consumer pointer (version) —
+                                   re-pinned AFTER each publish;
+      ``segmented/batch=<id>``     per-doc stats under the pinned vocab
+                                   (doc_id, vocab_version, n_words,
+                                   n_bpe_tokens);
+      ``checkpoint``               stream offsets.
+
+    Per batch: one segmentation pass (broadcast word join), one docs
+    append; on refresh boundaries one ``bpe_train`` over the store (the
+    word-table-sized merge loop). Returns the segmented store:
+    (batch, doc_id, vocab_version, n_words, n_bpe_tokens)."""
+    from pyspark.errors import AnalysisException
+
+    from credit_abs_oltp_to_mart_spark.operators import bpe as B
+
+    docs_dir = os.path.join(out_dir, "docs_store")
+    vocab_dir = os.path.join(out_dir, "vocab")
+    seg_dir = os.path.join(out_dir, "segmented")
+    ck_dir = os.path.join(out_dir, "checkpoint")
+
+    def _train_set(upto_batch: int) -> DataFrame:
+        sel = init_docs.select("doc_id", text_col)
+        if upto_batch > 0:
+            try:
+                store = (
+                    spark.read.option("basePath", docs_dir)
+                    .parquet(docs_dir)
+                    .where(F.col("batch") < upto_batch)
+                    .select("doc_id", text_col)
+                )
+                sel = sel.unionByName(store)
+            except AnalysisException:
+                pass  # no store yet — version 0 regime
+        return sel
+
+    def _publish(version: int) -> None:
+        _, wf = B.bpe_train(
+            _train_set(version * refresh_every),
+            n_merges,
+            text_col=text_col,
+        )
+        wf.write.mode("overwrite").parquet(
+            os.path.join(vocab_dir, f"version={version}")
+        )
+        # consumer-facing pointer, re-pinned AFTER the publish (atomic
+        # via the parquet commit protocol — readers see old or new)
+        spark.createDataFrame(
+            [(int(version),)], "version int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "vocab_current")
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        v = b // refresh_every
+        vdir = os.path.join(vocab_dir, f"version={v}")
+        try:
+            wf = spark.read.parquet(vdir)
+        except AnalysisException:
+            _publish(v)  # first batch of the segment (or lost publish)
+            wf = spark.read.parquet(vdir)
+        seg = B.bpe_segment_stats(
+            batch_df.select("doc_id", text_col), wf, text_col=text_col
+        )
+        (
+            seg.withColumn("vocab_version", F.lit(v).cast("int"))
+            .select("doc_id", "vocab_version", "n_words", "n_bpe_tokens")
+            .write.mode("overwrite")
+            .parquet(os.path.join(seg_dir, f"batch={b}"))
+        )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch={b}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(slices_glob)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(seg_dir).select(
+        F.col("batch").cast("int").alias("batch"),
+        "doc_id",
+        "vocab_version",
+        "n_words",
+        "n_bpe_tokens",
+    )
