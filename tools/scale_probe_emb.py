@@ -9,6 +9,10 @@ paths whose 100 TB posture was previously argued by plan gate alone:
                           (serve-only; the build is timed separately as
                           ``pq_build`` for context but is the offline
                           path by contract);
+  * ``pq_probe_refine`` — the same probe with the IndexRefine stage
+                          (refine_k=10): the bounded shortlist join
+                          against the SQ refine tier must keep the
+                          serve cost near-flat too;
   * ``ann_serve``       — ivf_index_probe on a prebuilt scalar-quantized
                           index (the ann_index_serve path);
   * ``semantic_dedup``  — kmeans assignment + cluster-equi-join SemDeDup;
@@ -149,6 +153,7 @@ def main() -> int:
             pq_iterations=2,
             dim=dim,
             codebook_as_literals=False,
+            with_refine=True,
         )
         pq_t = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
@@ -176,6 +181,17 @@ def main() -> int:
             k=5,
             nprobe=NPROBE,
             codebook_as_literals=False,
+        ),
+    )
+    probe(
+        "pq_probe_refine",
+        lambda d, f: ann.pq_index_probe(
+            queries1,
+            idx["1" if f == 1 else "N"][0],
+            k=5,
+            nprobe=NPROBE,
+            codebook_as_literals=False,
+            refine_k=10,
         ),
     )
     probe(
