@@ -5944,85 +5944,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
 
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50
-        # entries in registration order. Round-8 window: (a) ALL 39
-        # queries whose newest driver evidence is r05 (front-loaded per
-        # round-7 review item #1 -- their 2-round evidence policy
-        # expires at round-8 close; the judge re-verified all 39
-        # hash-exact last round), (b) the 6 NEW round-8 contract
-        # queries (bpe_training_manifest, ann_pq_refine, bm25_topk,
-        # audio_near_dups, stream_pq_ingest, stream_vocab_refresh --
-        # no driver evidence yet), (c) 5 queries whose code changed
-        # this round (unigram seed-cut rewrite; epoch_shuffle exact
-        # integer division; the PQ/IVF probe tiebreak + literal-cap +
-        # meta-schema changes touching ann_pq, ann_pq_residual,
-        # ann_index_serve). unigram_segment (changed: its train path's
-        # seed cut) and stream_ann_ingest (changed: probe tiebreak)
-        # hold r07 driver evidence within policy -- they lead the
-        # out-of-window remainder, the changed code paths are re-gated
-        # through unigram_train in-window, and tools/gate_mirror.py
-        # re-verifies ALL entries locally at both SFs. Remainder:
-        # r06-evidence entries (expire at r9) before r07. ===
-        # -- (a) r05-aged driver evidence (39)
-        "nullsafe_join": q_nullsafe_join,
-        "retention_cohorts": q_retention_cohorts,
-        "profile_stats": q_profile_stats,
-        "bitmap_distinct": q_bitmap_distinct,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "dedup_exact": q_dedup_exact,
-        "triangle_count": q_triangle_count,
-        "udtf_sentences": q_udtf_sentences,
-        "dup_spans_keep_first": q_dup_spans_keep_first,
-        "ann_quantized_ivf": q_ann_quantized_ivf,
-        "pii_redact": q_pii_redact,
-        "bigram_fluency": q_bigram_fluency,
-        "kmeans": q_kmeans,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "dup_spans": q_dup_spans,
-        "dup_spans_removed": q_dup_spans_removed,
-        "corpus_pipeline": q_corpus_pipeline,
-        "value_histogram": q_value_histogram,
-        "ewma": q_ewma,
-        "rolling_distinct_users": q_rolling_distinct_users,
-        "correlated_subquery": q_correlated_subquery,
-        "exists_subquery": q_exists_subquery,
-        "window_ignore_nulls": q_window_ignore_nulls,
-        "vintage_mob": q_vintage_mob,
-        "cure_rate": q_cure_rate,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "decontaminate": q_decontaminate,
-        "stg_projection": q_stg_projection,
-        "bucket_case": q_bucket_case,
-        "conditional_agg": q_conditional_agg,
-        "filter_scan": q_filter_scan,
-        "join_dim_agg": q_join_dim_agg,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "month_end_snapshot": q_month_end_snapshot,
-        "coalesce_nullif_arith": q_coalesce_nullif_arith,
-        # -- (b) new round-8 contract queries (6)
-        "bpe_training_manifest": q_bpe_training_manifest,
-        "ann_pq_refine": q_ann_pq_refine,
-        "bm25_topk": q_bm25_topk,
-        "audio_near_dups": q_audio_near_dups,
-        "stream_pq_ingest": q_stream_pq_ingest,
-        "stream_vocab_refresh": q_stream_vocab_refresh,
-        # -- (c) changed this round (5)
-        "unigram_train": q_unigram_train,
-        "epoch_shuffle": q_epoch_shuffle,
-        "ann_pq": q_ann_pq,
-        "ann_pq_residual": q_ann_pq_residual,
-        "ann_index_serve": q_ann_index_serve,
-        # ---- driver gate window (50) ends here ----
-        # changed this round, r07 evidence still within policy (the
-        # 6th new query displaced unigram_segment from the window: its
-        # changed seed-cut code path is re-gated through unigram_train,
-        # and the local mirror re-verifies it at both SFs)
-        "unigram_segment": q_unigram_segment,
-        "stream_ann_ingest": q_stream_ann_ingest,
-        # -- r06-evidence remainder (expires at round-9 close)
+        # entries in registration order. Round-9 window (derived by
+        # tools/window_order.py from the committed CORRECTNESS_r*.json
+        # evidence): (a) ALL 46 queries whose newest driver evidence is
+        # r06 -- their 2-round evidence policy expires at round-9
+        # close; (b) the queries whose code changes this round
+        # (semantic_dedup / semantic_dedup_soft: assignment moves from
+        # the flat k-way codebook scan to IVF-on-centroids, results
+        # bit-identical) plus the remaining slots for new round-9
+        # contract queries. token_freq_stats / roll_rate hold the two
+        # interim slots (oldest r07 evidence by current order) until
+        # the round-9 additions land. Remainder: r07-evidence entries
+        # (expire at round-10 close) before r08. Run
+        # `python tools/window_order.py --check` before committing any
+        # registration change. ===
+        # -- (a) r06-aged driver evidence (46)
         "asof_join": q_asof_join,
         "cube_revenue": q_cube_revenue,
         "grouped_pandas_stats": q_grouped_pandas_stats,
@@ -6069,9 +6005,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_store": q_decontaminate_store,
         "cluster_sample": q_cluster_sample,
         "token_budget_sample": q_token_budget_sample,
-        # -- r07-evidence remainder (freshest)
+        # -- (b) changed this round + round-9 additions (4)
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_soft": q_semantic_dedup_soft,
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
+        # ---- driver gate window (50) ends here ----
+        # -- r07-evidence remainder (expires at round-10 close)
+        "unigram_segment": q_unigram_segment,
+        "stream_ann_ingest": q_stream_ann_ingest,
         "sessionize": q_sessionize,
         "reconcile_waterfall": q_reconcile_waterfall,
         "stream_sessionize": q_stream_sessionize,
@@ -6102,8 +6044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "scd2_changelog": q_scd2_changelog,
         "kmv_distinct": q_kmv_distinct,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_soft": q_semantic_dedup_soft,
         "video_near_dups": q_video_near_dups,
         "training_manifest": q_training_manifest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -6113,6 +6053,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_explode": q_map_explode,
         "array_agg_sorted": q_array_agg_sorted,
         "token_positions": q_token_positions,
+        # -- r08-evidence remainder (freshest)
+        "nullsafe_join": q_nullsafe_join,
+        "retention_cohorts": q_retention_cohorts,
+        "profile_stats": q_profile_stats,
+        "bitmap_distinct": q_bitmap_distinct,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "dedup_exact": q_dedup_exact,
+        "triangle_count": q_triangle_count,
+        "udtf_sentences": q_udtf_sentences,
+        "dup_spans_keep_first": q_dup_spans_keep_first,
+        "ann_quantized_ivf": q_ann_quantized_ivf,
+        "pii_redact": q_pii_redact,
+        "bigram_fluency": q_bigram_fluency,
+        "kmeans": q_kmeans,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "dup_spans": q_dup_spans,
+        "dup_spans_removed": q_dup_spans_removed,
+        "corpus_pipeline": q_corpus_pipeline,
+        "value_histogram": q_value_histogram,
+        "ewma": q_ewma,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "correlated_subquery": q_correlated_subquery,
+        "exists_subquery": q_exists_subquery,
+        "window_ignore_nulls": q_window_ignore_nulls,
+        "vintage_mob": q_vintage_mob,
+        "cure_rate": q_cure_rate,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "stg_projection": q_stg_projection,
+        "bucket_case": q_bucket_case,
+        "conditional_agg": q_conditional_agg,
+        "filter_scan": q_filter_scan,
+        "join_dim_agg": q_join_dim_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "month_end_snapshot": q_month_end_snapshot,
+        "coalesce_nullif_arith": q_coalesce_nullif_arith,
+        "bpe_training_manifest": q_bpe_training_manifest,
+        "ann_pq_refine": q_ann_pq_refine,
+        "bm25_topk": q_bm25_topk,
+        "audio_near_dups": q_audio_near_dups,
+        "stream_pq_ingest": q_stream_pq_ingest,
+        "stream_vocab_refresh": q_stream_vocab_refresh,
+        "unigram_train": q_unigram_train,
+        "epoch_shuffle": q_epoch_shuffle,
+        "ann_pq": q_ann_pq,
+        "ann_pq_residual": q_ann_pq_residual,
+        "ann_index_serve": q_ann_index_serve,
     }
 
 
