@@ -4008,6 +4008,214 @@ def _semantic_dedup_soft_oracle(iters: int = KMEANS_ITERS) -> str:
     """
 
 
+# Hierarchical SemDeDup: the 100 TB assignment posture. Flat Lloyd
+# assignment is O(N * k * dim) per round — O(N^2) once k scales with the
+# corpus (SemDeDup's own recipe). The hierarchical rule (FAISS
+# IVF-assign / two-level clustering) trains ~sqrt(k) coarse cells, then
+# sub-clusters WITHIN each cell, and assigns by probing nprobe nearest
+# cells only — O(N * sqrt(k) * dim). Approximate-BY-RULE like ann.ivf_*:
+# the oracle replays every step (coarse Lloyd, lowest-vid sub-seeding,
+# within-cell sub-Lloyd, nprobe-union argmin) so results stay hash-exact.
+SEMDEDUP_COARSE_IDS = [10, 30, 50, 70]
+SEMDEDUP_SUB_K = 2
+SEMDEDUP_COARSE_ITERS = 2
+SEMDEDUP_SUB_ITERS = 2
+SEMDEDUP_SOFT_NPROBE = 2
+
+
+def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the HIERARCHICAL assignment (coarse cells ->
+    within-cell sub-clusters, nprobe=1): candidate generation stays a
+    cluster equi-join; assignment cost drops from O(N*k) to
+    O(N*sqrt(k)) — the scale path for corpus-scaled cluster counts."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        kmeans_assign_hier,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign_hier(
+        emb,
+        coarse_init_ids=SEMDEDUP_COARSE_IDS,
+        sub_k=SEMDEDUP_SUB_K,
+        coarse_iterations=SEMDEDUP_COARSE_ITERS,
+        sub_iterations=SEMDEDUP_SUB_ITERS,
+        nprobe=1,
+    )
+    return dedup.semantic_dedup(emb, assign, threshold=EMB_NEAR_DUP_THRESHOLD)
+
+
+def q_semantic_dedup_hier_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical SemDeDup with the cross-cell recall repair: nprobe=2
+    union pool + top-2-within-margin soft rows, so near-dup pairs that
+    straddle a coarse-cell OR sub-cluster boundary still meet in a
+    candidate pool. Verdicts stay one-per-vector on the primary."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        kmeans_assign_hier_soft,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    soft = kmeans_assign_hier_soft(
+        emb,
+        coarse_init_ids=SEMDEDUP_COARSE_IDS,
+        sub_k=SEMDEDUP_SUB_K,
+        margin=SEMDEDUP_SOFT_MARGIN,
+        coarse_iterations=SEMDEDUP_COARSE_ITERS,
+        sub_iterations=SEMDEDUP_SUB_ITERS,
+        nprobe=SEMDEDUP_SOFT_NPROBE,
+    )
+    primary = soft.where(F.col("is_primary") == 1).select("vec_id", "cluster")
+    return dedup.semantic_dedup(
+        emb,
+        primary,
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        candidates=soft.select("vec_id", "cluster"),
+    )
+
+
+def _hier_ctes(nprobe: int) -> str:
+    """Full SQL replay of the hierarchical assignment rule
+    (kmeans.hier_train + the nprobe serve pass): coarse Lloyd
+    (SEMDEDUP_COARSE_ITERS rounds), lowest-vid-per-cell sub-seeding,
+    within-cell sub-Lloyd (SEMDEDUP_SUB_ITERS - 1 update rounds), then
+    rank coarse cells per vector, keep nprobe, argmin over the probed
+    cells' sub-centroids. Ends with frk (vid, scid, score, rn) and fa
+    (vid, cluster)."""
+    ids = ", ".join(str(i) for i in SEMDEDUP_COARSE_IDS)
+    ci, si, sub_k = (
+        SEMDEDUP_COARSE_ITERS,
+        SEMDEDUP_SUB_ITERS,
+        SEMDEDUP_SUB_K,
+    )
+    parts = [
+        f"""
+    with v as (select vec_id as vid,
+                 list_transform(embedding, x -> cast(case when x >= 0
+                   then floor(x::double * 1000000 + 0.5)
+                   else -floor(-x::double * 1000000 + 0.5) end
+                   as bigint)) as a
+               from embeddings),
+    u as (select vid, g.d, a[g.d] as val
+          from v, generate_series(1, 64) g(d)),
+    hc0 as (select vid as cid, d, val as c from u where vid in ({ids}))"""
+    ]
+    for i in range(ci):
+        parts.append(f"""
+        hac{i} as (select u.vid, hc{i}.cid,
+                          sum(u.val * hc{i}.c)::bigint as ac,
+                          sum(hc{i}.c * hc{i}.c)::bigint as cc
+                   from u join hc{i} using (d) group by 1, 2),
+        ha{i + 1} as (select vid, cid as cluster from (
+                        select vid, cid,
+                               row_number() over (partition by vid
+                                 order by cc - 2 * ac, cid) as rn
+                        from hac{i}) z where rn = 1)""")
+        if i < ci - 1:
+            parts.append(f"""
+            hm{i + 1} as (select ha{i + 1}.cluster as cid, u.d,
+                            cast(trunc(sum(u.val)::double / count(*))
+                                 as bigint) as c
+                          from u join ha{i + 1} using (vid) group by 1, 2),
+            hc{i + 1} as (select prev.cid, prev.d,
+                            coalesce(mm.c, prev.c) as c
+                          from hc{i} prev
+                          left join hm{i + 1} mm
+                            on mm.cid = prev.cid and mm.d = prev.d)""")
+    parts.append(f"""
+    ss as (select vid as scid, ccl from (
+             select a.vid, a.cluster as ccl,
+                    row_number() over (partition by a.cluster
+                                       order by a.vid) as rn
+             from ha{ci} a) z where rn <= {sub_k}),
+    s0 as (select ss.scid, ss.ccl, u.d, u.val as c
+           from ss join u on u.vid = ss.scid)""")
+    for j in range(si - 1):
+        parts.append(f"""
+        sac{j} as (select w.vid, s.scid,
+                          sum(w.val * s.c)::bigint as ac,
+                          sum(s.c * s.c)::bigint as cc
+                   from u w
+                   join ha{ci} aw on aw.vid = w.vid
+                   join s{j} s on s.ccl = aw.cluster and s.d = w.d
+                   group by 1, 2),
+        sa{j + 1} as (select vid, scid from (
+                        select vid, scid,
+                               row_number() over (partition by vid
+                                 order by cc - 2 * ac, scid) as rn
+                        from sac{j}) z where rn = 1),
+        sm{j + 1} as (select sa.scid, u.d,
+                        cast(trunc(sum(u.val)::double / count(*)) as bigint)
+                          as c
+                      from u join sa{j + 1} sa using (vid) group by 1, 2),
+        s{j + 1} as (select prev.scid, prev.ccl, prev.d,
+                       coalesce(mm.c, prev.c) as c
+                     from s{j} prev
+                     left join sm{j + 1} mm
+                       on mm.scid = prev.scid and mm.d = prev.d)""")
+    parts.append(f"""
+    fcs as (select u.vid, h.cid as ccl,
+                   (sum(h.c * h.c) - 2 * sum(u.val * h.c))::bigint as cs
+            from u join hc{ci - 1} h using (d) group by 1, 2),
+    fpr as (select vid, ccl from (
+              select vid, ccl, row_number() over (partition by vid
+                order by cs, ccl) as rn from fcs) z where rn <= {nprobe}),
+    fsc as (select u.vid, s.scid,
+                   (sum(s.c * s.c) - 2 * sum(u.val * s.c))::bigint as score
+            from u
+            join fpr p on p.vid = u.vid
+            join s{si - 1} s on s.ccl = p.ccl and s.d = u.d
+            group by 1, 2),
+    frk as (select vid, scid, score,
+                   row_number() over (partition by vid
+                     order by score, scid) as rn
+            from fsc),
+    fa as (select vid, scid as cluster from frk where rn = 1)""")
+    return ",".join(parts)
+
+
+def _semantic_dedup_hier_oracle() -> str:
+    cos = _COSINE.format(a="ea.v", b="eb.v")
+    return f"""
+    {_hier_ctes(1)},
+    e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    pairs as (
+      select x.vid as id_a, y.vid as id_b, {cos} as cosine
+      from fa x
+      join fa y on x.cluster = y.cluster and x.vid < y.vid
+      join e ea on ea.vec_id = x.vid
+      join e eb on eb.vec_id = y.vid),
+    dropped as (select distinct id_b from pairs
+                where cosine >= {EMB_NEAR_DUP_THRESHOLD})
+    select a.vid as vec_id, a.cluster,
+           cast(case when d.id_b is null then 1 else 0 end as int) as is_kept
+    from fa a left join dropped d on d.id_b = a.vid
+    """
+
+
+def _semantic_dedup_hier_soft_oracle() -> str:
+    cos = _COSINE.format(a="ea.v", b="eb.v")
+    margin_fp = int(round(SEMDEDUP_SOFT_MARGIN * 10**12))
+    return f"""
+    {_hier_ctes(SEMDEDUP_SOFT_NPROBE)},
+    soft as (select vid, scid as cluster from frk where rn = 1
+             union all
+             select r2.vid, r2.scid
+             from frk r2 join frk r1 on r1.vid = r2.vid and r1.rn = 1
+             where r2.rn = 2 and r2.score - r1.score <= {margin_fp}),
+    e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    pairs as (
+      select x.vid as id_a, y.vid as id_b, {cos} as cosine
+      from soft x
+      join soft y on x.cluster = y.cluster and x.vid < y.vid
+      join e ea on ea.vec_id = x.vid
+      join e eb on eb.vec_id = y.vid),
+    dropped as (select distinct id_b from pairs
+                where cosine >= {EMB_NEAR_DUP_THRESHOLD})
+    select a.vid as vec_id, a.cluster,
+           cast(case when d.id_b is null then 1 else 0 end as int) as is_kept
+    from fa a left join dropped d on d.id_b = a.vid
+    """
+
+
 PQ_M = 4
 PQ_ITERS = 2
 PQ_INIT_IDS = [5, 15, 25, 35, 45, 55, 65, 75]
@@ -6005,9 +6213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_store": q_decontaminate_store,
         "cluster_sample": q_cluster_sample,
         "token_budget_sample": q_token_budget_sample,
-        # -- (b) changed this round + round-9 additions (4)
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_soft": q_semantic_dedup_soft,
+        # -- (b) NEW round-9 contract queries (no driver evidence yet)
+        "semantic_dedup_hier": q_semantic_dedup_hier,
+        "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
         # ---- driver gate window (50) ends here ----
@@ -6044,6 +6252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "scd2_changelog": q_scd2_changelog,
         "kmv_distinct": q_kmv_distinct,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_soft": q_semantic_dedup_soft,
         "video_near_dups": q_video_near_dups,
         "training_manifest": q_training_manifest,
         "stream_corpus_ingest": q_stream_corpus_ingest,
@@ -6580,6 +6790,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "semantic_dedup_soft": _semantic_dedup_soft_oracle(),
+        "semantic_dedup_hier": _semantic_dedup_hier_oracle(),
+        "semantic_dedup_hier_soft": _semantic_dedup_hier_soft_oracle(),
         "ann_pq": _ann_pq_oracle(),
         "ann_pq_residual": _ann_pq_residual_oracle(),
         "ann_pq_refine": _ann_pq_refine_oracle(),

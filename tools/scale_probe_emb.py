@@ -238,6 +238,65 @@ def main() -> int:
 
     probe("semantic_dedup_soft", soft)
 
+    # --- hierarchical SemDeDup: the production path once k scales with
+    # the corpus. coarse_k ~ sqrt(k_total) cells, sub_k subs per cell —
+    # assignment cost O(N * sqrt(k) * dim) instead of O(N * k * dim).
+    import math as _math
+
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        kmeans_assign_hier,
+        kmeans_assign_hier_soft,
+    )
+
+    def hier_params(factor: int):
+        k_total = BASE_K * factor
+        coarse_k = max(2, _math.isqrt(k_total - 1) + 1)
+        ids = init_ids(factor)
+        step = max(1, len(ids) // coarse_k)
+        coarse_ids = ids[::step][:coarse_k]
+        sub_k = -(-k_total // len(coarse_ids))
+        return coarse_ids, sub_k
+
+    def hier(d, f):
+        coarse_ids, sub_k = hier_params(f)
+        return dedup.semantic_dedup(
+            d,
+            kmeans_assign_hier(
+                d,
+                coarse_init_ids=coarse_ids,
+                sub_k=sub_k,
+                coarse_iterations=2,
+                sub_iterations=2,
+                nprobe=1,
+            ),
+            threshold=DEDUP_THRESHOLD,
+        )
+
+    probe("semantic_dedup_hier", hier)
+
+    def hier_soft(d, f):
+        coarse_ids, sub_k = hier_params(f)
+        s = kmeans_assign_hier_soft(
+            d,
+            coarse_init_ids=coarse_ids,
+            sub_k=sub_k,
+            margin=SOFT_MARGIN,
+            coarse_iterations=2,
+            sub_iterations=2,
+            nprobe=2,
+        )
+        primary = s.where(F.col("is_primary") == 1).select(
+            "vec_id", "cluster"
+        )
+        return dedup.semantic_dedup(
+            d,
+            primary,
+            threshold=DEDUP_THRESHOLD,
+            candidates=s.select("vec_id", "cluster"),
+        )
+
+    probe("semantic_dedup_hier_soft", hier_soft)
+
     def stream_assign(d, f):
         cents = ann.load_index_codebook(
             spark, idx["1" if f == 1 else "N"][1]
