@@ -2074,17 +2074,36 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(docs, qs, k=BM25_K)
 
 
-def _bm25_topk_oracle(fp_scale: int = 10**6) -> str:
+def _bm25_topk_oracle(
+    fp_scale: int = 10**6,
+    queries: list[tuple[int, str]] | None = None,
+    src_batch: bool = False,
+) -> str:
     """Replay of retrieval.bm25_topk: postings with dl attached, df over
     the query-term slice, the same two-div fixed-point contribution, sum
     and rank. Integer `//` floordiv == Spark `div` (all operands
-    positive)."""
+    positive). Also the replay of the cold-store serve paths: the store
+    persists exactly these postings/totals (bucketing only changes which
+    FILES hold a term, never the rows), and after a full ingest the
+    base-UNION-overlay state equals the whole corpus, so bm25_serve and
+    stream_postings_ingest replay through the same SQL. ``src_batch``
+    adds the provenance tag the ingest query reads back from the store's
+    batch partitions (base = -1; the batches are the doc_id % 8 == 3 and
+    % 8 == 7 slices in arrival order)."""
     k1n, k1d = 6, 5
     bn, bd = 3, 4
     qrows = ", ".join(
         f"({qid}::bigint, '{term}')"
-        for qid, q in BM25_QUERIES
+        for qid, q in (queries if queries is not None else BM25_QUERIES)
         for term in q.split()
+    )
+    batch_col = (
+        """,
+           case when rk.doc_id % 8 = 3 then 0
+                when rk.doc_id % 8 = 7 then 1
+                else -1 end::int as src_batch"""
+        if src_batch
+        else ""
     )
     return f"""
     with tk as (
@@ -2123,9 +2142,111 @@ def _bm25_topk_oracle(fp_scale: int = 10**6) -> str:
                                         order by score_fp desc,
                                                  doc_id asc) as rank
            from agg)
-    select query_id, doc_id, rank::int as rank, score_fp
+    select query_id, doc_id, rank::int as rank, score_fp{batch_col}
     from rk where rank <= {BM25_K}
     """
+
+
+# distinct query set for the cold-store serve contract, so bm25_serve's
+# hash gate is independent of bm25_topk's
+BM25_SERVE_QUERIES = [
+    (0, "merge sort join"),
+    (1, "slow filter group"),
+    (2, "big data column"),
+    (3, "hash key row"),
+]
+
+
+def q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from the PERSISTED postings store: build writes the
+    bucket-partitioned inverted file + the totals row once; the probe
+    answers from cold reads only — query terms' buckets are computed
+    driver-side and the postings scan partition-prunes to them, so serve
+    cost follows the matched slice, never the corpus. Bit-identical to
+    bm25_topk over the same corpus (one replay oracle covers both)."""
+    import shutil
+    import tempfile
+
+    from credit_abs_oltp_to_mart_spark.operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id long, query string"
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_bm25_store_")
+    try:
+        store = os.path.join(tmp, "store")
+        retrieval.build_postings_store(docs, store)
+        out = retrieval.bm25_store_probe(qs, store, k=BM25_K)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bm25_serve_oracle() -> str:
+    return _bm25_topk_oracle(queries=BM25_SERVE_QUERIES)
+
+
+def q_stream_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous maintenance of the persisted BM25 postings store — the
+    retrieval twin of stream_ann_ingest: the store is BUILT from the
+    base 75% of the documents, the remaining 25% ARRIVES as 2 streaming
+    micro-batches (tokenized under the store's fixed bucket hash,
+    appended as batch-scoped postings + totals deltas), and the probe
+    serves base UNION overlay from cold reads with read-your-latest
+    dedup. Output = the BM25 top-k over the fully-ingested store, each
+    row tagged with the batch the store RECORDED for its doc (base =
+    -1) — so the hash gate covers tokenize-on-ingest, the batch-keyed
+    appends, the totals deltas AND the union probe in one verdict."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from credit_abs_oltp_to_mart_spark.operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 3)
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    tmp = tempfile.mkdtemp(prefix="spark_bm25_ingest_")
+    try:
+        store = os.path.join(tmp, "store")
+        retrieval.build_postings_store(base, store)
+        slices = os.path.join(tmp, "slices")
+        now = _time.time()
+        for kk, resid in enumerate([3, 7]):
+            d = os.path.join(slices, f"b{kk}")
+            docs.where(F.col("doc_id") % 8 == resid).coalesce(1).write.parquet(d)
+            for f2 in os.listdir(d):
+                if f2.endswith(".parquet"):
+                    t = now - 60 + 10 * kk
+                    os.utime(os.path.join(d, f2), (t, t))
+        streaming.stream_postings_ingest(
+            spark, f"{slices}/b*", store, schema=docs.schema
+        )
+        served = retrieval.bm25_store_probe(
+            qs, store, k=BM25_K, include_incremental=True
+        )
+        ingested = (
+            spark.read.parquet(os.path.join(store, "postings_inc"))
+            .select("doc_id", "ingest_batch")
+            .distinct()
+        )
+        out = served.join(F.broadcast(ingested), "doc_id", "left").select(
+            "query_id",
+            "doc_id",
+            "rank",
+            "score_fp",
+            F.coalesce(F.col("ingest_batch"), F.lit(-1))
+            .cast("int")
+            .alias("src_batch"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_postings_ingest_oracle() -> str:
+    return _bm25_topk_oracle(src_batch=True)
 
 
 def _corpus_admitted_ctes(min_est: float = 0.25) -> str:
@@ -6216,10 +6337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) NEW round-9 contract queries (no driver evidence yet)
         "semantic_dedup_hier": q_semantic_dedup_hier,
         "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,
-        "token_freq_stats": q_token_freq_stats,
-        "roll_rate": q_roll_rate,
+        "bm25_serve": q_bm25_serve,
+        "stream_postings_ingest": q_stream_postings_ingest,
         # ---- driver gate window (50) ends here ----
         # -- r07-evidence remainder (expires at round-10 close)
+        "token_freq_stats": q_token_freq_stats,
+        "roll_rate": q_roll_rate,
         "unigram_segment": q_unigram_segment,
         "stream_ann_ingest": q_stream_ann_ingest,
         "sessionize": q_sessionize,
@@ -6785,6 +6908,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle(),
         "bigram_fluency": _bigram_fluency_oracle(),
         "bm25_topk": _bm25_topk_oracle(),
+        "bm25_serve": _bm25_serve_oracle(),
+        "stream_postings_ingest": _stream_postings_ingest_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
         "bpe_pack": _bpe_pack_oracle(),
         "quality_classifier": _quality_classifier_oracle(),

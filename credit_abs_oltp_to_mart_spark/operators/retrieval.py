@@ -31,9 +31,16 @@ surrogate computed in bigint arithmetic):
 
 Magnitude bounds: the largest intermediate is ``S * tf * (k1n+k1d) *
 bd * T`` — with S = 10^6 and default k1/b this stays under 2^63 while
-``tf * T < ~10^11`` (comfortably true for the test corpora; a 100 TB
-corpus crosses it). At that scale drop S to 10^3 or lift the two
-scaled ratios to decimal(38,0) — the plan shape is unchanged.
+``tf * T < ~10^11``; a 100 TB corpus crosses it. Two defenses, both
+shipped: (1) the bigint path carries a LOUD row-side overflow guard
+(``assert_true`` riding the live contribution column — a breach fails
+the job instead of silently corrupting rankings; the comparisons are
+div-rearranged so the GUARD itself cannot overflow), and
+(2) ``decimal_scores=True`` lifts the two products to decimal(38,0)
+(headroom to ``tf * T < ~2*10^30``) where ``div`` still truncates
+exactly and returns bigint — both ratio quotients are <= ~2.2 * S so
+the bigint quotient never wraps. The plan shape is unchanged either
+way; only the guarded arithmetic differs.
 
 Scale shape: one explode + one (term, doc_id) count aggregation builds
 the postings (dl rides along, no per-doc join); the QUERY-TERM
@@ -63,13 +70,151 @@ def doc_postings(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     doc length attached BEFORE the explode, so the single (term,
     doc_id) count shuffle is the only data movement and no per-doc
     length join ever happens."""
-    toked = docs.select(
-        "doc_id",
-        F.size(ws_tokens(F.col(text_col))).alias("dl"),
-        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    # dl rides INSIDE the generated struct, computed on a LET-BOUND array:
+    # a sibling projection like size(split(text)) would be collapsed ABOVE
+    # the Generate and re-evaluated per exploded row, and a naive
+    # size(split(text)) inside the lambda re-splits per element (HOFs
+    # don't CSE outer expressions) — either way O(dl^2) per doc, a real
+    # hang at dl ~ 5*10^5. The one-element transform binds the tokenized
+    # array once per doc; size(w.tk) is then O(1) per element.
+    tk = ws_tokens(F.col(text_col))
+    terms_with_dl = F.get(
+        F.transform(
+            F.array(F.struct(tk.alias("tk"))),
+            lambda w: F.transform(
+                w["tk"],
+                lambda t: F.struct(
+                    t.alias("term"), F.size(w["tk"]).alias("dl")
+                ),
+            ),
+        ),
+        F.lit(0),
+    )
+    toked = docs.select("doc_id", F.explode(terms_with_dl).alias("s")).select(
+        "doc_id", F.col("s.term").alias("term"), F.col("s.dl").alias("dl")
     )
     return toked.groupBy("term", "doc_id", "dl").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+
+
+def _int64_ceilings(
+    k1: tuple[int, int], b: tuple[int, int], fp_scale: int
+) -> dict[str, int]:
+    """The exact operand ceilings under which every bigint intermediate
+    of the scoring formula stays inside int64 (numerator, all three
+    denominator terms with 4x headroom for their sum, and the scaled IDF
+    numerator). Used by the runtime guard; recomputed per call so
+    non-default k1/b/fp_scale get their own bounds."""
+    k1n, k1d = k1
+    bn, bd = b
+    m = (1 << 63) - 1
+    c_tf_t = min(
+        m // (fp_scale * (k1n + k1d) * bd),  # score numerator
+        (m // 4) // (k1d * bd),  # denominator term 1
+    )
+    c_dl_n = (m // 4) // (k1n * bn)  # denominator term 3
+    c_t = (m // 4) // (k1n * (bd - bn)) if bd > bn else m  # den term 2
+    c_n = (m // fp_scale - 1) // 2  # idf numerator
+    return {"tf_t": c_tf_t, "dl_n": c_dl_n, "t": c_t, "n": c_n}
+
+
+def _score_and_rank(
+    cand: DataFrame,
+    *,
+    k: int,
+    k1: tuple[int, int],
+    b: tuple[int, int],
+    fp_scale: int,
+    decimal_scores: bool,
+) -> DataFrame:
+    """Shared scoring tail: ``cand`` carries (query_id, doc_id, tf, dl,
+    df, n_docs, n_toks); returns the ranked top-k. Bigint mode computes
+    the two exact ratios in int64 under a LOUD overflow guard (the guard
+    comparisons are div-rearranged — e.g. ``tf <= C div n_toks`` instead
+    of ``tf * n_toks <= C`` — so the guard itself cannot wrap); decimal
+    mode lifts the products to decimal(38,0) (both quotients are
+    <= ~2.2 * fp_scale, so ``div``'s bigint result is exact) and asserts
+    non-null so a beyond-38-digit corpus fails loudly too."""
+    k1n, k1d = k1
+    bn, bd = b
+    if decimal_scores:
+        dec = "cast({x} as decimal(38,0))"
+        idf = F.expr(
+            f"({dec.format(x=fp_scale)} * (2L * (n_docs - df) + 1L))"
+            f" div (2L * n_docs + 1L)"
+        )
+        tfpart = F.expr(
+            f"({dec.format(x=fp_scale)} * tf * {k1n + k1d}L * {bd}L * n_toks)"
+            f" div ({dec.format(x='tf')} * {k1d * bd}L * n_toks"
+            f" + {dec.format(x=k1n * (bd - bn))} * n_toks"
+            f" + {dec.format(x=k1n * bn)} * dl * n_docs)"
+        )
+        contrib = F.expr(f"(__idf * __tfp) div {fp_scale}L")
+        guard = F.assert_true(
+            contrib.isNotNull(),
+            F.lit(
+                "bm25: decimal(38,0) overflow — corpus magnitudes exceed"
+                " ~2e30 tf*T; shrink fp_scale"
+            ),
+        )
+    else:
+        c = _int64_ceilings(k1, b, fp_scale)
+        idf = F.expr(
+            f"({fp_scale}L * (2L * (n_docs - df) + 1L))"
+            f" div (2L * n_docs + 1L)"
+        )
+        tfpart = F.expr(
+            f"({fp_scale}L * tf * {k1n + k1d}L * {bd}L * n_toks)"
+            f" div (tf * {k1d * bd}L * n_toks"
+            f" + {k1n * (bd - bn)}L * n_toks + {k1n * bn}L * dl * n_docs)"
+        )
+        contrib = F.expr(f"(__idf * __tfp) div {fp_scale}L")
+        guard = F.assert_true(
+            (F.col("tf") <= F.expr(f"{c['tf_t']}L div n_toks"))
+            & (F.col("dl") <= F.expr(f"{c['dl_n']}L div n_docs"))
+            & (F.col("n_toks") <= F.lit(c["t"]))
+            & (F.col("n_docs") <= F.lit(c["n"])),
+            F.concat(
+                F.lit(
+                    "bm25: int64 overflow — corpus magnitudes breach the"
+                    f" guarded ceilings (tf*T <= {c['tf_t']},"
+                    f" dl*N <= {c['dl_n']}); shrink fp_scale or pass"
+                    " decimal_scores=True (tf="
+                ),
+                F.col("tf").cast("string"),
+                F.lit(", dl="),
+                F.col("dl").cast("string"),
+                F.lit(", T="),
+                F.col("n_toks").cast("string"),
+                F.lit(", N="),
+                F.col("n_docs").cast("string"),
+                F.lit(")"),
+            ),
+        )
+    scored = (
+        cand.withColumn("__idf", idf)
+        .withColumn("__tfp", tfpart)
+        .withColumn("__contrib", contrib)
+        # the guard must ride the LIVE column or pruning elides it:
+        # assert_true is null on success, so this is the identity
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(guard.isNull(), F.col("__contrib")).alias("contrib"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("bigint").alias("score_fp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"),
+                "score_fp")
     )
 
 
@@ -82,6 +227,7 @@ def bm25_topk(
     b: tuple[int, int] = BM25_B,
     fp_scale: int = BM25_SCALE,
     text_col: str = "text",
+    decimal_scores: bool = False,
 ) -> DataFrame:
     """Top-k BM25 retrieval: ``queries`` is a small (query_id, query)
     frame of whitespace-tokenizable query strings; returns
@@ -90,8 +236,6 @@ def bm25_topk(
     1..k per query by (score_fp desc, doc_id asc). Docs sharing no
     term with the query emit no row; duplicate query terms weigh the
     term once per occurrence (standard bag-of-words BM25)."""
-    k1n, k1d = k1
-    bn, bd = b
     post = doc_postings(docs, text_col=text_col)
     qterms = queries.select(
         "query_id", F.explode(ws_tokens(F.col("query"))).alias("term")
@@ -114,32 +258,211 @@ def bm25_topk(
         .join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(totals))
     )
-    idf = F.expr(
-        f"({fp_scale}L * (2L * (n_docs - df) + 1L)) div (2L * n_docs + 1L)"
+    return _score_and_rank(
+        cand, k=k, k1=k1, b=b, fp_scale=fp_scale,
+        decimal_scores=decimal_scores,
     )
-    tfpart = F.expr(
-        f"({fp_scale}L * tf * {k1n + k1d}L * {bd}L * n_toks)"
-        f" div (tf * {k1d * bd}L * n_toks"
-        f" + {k1n * (bd - bn)}L * n_toks + {k1n * bn}L * dl * n_docs)"
+
+
+# --------------------------------------------------------------------------
+# persisted postings store: build once, serve many, ingest incrementally
+#
+# bm25_topk rebuilds the postings per call — fine for one-shot audits,
+# wrong for a served retrieval tier where the corpus is 100 TB and the
+# queries arrive forever. The store splits the lifecycle exactly like the
+# ANN indexes (ann.build_ivf_index / ivf_index_probe / stream_ann_ingest):
+#
+#   <store>/postings/bucket=<b>/   (term, doc_id, tf, dl) — the inverted
+#       file, PARTITIONED BY a term-hash bucket: a query computes its
+#       terms' buckets driver-side and the scan prunes to those
+#       partitions, so serve cost follows the matched slice, never the
+#       corpus. (Partitioning by raw term would explode the filesystem at
+#       vocabulary scale; the bucket count is the dial.)
+#   <store>/totals/                one row (n_docs, n_toks, n_buckets) —
+#       the corpus constants scoring needs, so serving never rescans docs.
+#   <store>/postings_inc/batch=<id>/  streamed postings (bucket in-file),
+#       batch-scoped overwrites -> crash-replay idempotent; folded by
+#       sources.maintenance.compact_keyed_store (its exact contract).
+#   <store>/totals_inc/batch=<id>/    per-batch (n_docs, n_toks) deltas,
+#       same idempotency; serving sums base + deltas (tiny files).
+#
+# Everything persisted is integer-exact, so a cold-read probe is
+# bit-identical to bm25_topk over the same corpus — pinned by the
+# bm25_serve / stream_postings_ingest contract oracles.
+# --------------------------------------------------------------------------
+
+POSTINGS_BUCKETS = 64
+
+
+def term_bucket(term, n_buckets):
+    """The store's term -> partition bucket (non-negative xxhash64 mod)."""
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def build_postings_store(
+    docs: DataFrame,
+    store_dir: str,
+    *,
+    n_buckets: int = POSTINGS_BUCKETS,
+    text_col: str = "text",
+) -> None:
+    """BUILD-once half: write the bucket-partitioned postings and the
+    totals row. A REBUILD clears the incremental overlay and the ingest
+    checkpoint (stale deltas describe the old corpus — same contract as
+    ``ann.build_ivf_index``)."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import _hadoop_fs
+
+    spark = docs.sparkSession
+    fs, _ = _hadoop_fs(spark, store_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    for stale in ("postings_inc", "totals_inc", "ingest_checkpoint"):
+        p = jvm_path(f"{store_dir}/{stale}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    post = doc_postings(docs, text_col=text_col).withColumn(
+        "bucket", term_bucket(F.col("term"), n_buckets)
     )
-    scored = (
-        cand.withColumn("__idf", idf)
-        .withColumn("__tfp", tfpart)
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr(f"(__idf * __tfp) div {fp_scale}L").alias("contrib"),
+    post.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{store_dir}/postings"
+    )
+    (
+        docs.select(F.size(ws_tokens(F.col(text_col))).alias("__dl"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__dl").cast("bigint").alias("n_toks"),
         )
+        .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{store_dir}/totals")
     )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("contrib").cast("bigint").alias("score_fp")
+
+
+def batch_postings(
+    batch: DataFrame, *, n_buckets: int, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, totals_delta) for one ingest batch — postings carry the
+    bucket in-file (the incremental overlay is batch-partitioned, not
+    bucket-partitioned), the delta counts EVERY doc (a token-less doc
+    emits no postings but still grows n_docs). Pure functions of the
+    batch, so a crash replay rewrites byte-identical partitions."""
+    post = doc_postings(batch, text_col=text_col).withColumn(
+        "bucket", term_bucket(F.col("term"), n_buckets)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_fp").desc(), F.col("doc_id").asc()
+    delta = batch.select(
+        F.size(ws_tokens(F.col(text_col))).alias("__dl")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__dl").cast("bigint").alias("n_toks"),
     )
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"),
-                "score_fp")
+    return post, delta
+
+
+def load_store_totals(spark: SparkSession, store_dir: str) -> dict:
+    """{n_docs, n_toks, n_buckets} of the BASE store (one-row read)."""
+    r = spark.read.parquet(f"{store_dir}/totals").first()
+    return {
+        "n_docs": int(r["n_docs"]),
+        "n_toks": int(r["n_toks"]) if r["n_toks"] is not None else 0,
+        "n_buckets": int(r["n_buckets"]),
+    }
+
+
+def bm25_store_probe(
+    queries: DataFrame,
+    store_dir: str,
+    *,
+    k: int = 5,
+    k1: tuple[int, int] = BM25_K1,
+    b: tuple[int, int] = BM25_B,
+    fp_scale: int = BM25_SCALE,
+    include_incremental: bool = False,
+    decimal_scores: bool = False,
+) -> DataFrame:
+    """SERVE-many half: answer ``queries`` from cold reads of the store —
+    no tokenization of the corpus, no postings rebuild. The query terms
+    are collected driver-side (the query frame is small by contract, like
+    the ANN probe sets), their buckets computed with the store's hash,
+    and the postings scan FILTERED ON THE PARTITION COLUMN — the plan
+    prunes to the matched buckets (gated in tests). With
+    ``include_incremental`` the probe unions the streamed overlay
+    (read-your-latest on (term, doc_id): latest ingest_batch wins, base
+    counts as batch -1) and adds the per-batch totals deltas; df counts
+    come from the deduped matched slice, so serving base+overlay is
+    bit-identical to a full rebuild over the grown corpus."""
+    spark = queries.sparkSession
+    totals = load_store_totals(spark, store_dir)
+    n_buckets = totals["n_buckets"]
+    qterms = queries.select(
+        "query_id", F.explode(ws_tokens(F.col("query"))).alias("term")
+    )
+    terms = sorted(
+        {r["term"] for r in qterms.select("term").distinct().collect()}
+    )
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id bigint, doc_id bigint, rank int, score_fp bigint"
+        )
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(term_bucket(F.col("term"), n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        }
+    )
+    base = (
+        spark.read.parquet(f"{store_dir}/postings")
+        .where(F.col("bucket").isin(buckets))  # partition-prunes the scan
+        .where(F.col("term").isin(terms))
+        .select("term", "doc_id", "tf", "dl",
+                F.lit(-1).cast("long").alias("ingest_batch"))
+    )
+    n_docs, n_toks = totals["n_docs"], totals["n_toks"]
+    matched = base
+    if include_incremental:
+        from pyspark.errors import AnalysisException
+
+        from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+            resume_pending_compaction,
+        )
+
+        inc_dir = f"{store_dir}/postings_inc"
+        resume_pending_compaction(spark, inc_dir)
+        try:
+            inc = (
+                spark.read.parquet(inc_dir)
+                .where(F.col("bucket").isin(buckets))
+                .where(F.col("term").isin(terms))
+                .select("term", "doc_id", "tf", "dl", "ingest_batch")
+            )
+            matched = base.unionByName(inc)
+            for r in spark.read.parquet(f"{store_dir}/totals_inc").collect():
+                n_docs += int(r["n_docs"])
+                n_toks += int(r["n_toks"] or 0)
+        except AnalysisException:
+            pass  # no incremental postings yet — base-only serve
+        wl = Window.partitionBy("term", "doc_id").orderBy(
+            F.col("ingest_batch").desc()
+        )
+        matched = (
+            matched.withColumn("__rn", F.row_number().over(wl))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    dfq = matched.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    cand = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
+        .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+        .withColumn("n_toks", F.lit(n_toks).cast("bigint"))
+    )
+    return _score_and_rank(
+        cand, k=k, k1=k1, b=b, fp_scale=fp_scale,
+        decimal_scores=decimal_scores,
     )

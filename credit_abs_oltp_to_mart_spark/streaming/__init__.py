@@ -9,6 +9,7 @@ from credit_abs_oltp_to_mart_spark.streaming.ops import (  # noqa: F401
     stream_dedup_within_watermark,
     stream_distinct_keys,
     stream_enriched_agg,
+    stream_postings_ingest,
     stream_pq_ingest,
     stream_running_totals,
     stream_session_window_agg,

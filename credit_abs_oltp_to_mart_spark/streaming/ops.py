@@ -1317,3 +1317,82 @@ def stream_vocab_refresh(
         "n_words",
         "n_bpe_tokens",
     )
+
+
+def stream_postings_ingest(
+    spark: SparkSession,
+    slices_glob: str,
+    store_dir: str,
+    *,
+    schema,
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous maintenance of the persisted BM25 postings store
+    (``retrieval.build_postings_store``) — the retrieval twin of
+    ``stream_ann_ingest``: micro-batches of NEW documents are tokenized
+    into postings under the store's FIXED bucket hash and appended as
+    batch-scoped partitions, with a per-batch totals delta riding along
+    so serving never rescans the corpus for N/T.
+
+    Per micro-batch (one tokenize pass, one (term, doc_id) count
+    shuffle — the ``doc_postings`` shape):
+      * postings (term, doc_id, tf, dl, bucket) -> overwrite
+        ``<store>/postings_inc/batch=<id>/``;
+      * totals delta (n_docs, n_toks — counting token-less docs too) ->
+        overwrite ``<store>/totals_inc/batch=<id>/``.
+    Both are pure functions of the batch input, so a crash replay
+    rewrites byte-identical partitions over its own batch directories —
+    idempotent without any exclusion dance.
+
+    ``retrieval.bm25_store_probe(..., include_incremental=True)`` serves
+    base UNION overlay with read-your-latest dedup;
+    ``sources.maintenance.compact_keyed_store`` folds the accreting
+    batch partitions (their exact contract: batch-keyed, ingest_batch
+    in-file). A store REBUILD clears the overlay + this checkpoint.
+
+    Returns (doc_id, ingest_batch, n_terms) for everything ingested."""
+    from credit_abs_oltp_to_mart_spark.operators import retrieval as R
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        resume_pending_compaction,
+    )
+
+    inc_dir = os.path.join(store_dir, "postings_inc")
+    tot_dir = os.path.join(store_dir, "totals_inc")
+    ck_dir = os.path.join(store_dir, "ingest_checkpoint")
+    resume_pending_compaction(spark, inc_dir)
+    n_buckets = R.load_store_totals(spark, store_dir)["n_buckets"]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        post, delta = R.batch_postings(
+            batch_df, n_buckets=n_buckets, text_col=text_col
+        )
+        (
+            post.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(inc_dir, f"batch={batch_id}"))
+        )
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tot_dir, f"batch={batch_id}"))
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(slices_glob)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(inc_dir)
+        .groupBy("doc_id", "ingest_batch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"))
+    )

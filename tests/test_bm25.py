@@ -98,3 +98,206 @@ def test_bm25_postings_restricted_before_scoring(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+# ---------------------------------------------------------------- store
+
+
+def _store(spark, tmp_path, docs_rows=DOCS, n_buckets=8):
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    store = str(tmp_path / "bm25_store")
+    retrieval.build_postings_store(docs, store, n_buckets=n_buckets)
+    return docs, store
+
+
+def test_store_probe_matches_bm25_topk(spark, tmp_path):
+    """Cold-read serving is bit-identical to the in-plan build."""
+    docs, store = _store(spark, tmp_path)
+    qs = spark.createDataFrame(QUERIES, "query_id long, query string")
+    direct = {tuple(r) for r in retrieval.bm25_topk(docs, qs, k=3).collect()}
+    served = {
+        tuple(r)
+        for r in retrieval.bm25_store_probe(qs, store, k=3).collect()
+    }
+    assert served == direct and direct  # non-empty and equal
+
+
+def test_store_probe_partition_prunes(spark, tmp_path):
+    """The postings scan must carry a PARTITION filter on the query
+    terms' buckets — serve cost follows the matched slice."""
+    _, store = _store(spark, tmp_path)
+    qs = spark.createDataFrame([(10, "apple")], "query_id long, query string")
+    out = retrieval.bm25_store_probe(qs, store, k=3)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    pfs = [
+        seg.split("PartitionFilters:")[1].splitlines()[0]
+        for seg in p.split("FileScan")
+        if "PartitionFilters:" in seg
+    ]
+    assert any("bucket" in pf for pf in pfs), p
+    # the bucket filter carries an actual equality/IN, not just isnotnull
+    assert any("bucket" in pf and ("=" in pf or " IN " in pf) for pf in pfs)
+    assert "CartesianProduct" not in p
+
+
+def test_store_probe_no_matching_terms(spark, tmp_path):
+    _, store = _store(spark, tmp_path)
+    qs = spark.createDataFrame(
+        [(9, "kumquat zebra")], "query_id long, query string"
+    )
+    assert retrieval.bm25_store_probe(qs, store, k=3).count() == 0
+
+
+def _ingest(spark, tmp_path):
+    """Base store from docs 1-3; docs 4 and 5 arrive as 2 micro-batches."""
+    import os
+    import time
+
+    from credit_abs_oltp_to_mart_spark.streaming.ops import (
+        stream_postings_ingest,
+    )
+
+    base_rows = [r for r in DOCS if r[0] <= 3]
+    docs, store = _store(spark, tmp_path, docs_rows=base_rows)
+    src = str(tmp_path / "slices")
+    now = time.time()
+    for k, rows in enumerate([[DOCS[3]], [DOCS[4]]]):  # doc 4, then doc 5
+        d = f"{src}/b{k}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(d)
+        for f2 in os.listdir(d):
+            if f2.endswith(".parquet"):
+                t = now - 60 + 10 * k
+                os.utime(os.path.join(d, f2), (t, t))
+    got = stream_postings_ingest(
+        spark, f"{src}/b*", store, schema="doc_id long, text string"
+    )
+    return docs, store, src, got
+
+
+def test_postings_ingest_union_serves_full_corpus(spark, tmp_path):
+    """After ingest, base UNION overlay == a fresh build over the full
+    corpus — df, totals (incl. the token-less doc 5's n_docs bump) and
+    scores all bit-identical."""
+    _, store, _, got = _ingest(spark, tmp_path)
+    rows = {r["doc_id"]: r["ingest_batch"] for r in got.collect()}
+    assert rows == {4: 0}  # doc 5 has no tokens -> no postings
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, query string")
+    direct = {
+        tuple(r) for r in retrieval.bm25_topk(full, qs, k=3).collect()
+    }
+    served = {
+        tuple(r)
+        for r in retrieval.bm25_store_probe(
+            qs, store, k=3, include_incremental=True
+        ).collect()
+    }
+    assert served == direct and direct
+    # the token-less doc still bumped n_docs through the totals delta
+    tot = spark.read.parquet(f"{store}/totals_inc").collect()
+    assert sum(int(r["n_docs"]) for r in tot) == 2
+    assert sum(int(r["n_toks"] or 0) for r in tot) == 6
+
+
+def test_postings_replay_idempotent(spark, tmp_path):
+    import os
+
+    from credit_abs_oltp_to_mart_spark.streaming.ops import (
+        stream_postings_ingest,
+    )
+
+    _, store, src, got = _ingest(spark, tmp_path)
+    first = {tuple(r) for r in got.collect()}
+    commits = os.path.join(store, "ingest_checkpoint", "commits")
+    os.remove(os.path.join(commits, "1"))
+    crc = os.path.join(commits, ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    again = [
+        tuple(r)
+        for r in stream_postings_ingest(
+            spark, f"{src}/b*", store, schema="doc_id long, text string"
+        ).collect()
+    ]
+    assert set(again) == first
+    assert len(again) == len(set(again))
+
+
+def test_postings_compaction_transparent(spark, tmp_path):
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        compact_keyed_store,
+    )
+
+    _, store, _, _ = _ingest(spark, tmp_path)
+    qs = spark.createDataFrame(QUERIES, "query_id long, query string")
+    before = {
+        tuple(r)
+        for r in retrieval.bm25_store_probe(
+            qs, store, k=3, include_incremental=True
+        ).collect()
+    }
+    compact_keyed_store(
+        spark, f"{store}/postings_inc", upto=1, dedup_cols=["term", "doc_id"]
+    )
+    after = {
+        tuple(r)
+        for r in retrieval.bm25_store_probe(
+            qs, store, k=3, include_incremental=True
+        ).collect()
+    }
+    assert after == before
+
+
+# ------------------------------------------------------------- overflow
+
+
+ADVERSARIAL = [
+    (1, "x " * 500_000 + "y"),  # tf(x)=500k, T~500k -> tf*T ~ 2.5e11
+    (2, "x y z"),
+    (3, "z z y"),
+]
+
+
+def test_overflow_guard_fires_loudly_bigint(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "x y")], "query_id long, query string")
+    with _pytest.raises(Exception, match="bm25: int64 overflow"):
+        retrieval.bm25_topk(docs, qs, k=3).collect()
+
+
+def test_decimal_scores_exact_at_adversarial_magnitudes(spark):
+    """decimal(38,0) path: same formulas, exact at magnitudes the bigint
+    path guards against — verified against the Python bigint replica."""
+    docs = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "x y"), (1, "z")], "query_id long, query string"
+    )
+    got = {}
+    for r in retrieval.bm25_topk(
+        docs, qs, k=3, decimal_scores=True
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rank"], r["score_fp"])
+        )
+    adv = [(d, t) for d, t in ADVERSARIAL]
+    expect = _bm25_python(adv, [(0, "x y"), (1, "z")], k=3)
+    assert got[0] == expect[0]
+    assert got[1] == expect[1]
+
+
+def test_decimal_and_bigint_paths_agree_in_range(spark):
+    """Inside the int64 envelope the two arithmetics are bit-identical."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, query string")
+    a = {tuple(r) for r in retrieval.bm25_topk(docs, qs, k=3).collect()}
+    b = {
+        tuple(r)
+        for r in retrieval.bm25_topk(
+            docs, qs, k=3, decimal_scores=True
+        ).collect()
+    }
+    assert a == b
