@@ -432,6 +432,8 @@ def build_ivf_index(
         cent_rows, "cid bigint, cent array<bigint>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codes = quantize_embeddings(emb, vec_col=vec_col, levels=levels)
+    # repartition by cluster before partitionBy — one file per cluster
+    # instead of one per (write task x cluster); see build_pq_index
     (
         codes.select(
             "vec_id",
@@ -440,6 +442,7 @@ def build_ivf_index(
             (F.col("scale_max") - F.col("scale_min")).alias("sp"),
         )
         .join(assign.select("vec_id", "cluster"), "vec_id")
+        .repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(f"{index_dir}/postings")
@@ -989,12 +992,19 @@ def build_pq_index(
         ],
         "by_residual boolean, m int, dim int, refine_levels int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_meta")
+    # repartition by cluster BEFORE partitionBy: without it every write
+    # task emits a file into every cluster directory it touches — up to
+    # (shuffle partitions) tiny files per cluster, thousands at scaled k,
+    # and the SERVE side pays a file-open per file even after partition
+    # pruning. One build-side shuffle buys one file per cluster (parquet
+    # stays row-group-splittable for read parallelism within a cluster).
     (
         enc.select(
             "vec_id",
             "cluster",
             F.array(*pq_code_columns(books, "__fa")).alias("pq_codes"),
         )
+        .repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(f"{index_dir}/postings")
@@ -1009,6 +1019,7 @@ def build_pq_index(
                 (F.col("scale_max") - F.col("scale_min")).alias("sp"),
             )
             .join(assign.select("vec_id", "cluster"), "vec_id")
+            .repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
             .parquet(f"{index_dir}/refine")

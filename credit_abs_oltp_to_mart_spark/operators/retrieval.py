@@ -322,9 +322,12 @@ def build_postings_store(
     post = doc_postings(docs, text_col=text_col).withColumn(
         "bucket", term_bucket(F.col("term"), n_buckets)
     )
-    post.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{store_dir}/postings"
-    )
+    # repartition by bucket before partitionBy — one file per bucket
+    # instead of one per (write task x bucket); the serve side pays a
+    # file-open per file even after partition pruning
+    post.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{store_dir}/postings")
     (
         docs.select(F.size(ws_tokens(F.col(text_col))).alias("__dl"))
         .agg(

@@ -29,7 +29,47 @@ DEFAULT_QUERIES = [
     "ann_pq_refine",
     "corpus_pipeline",
     "bpe_training_manifest",
+    # r09: the one r08 shared-set regression (+1.2 s driver, source
+    # untouched) — settle it against fresh-session ground truth
+    "profile_stats",
+    # r09: the transpiled reference-SQL path (dbt runner), priced like
+    # the DataFrame marts — special-cased below (needs an OLTP lake)
+    "sql_models_npl",
 ]
+
+# sql_models_npl: generate a deterministic OLTP lake once (outside the
+# timed loop), register views, then time run_sql_models + materializing
+# fct_npl_monthly — the transpiled twin of the DataFrame mart.
+_CHILD_SQL_MODELS = r"""
+import sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from datetime import date
+from credit_abs_oltp_to_mart_spark.session import get_spark
+from credit_abs_oltp_to_mart_spark.generator import (
+    OLTPSynthConfig, run_credit_oltp_synth,
+)
+from credit_abs_oltp_to_mart_spark.plans.sql_models import run_sql_models
+from credit_abs_oltp_to_mart_spark.sources.readers import read_oltp_table
+
+spark = get_spark(app_name="isolated-sql_models_npl")
+out = tempfile.mkdtemp(prefix="isolated_sqlmodels_")
+cfg = OLTPSynthConfig(
+    n_borrowers=3000, n_applications=4500, n_loans=2000,
+    start_date_max=date(2025, 12, 31), seed=42,
+)
+run_credit_oltp_synth(spark, cfg, out_dir=out)
+for t in ("loan_contract", "arrears_dpd_status", "repayment_payment",
+          "write_off_and_recovery"):
+    read_oltp_table(spark, out, t).createOrReplaceTempView(t)
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    marts = run_sql_models(spark, "/root/reference/dbt/credit_mart/models")
+    marts["fct_npl_monthly"].write.format("noop").mode("overwrite").save()
+    best = min(best, time.perf_counter() - t0)
+    spark.catalog.clearCache()
+print("ISOLATED_RESULT", best)
+"""
 
 _CHILD = r"""
 import sys, time
@@ -59,7 +99,10 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results: dict[str, float] = {}
     for name in args.queries.split(","):
-        code = _CHILD.format(repo=repo, name=name, sf_dir=args.sf_dir)
+        if name == "sql_models_npl":
+            code = _CHILD_SQL_MODELS.format(repo=repo)
+        else:
+            code = _CHILD.format(repo=repo, name=name, sf_dir=args.sf_dir)
         out = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True,
