@@ -5488,6 +5488,118 @@ def _stream_vocab_refresh_oracle(n_merges: int = BPE_MERGES) -> str:
     """
 
 
+def q_stream_corpus_vocab_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_vocab_refresh's by-rule tokenizer versioning threaded into
+    the FULL corpus ingest (VERDICT r08 #9, stretch): the 3-slice
+    filter -> store-dedup -> decontam chain of stream_corpus_ingest, but
+    the tokenizer now retrains MID-RUN on the pipeline's own admitted
+    output — batch b segments/packs its admitted docs under vocabulary
+    generation v(b) = b div 2, where v0 trains on the held-out seed
+    corpus and v1 on seed + exactly the ADMITTED docs of batches 0-1
+    (both pure functions of the batch id, so crash replays re-derive
+    identical vocabularies). Output = per-admitted-doc segmentation
+    stats under the batch's PINNED generation, so the hash gate covers
+    all three admission gates, both trainings, the cadence, and every
+    batch's pinned segmentation in one verdict."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
+    from credit_abs_oltp_to_mart_spark.operators.curation import split_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn("split", split_expr())
+    train = docs.where(F.col("split") == "train").drop("split")
+    init = docs.where(F.col("split") != "train").select("doc_id", "text")
+    b = F.pmod(
+        md5_long(F.concat(F.lit("ingest:"), F.col("doc_id").cast("string"))),
+        F.lit(3),
+    )
+    tagged = train.withColumn("__b", b.cast("int"))
+    tmp = tempfile.mkdtemp(prefix="spark_corpus_vocab_")
+    try:
+        gram_store = os.path.join(tmp, "eval_grams")
+        curation.build_eval_gram_store(
+            docs.where(F.col("split") != "train").drop("split")
+        ).write.parquet(gram_store)
+        slices = os.path.join(tmp, "slices")
+        now = _time.time()
+        for k in range(3):
+            d = os.path.join(slices, f"b{k}")
+            tagged.where(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(d)
+            for f2 in os.listdir(d):
+                if f2.endswith(".parquet"):
+                    t = now - 60 + 10 * k
+                    os.utime(os.path.join(d, f2), (t, t))
+        out = streaming.stream_corpus_ingest(
+            spark,
+            f"{slices}/b*",
+            os.path.join(tmp, "out"),
+            schema=train.schema,
+            gram_store_path=gram_store,
+            n=JACCARD_N,
+            n_perm=MINHASH_PERMS,
+            bands=MINHASH_BANDS,
+            min_est=0.25,
+            seed=MINHASH_SEED,
+            dedup_within_batch=True,
+            tokenizer_refresh_init=init,
+            tokenizer_refresh_every=2,
+            tokenizer_merges=BPE_MERGES,
+            return_segmented=True,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_corpus_vocab_ingest_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Replay: the full admission chain (_corpus_admitted_ctes ->
+    adm0/adm1/adm2), TWO independently-trained BPE chains — v0 on the
+    held-out split, v1 on held-out + the REPLAYED admitted docs of
+    batches 0-1 (the adm01 CTE feeds the training predicate) — then each
+    admitted doc's stats via the word join against its batch's PINNED
+    generation (left join keeps all-unseen docs at 0, the
+    bpe_segment_stats contract)."""
+    not_train = f"{_split_bucket_sql('split:')} >= {curation.TRAIN_PCT}"
+    va = _bpe_ctes(n_merges, prefix="va", train_where=not_train)
+    vb = _bpe_ctes(
+        n_merges,
+        prefix="vb",
+        train_where=(
+            f"({not_train}) or doc_id in (select doc_id from adm01)"
+        ),
+    )
+    return f"""
+    with {_corpus_admitted_ctes()},
+    {va},
+    {vb},
+    vtoks as (select doc_id,
+                     unnest(string_split_regex(trim(text), ' +')) as word
+              from documents where trim(text) <> ''),
+    vstats_a as (select t.doc_id, count(*) as n_words,
+                        sum(len(w.syms)) as n_bpe
+                 from vtoks t join vaw{n_merges} w on w.word = t.word
+                 group by 1),
+    vstats_b as (select t.doc_id, count(*) as n_words,
+                        sum(len(w.syms)) as n_bpe
+                 from vtoks t join vbw{n_merges} w on w.word = t.word
+                 group by 1),
+    adm as (select doc_id, b from adm0
+            union all select doc_id, b from adm1
+            union all select doc_id, b from adm2)
+    select a.doc_id, a.b::bigint as ingest_batch,
+           (a.b // 2)::int as vocab_version,
+           coalesce(case when a.b < 2 then sa.n_words else sb.n_words end,
+                    0)::int as n_words,
+           coalesce(case when a.b < 2 then sa.n_bpe else sb.n_bpe end,
+                    0)::int as n_bpe_tokens
+    from adm a
+    left join vstats_a sa on sa.doc_id = a.doc_id
+    left join vstats_b sb on sb.doc_id = a.doc_id
+    """
+
+
 # PQ init ids for the streaming contract: all in the base split
 # (vec_id % 4 != 3) — the sub-codebooks must train on base only
 STREAM_PQ_INIT_IDS = [4, 9, 14, 21, 24, 29, 34, 41]
@@ -6269,6 +6381,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_month_end_snapshot(spark, SF_SMOKE)
 
 
+# documented one-round aging waivers, read by tools/window_order.py
+# --check: a query listed here may sit outside the first-50 driver gate
+# window for ONE round despite missing/expiring evidence — the waiver
+# states why, and the query must lead the NEXT round's window
+WINDOW_AGING_EXCEPTIONS = {
+    "stream_corpus_vocab_ingest": (
+        "round-9 window is full (46 expiring + 4 new contract queries);"
+        " local mirrors verify it hash-exact at sf0.01 and sf0.1 this"
+        " round; no-evidence -> it auto-leads the round-10 window"
+    ),
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
 
@@ -6340,6 +6465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_serve": q_bm25_serve,
         "stream_postings_ingest": q_stream_postings_ingest,
         # ---- driver gate window (50) ends here ----
+        # round-9 addition #5: the window is full (46 expiring + 4 new),
+        # so this one accepts a documented one-round aging (the r08
+        # unigram_segment precedent) — local mirrors verify it at both
+        # SFs this round; it leads the round-10 window as no-evidence
+        "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,
         # -- r07-evidence remainder (expires at round-10 close)
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
@@ -6944,6 +7074,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_ann_ingest": _stream_ann_ingest_oracle(),
         "stream_vocab_refresh": _stream_vocab_refresh_oracle(),
+        "stream_corpus_vocab_ingest": _stream_corpus_vocab_ingest_oracle(),
         "stream_pq_ingest": _stream_pq_ingest_oracle(),
         "stream_bpe_ingest": _stream_bpe_ingest_oracle(),
         "multimodal_meta": _multimodal_meta_oracle(),

@@ -739,7 +739,11 @@ def stream_corpus_ingest(
     store_prebanded: bool = False,
     on_batch_complete=None,
     tokenizer_word_frame: DataFrame | None = None,
+    tokenizer_refresh_init: DataFrame | None = None,
+    tokenizer_refresh_every: int = 2,
+    tokenizer_merges: int = 8,
     return_packed: bool = False,
+    return_segmented: bool = False,
 ) -> DataFrame:
     """The COMPLETE incremental corpus pipeline per arriving micro-batch —
     the actual shape of a continuous 100 TB pretraining ingest, composing
@@ -814,7 +818,27 @@ def stream_corpus_ingest(
     is therefore self-consistent and never under-blocks, but it is not
     byte-identical to the pre-crash attempt when the hook mutates the
     blocklist; hooks needing byte-identical replay should snapshot their
-    state keyed by batch_id and no-op on re-delivery."""
+    state keyed by batch_id and no-op on re-delivery.
+
+    ``tokenizer_refresh_init`` switches the tokenizer from
+    run-pinned to SELF-REFRESHING — ``stream_vocab_refresh``'s by-rule
+    versioning threaded into the full corpus pipeline: batch b segments
+    and packs its ADMITTED docs under vocabulary generation
+    v(b) = b div ``tokenizer_refresh_every``, and generation v > 0 is
+    trained (``bpe.bpe_train``, ``tokenizer_merges`` merges) on
+    ``tokenizer_refresh_init`` plus exactly the ADMITTED docs of batches
+    [0, v * refresh_every) — read from the ``admitted_docs`` batch-keyed
+    store this mode additionally maintains. Both the version choice and
+    the training set are pure functions of the batch id and
+    strictly-earlier partitions, so crash replays and lost publishes
+    re-derive identical vocabularies (no pointer-read caveat). Extra
+    layout: ``admitted_docs/batch=<id>`` (raw admitted text),
+    ``vocab/version=<v>`` (trained word frames), ``vocab_current``
+    (consumer pointer, re-pinned after each publish),
+    ``segmented/batch=<id>`` (per-doc stats under the pinned
+    generation). ``return_segmented`` returns (doc_id, ingest_batch,
+    vocab_version, n_words, n_bpe_tokens). Mutually exclusive with
+    ``tokenizer_word_frame``."""
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
@@ -833,6 +857,14 @@ def stream_corpus_ingest(
     packed_dir = os.path.join(out_dir, "packed")
     offsets_dir = os.path.join(out_dir, "pack_offsets")
     ck_dir = os.path.join(out_dir, "checkpoint")
+    adm_docs_dir = os.path.join(out_dir, "admitted_docs")
+    vocab_dir = os.path.join(out_dir, "vocab")
+    seg_dir = os.path.join(out_dir, "segmented")
+    if tokenizer_refresh_init is not None and tokenizer_word_frame is not None:
+        raise ValueError(
+            "tokenizer_refresh_init and tokenizer_word_frame are mutually"
+            " exclusive: refresh mode derives its own word frames"
+        )
     resume_pending_compaction(spark, store_dir)
     # the trained tokenizer is FIXED for the run: materialize the word
     # frame once (vocabulary-sized) so every batch's tokenize pass reads
@@ -871,6 +903,49 @@ def stream_corpus_ingest(
         return pinned["df"]
 
     _pin_gram_store(spark)
+
+    # tokenizer-refresh mode: one trained word frame per vocabulary
+    # generation, derived BY RULE (version v trains on init + admitted
+    # docs of batches < v*refresh_every — strictly-earlier partitions,
+    # so replays re-derive byte-identical vocabularies); pinned per run
+    vocab_cache: dict[int, DataFrame] = {}
+
+    def _vocab_for(sess: SparkSession, version: int) -> DataFrame:
+        if version in vocab_cache:
+            return vocab_cache[version]
+        from credit_abs_oltp_to_mart_spark.operators import bpe as B
+
+        vdir = os.path.join(vocab_dir, f"version={version}")
+        try:
+            wf = sess.read.parquet(vdir)
+        except AnalysisException:
+            # first batch of the segment (or a lost publish): self-heal
+            # by retraining from the rule's exact corpus
+            train = tokenizer_refresh_init.select("doc_id", "text")
+            bound = version * tokenizer_refresh_every
+            if bound > 0:
+                try:
+                    earlier = (
+                        sess.read.option("basePath", adm_docs_dir)
+                        .parquet(adm_docs_dir)
+                        .where(F.col("batch") < bound)
+                        .select("doc_id", "text")
+                    )
+                    train = train.unionByName(earlier)
+                except AnalysisException:
+                    pass  # no admitted docs yet — init-only regime
+            _, wf_t = B.bpe_train(train, tokenizer_merges)
+            wf_t.write.mode("overwrite").parquet(vdir)
+            # consumer-facing pointer, re-pinned AFTER the publish
+            sess.createDataFrame(
+                [(int(version),)], "version int"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "vocab_current")
+            )
+            wf = sess.read.parquet(vdir)
+        wf = wf.localCheckpoint(eager=True)
+        vocab_cache[version] = wf
+        return wf
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -925,14 +1000,38 @@ def stream_corpus_ingest(
             # the admitted plan reads the store path, which the signature
             # write below invalidates
             admitted = admitted.localCheckpoint(eager=True)
-            if wf_pinned is not None:
+            wf_run = wf_pinned
+            if tokenizer_refresh_init is not None:
+                from credit_abs_oltp_to_mart_spark.operators import bpe as B
+
+                v = int(batch_id) // tokenizer_refresh_every
+                # vocab for THIS batch trains on strictly-earlier
+                # admitted partitions (bound v*refresh_every <= batch),
+                # so it must resolve BEFORE this batch's own writes
+                wf_run = _vocab_for(sess, v)
+                (
+                    admitted.select("doc_id", "text")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(adm_docs_dir, f"batch={batch_id}"))
+                )
+                (
+                    B.bpe_segment_stats(
+                        admitted.select("doc_id", "text"), wf_run
+                    )
+                    .withColumn("vocab_version", F.lit(v).cast("int"))
+                    .select("doc_id", "vocab_version", "n_words",
+                            "n_bpe_tokens")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(seg_dir, f"batch={batch_id}"))
+                )
+            if wf_run is not None:
                 from credit_abs_oltp_to_mart_spark.operators.bpe import (
                     bpe_pack,
                 )
 
                 packed = bpe_pack(
                     admitted,
-                    wf_pinned,
+                    wf_run,
                     chunk_tokens=chunk_tokens,
                     bin_tokens=bin_tokens,
                     shards=shards,
@@ -1019,6 +1118,15 @@ def stream_corpus_ingest(
         .start()
     )
     query.awaitTermination()
+    if return_segmented:
+        # per-doc stats under each batch's PINNED vocabulary generation
+        return spark.read.parquet(seg_dir).select(
+            "doc_id",
+            F.col("batch").cast("long").alias("ingest_batch"),
+            "vocab_version",
+            "n_words",
+            "n_bpe_tokens",
+        )
     if return_packed:
         # the packed shards themselves (cross-batch bin numbering and
         # all) — the trainer-facing artifact

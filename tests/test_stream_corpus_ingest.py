@@ -426,3 +426,130 @@ def test_add_eval_suite_refuses_flat_store(spark, tmp_path):
         suite_id=1,
     )
     assert spark.read.parquet(keyed).select("batch").distinct().count() == 2
+
+
+# ----------------------------------------------------- tokenizer refresh
+
+
+def _vocab_ingest_run(spark, tmp_path, tag):
+    """3 batches, refresh_every=2: batches 0-1 segment under v0 (trained
+    on the init seed only), batch 2 under v1 (seed + admitted of 0-1).
+    Texts are long/clean enough to pass the filter gate."""
+    import os as _os
+    import time as _time
+
+    from credit_abs_oltp_to_mart_spark.streaming import stream_corpus_ingest
+
+    def _text(doc_id, tail):
+        # unique pseudo-random 3-letter content words per doc (no
+        # MinHash near-dups, and no dominant char pair that would
+        # out-rank 'xy' in BPE training), stopword 'a' every other word
+        # (passes the en lang gate with zero intra-word pairs), ~400
+        # chars (passes the length-quality gate)
+        words = []
+        for j in range(40):
+            w = "".join(
+                chr(97 + (doc_id * 7 + j * k + k * k) % 26)
+                for k in range(1, 4)
+            )
+            words += ["a", w]
+        return " ".join(words) + " " + tail
+
+    xy_tail = " ".join(["xyxy"] * 25)
+    batches = [
+        [(100 + i, _text(100 + i, "abab abab")) for i in range(3)],
+        [(200 + i, _text(200 + i, xy_tail)) for i in range(3)],
+        [(300 + i, _text(300 + i, "xyxy abab")) for i in range(3)],
+    ]
+    init = spark.createDataFrame(
+        [(i, "abab abab cdcd") for i in range(4)], "doc_id long, text string"
+    )
+    src = tmp_path / f"vslices_{tag}"
+    t0 = _time.time() - 300
+    for k, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        d = src / f"b{k}"
+        df.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            if f.endswith(".parquet"):
+                t = t0 + 10 * k
+                _os.utime(_os.path.join(d, f), (t, t))
+    out = tmp_path / f"vout_{tag}"
+    got = stream_corpus_ingest(
+        spark,
+        f"{src}/b*",
+        str(out),
+        schema="doc_id long, text string",
+        tokenizer_refresh_init=init,
+        tokenizer_refresh_every=2,
+        tokenizer_merges=4,
+        return_segmented=True,
+    )
+    return got, out, src
+
+
+def test_vocab_ingest_cadence_and_generations(spark, tmp_path):
+    import os as _os
+
+    got, out, _ = _vocab_ingest_run(spark, tmp_path, "a")
+    rows = {
+        r["doc_id"]: (r["ingest_batch"], r["vocab_version"], r["n_bpe_tokens"])
+        for r in got.collect()
+    }
+    # every streamed doc admitted (clean text, no dups) and versioned by
+    # the cadence rule: batches 0-1 -> v0, batch 2 -> v1
+    assert {d for d in rows} == {100, 101, 102, 200, 201, 202, 300, 301, 302}
+    assert all(v == 0 for d, (b, v, _) in rows.items() if b in (0, 1))
+    assert all(v == 1 for d, (b, v, _) in rows.items() if b == 2)
+    assert sorted(_os.listdir(_os.path.join(str(out), "vocab"))) == [
+        "version=0",
+        "version=1",
+    ]
+    # v1 trained on seed + admitted 0-1 learns the xy merges v0 (seed
+    # only) cannot have — batch 2's xyxy-docs compress under v1
+    v1 = spark.read.parquet(str(out / "vocab" / "version=1"))
+    syms1 = {s for r in v1.collect() for s in r["syms"]}
+    assert any("xy" in s for s in syms1)
+    v0 = spark.read.parquet(str(out / "vocab" / "version=0"))
+    syms0 = {s for r in v0.collect() for s in r["syms"]}
+    assert not any("xy" in s for s in syms0)
+    # packed shards exist for every batch (pack runs under the pinned
+    # generation too)
+    assert sorted(_os.listdir(_os.path.join(str(out), "packed"))) == [
+        "batch=0",
+        "batch=1",
+        "batch=2",
+    ]
+
+
+def test_vocab_ingest_replay_is_idempotent(spark, tmp_path):
+    import os as _os
+
+    from credit_abs_oltp_to_mart_spark.streaming import stream_corpus_ingest
+
+    got, out, src = _vocab_ingest_run(spark, tmp_path, "b")
+    first = {tuple(r) for r in got.collect()}
+    # crash window: batch 2's sinks written (incl. its segmented rows
+    # under v1 and the v1 publish), commit 2 never was
+    commits = _os.path.join(str(out), "checkpoint", "commits")
+    _os.remove(_os.path.join(commits, "2"))
+    crc = _os.path.join(commits, ".2.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    init = spark.createDataFrame(
+        [(i, "abab abab cdcd") for i in range(4)], "doc_id long, text string"
+    )
+    again = {
+        tuple(r)
+        for r in stream_corpus_ingest(
+            spark,
+            f"{src}/b*",
+            str(out),
+            schema="doc_id long, text string",
+            tokenizer_refresh_init=init,
+            tokenizer_refresh_every=2,
+            tokenizer_merges=4,
+            return_segmented=True,
+        ).collect()
+    }
+    assert again == first

@@ -85,6 +85,15 @@ def main() -> int:
             for n in names
             if evidence.get(n, -(10**9)) <= latest - args.max_age
         ]
+        # explicit, visible waivers: when a round's window cannot fit
+        # every no-evidence/expiring query (e.g. 46 expiring + 5 new),
+        # the registration may declare a documented one-round aging —
+        # the waiver must name the query AND the reason, and is printed
+        # so the decision stays auditable instead of silently dropped
+        waivers = getattr(entry_mod, "WINDOW_AGING_EXCEPTIONS", {})
+        for n in sorted(set(must) & set(waivers)):
+            print(f"WAIVED (documented aging): {n} — {waivers[n]}")
+        must = [n for n in must if n not in waivers]
         missing = [n for n in must if n not in current_window]
         if missing:
             print(
