@@ -231,6 +231,17 @@ def test_persisted_index_postings_are_cluster_partitioned(spark, planted, tmp_pa
         if d.startswith("cluster=")
     ]
     assert len(parts) >= 2, parts
+    # file-layout gate: ONE parquet file per cluster partition (the
+    # pre-partitionBy repartition) — without it every write task emits a
+    # file into every partition dir it touches, and at corpus-scaled k
+    # the serve side pays thousands of file-opens even after pruning
+    for d in parts:
+        files = [
+            f
+            for f in os.listdir(os.path.join(idx, "postings", d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
 
 
 def test_pq_index_recall_on_planted_neighbors(spark, planted, tmp_path):
