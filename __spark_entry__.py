@@ -4734,6 +4734,8 @@ def _unigram_ctes(
     max_piece_len: int | None = None,
     vocab_size: int | None = None,
     with_final_dp: bool = False,
+    train_where: str = "",
+    score_from_all: bool = False,
 ) -> str:
     """EM-round replay CTEs for the unigram trainer: seed substring
     counts -> top-V cut (+ permanent single chars) -> per round a
@@ -4741,9 +4743,15 @@ def _unigram_ctes(
     (cost asc, piece-length desc) tiebreak, OOV sentinel) + count
     aggregation + exact fixed-point re-weighting; ends at w{rounds}.
     ``with_final_dp`` appends one more DP under the FINAL weights
-    (vc{R}/dp{R}) for scoring-pass oracles. All integer arithmetic;
-    DuckDB's struct-list sort order matches Spark's array_min struct
-    comparison."""
+    (vc{R}/dp{R}) for scoring-pass oracles. ``train_where`` restricts
+    the TRAINING corpus (an extra predicate and-ed onto the
+    non-empty-text filter — the perplexity-filter replay trains on the
+    reference split only); ``score_from_all`` makes the final DP
+    segment the WHOLE corpus's words (swrds) instead of the training
+    words, so out-of-reference words score through the OOV sentinel.
+    Defaults reproduce the historical chain byte-for-byte. All integer
+    arithmetic; DuckDB's struct-list sort order matches Spark's
+    array_min struct comparison."""
     from credit_abs_oltp_to_mart_spark.operators.unigram import (
         MAX_PIECE_LEN,
         OOV_COST,
@@ -4756,12 +4764,13 @@ def _unigram_ctes(
     L = MAX_PIECE_LEN if max_piece_len is None else max_piece_len
     V = UNIGRAM_VOCAB if vocab_size is None else vocab_size
     S = UNIGRAM_SCALE
+    extra = f" and ({train_where})" if train_where else ""
     parts = [
         f"""
     with recursive wrds as materialized (
       select word, count(*)::bigint as cnt
       from (select unnest(string_split_regex(trim(text), ' +')) as word
-            from documents where trim(text) <> '')
+            from documents where trim(text) <> ''{extra})
       group by 1),
     seed as materialized (
       select piece, sum(cnt)::bigint as cnt
@@ -4823,6 +4832,15 @@ def _unigram_ctes(
       select piece, cnt, (2 * {S} * cnt + t.tot) // (2 * t.tot) as wgt
       from v{r + 1}, (select sum(cnt) as tot from v{r + 1}) t)""")
     if with_final_dp:
+        src = "wrds"
+        if score_from_all:
+            src = "swrds"
+            parts.append("""
+    swrds as materialized (
+      select word, count(*)::bigint as cnt
+      from (select unnest(string_split_regex(trim(text), ' +')) as word
+            from documents where trim(text) <> '')
+      group by 1)""")
         parts.append(f"""
     vc{R} as materialized (
       select map(list(piece order by piece),
@@ -4833,7 +4851,7 @@ def _unigram_ctes(
              [struct_pack(cost := 0::bigint, negl := 0::bigint,
                           segs := []::varchar[])] as win,
              vm
-      from wrds, vc{R}
+      from {src}, vc{R}
       union all
       select word, cnt, len, j - 1,
              list_prepend(
@@ -4893,6 +4911,70 @@ def _unigram_segment_oracle() -> str:
            coalesce(p.n_words, 0)::int as n_words,
            coalesce(p.n_pieces, 0)::int as n_pieces,
            coalesce(p.total_cost, 0)::bigint as total_cost
+    from documents d left join perdoc p using (doc_id)"""
+
+
+# perplexity-filter threshold: fixed-point mean cost per word (units of
+# UNIGRAM_SCALE) — sits inside the corpus's cost distribution so the
+# verdict is a genuine split, not all-keep/all-drop (checked in tests)
+PPL_MAX_COST_PER_WORD = 2_800_000
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality filtering (CCNet / Wenzek et al. 2020, on the exact
+    unigram LM instead of KenLM): the tokenizer-LM trains on the
+    HELD-OUT reference split, every document scores its surrogate
+    negative log-likelihood under it (distinct words Viterbi-segment
+    once against the one-row broadcast model; out-of-reference words
+    pay the OOV sentinel), and the verdict keeps docs whose mean
+    per-word cost stays under the threshold — as an integer comparison
+    total_cost <= T * n_words, no division."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import split_expr
+    from credit_abs_oltp_to_mart_spark.operators.unigram import (
+        perplexity_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn("split", split_expr())
+    ref = docs.where(F.col("split") != "train").drop("split")
+    return perplexity_filter(
+        docs.drop("split"),
+        ref,
+        max_cost_per_word=PPL_MAX_COST_PER_WORD,
+    )
+
+
+def _perplexity_filter_oracle() -> str:
+    """Replays training restricted to the held-out split (train_where on
+    the shared EM CTEs), one final Viterbi DP over the WHOLE corpus's
+    words (swrds — OOV pieces via the sentinel), then the per-doc sums
+    and the integer threshold verdict."""
+    from credit_abs_oltp_to_mart_spark.operators.unigram import UNIGRAM_ROUNDS
+
+    R = UNIGRAM_ROUNDS
+    ref_where = f"{_split_bucket_sql('split:')} >= {curation.TRAIN_PCT}"
+    return _unigram_ctes(
+        with_final_dp=True, train_where=ref_where, score_from_all=True
+    ) + f""",
+    docwords as (
+      select d.doc_id, t.word
+      from (select doc_id, string_split_regex(trim(text), ' +') as tk
+            from documents where trim(text) <> '') d,
+           unnest(d.tk) as t(word)),
+    wseg as (
+      select word, len(win[1].segs)::int as n_pieces, win[1].cost as cost
+      from dp{R} where j = 1),
+    perdoc as (
+      select doc_id, count(*)::int as n_words,
+             sum(n_pieces)::int as n_pieces,
+             sum(cost)::bigint as total_cost
+      from docwords join wseg using (word) group by 1)
+    select d.doc_id,
+           coalesce(p.n_words, 0)::int as n_words,
+           coalesce(p.n_pieces, 0)::int as n_pieces,
+           coalesce(p.total_cost, 0)::bigint as total_cost,
+           (coalesce(p.total_cost, 0)
+              <= {PPL_MAX_COST_PER_WORD} * coalesce(p.n_words, 0))::int
+             as is_kept
     from documents d left join perdoc p using (doc_id)"""
 
 
@@ -6391,6 +6473,11 @@ WINDOW_AGING_EXCEPTIONS = {
         " local mirrors verify it hash-exact at sf0.01 and sf0.1 this"
         " round; no-evidence -> it auto-leads the round-10 window"
     ),
+    "perplexity_filter": (
+        "round-9 window is full (46 expiring + 4 new contract queries);"
+        " local mirrors verify it hash-exact at sf0.01 and sf0.1 this"
+        " round; no-evidence -> it auto-leads the round-10 window"
+    ),
 }
 
 
@@ -6470,6 +6557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigram_segment precedent) — local mirrors verify it at both
         # SFs this round; it leads the round-10 window as no-evidence
         "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,
+        "perplexity_filter": q_perplexity_filter,
         # -- r07-evidence remainder (expires at round-10 close)
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
@@ -7054,6 +7142,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dups": _audio_near_dups_oracle(),
         "unigram_train": _unigram_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
+        "perplexity_filter": _perplexity_filter_oracle(),
         "training_manifest": _TRAINING_MANIFEST_ORACLE,
         "bpe_training_manifest": _BPE_TRAINING_MANIFEST_ORACLE,
         "epoch_shuffle": f"""

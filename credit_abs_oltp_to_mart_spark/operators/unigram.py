@@ -281,3 +281,60 @@ def unigram_segment_stats(
         F.coalesce("n_pieces", F.lit(0)).cast("int").alias("n_pieces"),
         F.coalesce("total_cost", F.lit(0)).cast("bigint").alias("total_cost"),
     )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    *,
+    max_cost_per_word: int,
+    rounds: int = UNIGRAM_ROUNDS,
+    max_piece_len: int = MAX_PIECE_LEN,
+    vocab_size: int = UNIGRAM_VOCAB,
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality filtering (the CCNet / Wenzek et al. 2020
+    recipe, on the exact-arithmetic unigram LM instead of KenLM): train
+    the tokenizer-LM on a REFERENCE corpus of known-good text, score
+    every candidate doc's surrogate negative log-likelihood under it,
+    and keep docs whose MEAN per-word cost stays under the threshold —
+    text unlike the reference (noise, boilerplate, wrong domain)
+    segments into expensive/OOV pieces and drops.
+
+    The verdict is the integer comparison
+    ``total_cost <= max_cost_per_word * n_words`` (no division — exact
+    and engine-replayable; ``max_cost_per_word`` is in the fixed-point
+    cost units of ``UNIGRAM_SCALE``). Empty docs cost 0 and are kept —
+    compose with the token gate (`corpus.filter_documents`) which owns
+    length policy. Words absent from the reference vocabulary segment
+    through the OOV sentinel, so out-of-domain text is penalized, never
+    silently passed.
+
+    Scale shape: training is ``unigram_train`` on the reference (the
+    word-table-sized EM loop); scoring is ``unigram_segment_stats`` —
+    DISTINCT words segment once against the one-row broadcast model,
+    the corpus stream joins the broadcast word results, one per-doc
+    aggregation. Returns (doc_id, n_words, n_pieces, total_cost,
+    is_kept)."""
+    _, weights = unigram_train(
+        ref_docs,
+        rounds=rounds,
+        max_piece_len=max_piece_len,
+        vocab_size=vocab_size,
+        text_col=text_col,
+    )
+    stats = unigram_segment_stats(
+        docs, weights, max_piece_len=max_piece_len, text_col=text_col
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "total_cost",
+        (
+            F.col("total_cost")
+            <= F.lit(int(max_cost_per_word)) * F.col("n_words")
+        )
+        .cast("int")
+        .alias("is_kept"),
+    )

@@ -127,3 +127,68 @@ def test_seed_cut_is_in_cluster_and_bounded(spark):
         if len(p) == 1:
             expect.setdefault(p, c)
     assert {r["piece"]: int(r["cnt"]) for r in rows} == expect
+
+
+def test_perplexity_filter_separates_by_reference_likelihood(spark):
+    """CCNet-style LM filtering: docs like the REFERENCE keep, docs of
+    out-of-reference words pay OOV costs and drop; the verdict is the
+    exact integer comparison total_cost <= T * n_words."""
+    ref = spark.createDataFrame(
+        [(i, "banana band bandana banana band") for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "banana band banana"),          # in-reference -> cheap
+            (2, "zzqx wvvk zzqx wvvk"),         # out-of-domain -> OOV costs
+            (3, ""),                            # empty -> cost 0, kept
+        ],
+        "doc_id long, text string",
+    )
+    # threshold = the in-reference doc's own mean cost (computed below),
+    # so doc 1 sits exactly AT the boundary (<= keeps it) and doc 2 far above
+    from credit_abs_oltp_to_mart_spark.operators.unigram import (
+        perplexity_filter,
+        unigram_segment_stats,
+        unigram_train,
+    )
+
+    _, weights = unigram_train(ref)
+    s1 = {
+        r["doc_id"]: (r["total_cost"], r["n_words"])
+        for r in unigram_segment_stats(docs, weights).collect()
+    }
+    t = s1[1][0] // s1[1][1]  # doc 1's mean cost per word (floored)
+    got = {
+        r["doc_id"]: r["is_kept"]
+        for r in perplexity_filter(
+            docs, ref, max_cost_per_word=t + 1
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1}
+    # monotone in the threshold: a huge ceiling keeps everything
+    all_kept = perplexity_filter(
+        docs, ref, max_cost_per_word=10**15
+    )
+    assert all_kept.where(F.col("is_kept") == 0).count() == 0
+
+
+def test_perplexity_filter_scoring_joins_broadcast_word_results(spark):
+    """Scale shape: the corpus stream joins the word-level Viterbi
+    results through a BROADCAST join — no corpus shuffle on the word
+    key, no cartesian product."""
+    ref = spark.createDataFrame(
+        [(i, "banana band bandana") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(i, "banana band") for i in range(20)], "doc_id long, text string"
+    )
+    from credit_abs_oltp_to_mart_spark.operators.unigram import (
+        perplexity_filter,
+    )
+
+    out = perplexity_filter(docs, ref, max_cost_per_word=10**9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
