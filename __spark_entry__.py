@@ -6552,10 +6552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_serve": q_bm25_serve,
         "stream_postings_ingest": q_stream_postings_ingest,
         # ---- driver gate window (50) ends here ----
-        # round-9 addition #5: the window is full (46 expiring + 4 new),
-        # so this one accepts a documented one-round aging (the r08
-        # unigram_segment precedent) — local mirrors verify it at both
-        # SFs this round; it leads the round-10 window as no-evidence
+        # round-9 additions #5 and #6: the window is full (46 expiring
+        # + 4 new), so these two carry documented WINDOW_AGING_EXCEPTIONS
+        # waivers (the r08 unigram_segment precedent) — local mirrors
+        # verify both hash-exact at both SFs this round; as no-evidence
+        # entries they auto-lead the round-10 window
         "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,
         "perplexity_filter": q_perplexity_filter,
         # -- r07-evidence remainder (expires at round-10 close)
