@@ -6466,18 +6466,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # documented one-round aging waivers, read by tools/window_order.py
 # --check: a query listed here may sit outside the first-50 driver gate
 # window for ONE round despite missing/expiring evidence — the waiver
-# states why, and the query must lead the NEXT round's window
+# states why and names the newest CORRECTNESS round it was granted
+# under; the tool EXPIRES a waiver automatically once a newer round's
+# artifact lands, so the next round cannot silently inherit it
 WINDOW_AGING_EXCEPTIONS = {
-    "stream_corpus_vocab_ingest": (
-        "round-9 window is full (46 expiring + 4 new contract queries);"
-        " local mirrors verify it hash-exact at sf0.01 and sf0.1 this"
-        " round; no-evidence -> it auto-leads the round-10 window"
-    ),
-    "perplexity_filter": (
-        "round-9 window is full (46 expiring + 4 new contract queries);"
-        " local mirrors verify it hash-exact at sf0.01 and sf0.1 this"
-        " round; no-evidence -> it auto-leads the round-10 window"
-    ),
+    "stream_corpus_vocab_ingest": {
+        "granted_at_round": 8,
+        "reason": (
+            "round-9 window is full (46 expiring + 4 new contract"
+            " queries); local mirrors verify it hash-exact at sf0.01 and"
+            " sf0.1 this round; no-evidence -> it auto-leads the"
+            " round-10 window"
+        ),
+    },
+    "perplexity_filter": {
+        "granted_at_round": 8,
+        "reason": (
+            "round-9 window is full (46 expiring + 4 new contract"
+            " queries); local mirrors verify it hash-exact at sf0.01 and"
+            " sf0.1 this round; no-evidence -> it auto-leads the"
+            " round-10 window"
+        ),
+    },
 }
 
 

@@ -88,9 +88,23 @@ def main() -> int:
         # explicit, visible waivers: when a round's window cannot fit
         # every no-evidence/expiring query (e.g. 46 expiring + 5 new),
         # the registration may declare a documented one-round aging —
-        # the waiver must name the query AND the reason, and is printed
-        # so the decision stays auditable instead of silently dropped
-        waivers = getattr(entry_mod, "WINDOW_AGING_EXCEPTIONS", {})
+        # the waiver must name the query, the reason, AND the newest
+        # CORRECTNESS round it was granted under; it EXPIRES as soon as
+        # a newer round's artifact lands, so the next round's rotation
+        # cannot silently inherit it. Printed either way, auditable.
+        raw = getattr(entry_mod, "WINDOW_AGING_EXCEPTIONS", {})
+        waivers = {}
+        for n, w in raw.items():
+            granted = w.get("granted_at_round") if isinstance(w, dict) else None
+            reason = w.get("reason") if isinstance(w, dict) else str(w)
+            if granted is not None and latest > granted:
+                print(
+                    f"WAIVER EXPIRED (granted at r{granted:02d},"
+                    f" evidence now through r{latest:02d}): {n} — must"
+                    f" enter the window or be re-granted explicitly"
+                )
+                continue
+            waivers[n] = reason
         for n in sorted(set(must) & set(waivers)):
             print(f"WAIVED (documented aging): {n} — {waivers[n]}")
         must = [n for n in must if n not in waivers]
