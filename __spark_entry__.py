@@ -6451,6 +6451,114 @@ _CORPUS_PIPELINE_ORACLE = """
 """
 
 
+DSIR_TOPK = 150
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every document under
+    a target-vs-raw hashed-feature likelihood-ratio surrogate (target =
+    the English slice, raw = the whole corpus; 256 md5 buckets, add-one
+    smoothing, the repo's exact fixed-point linear surrogate for the
+    log-ratio) and flag the deterministic top-k. The two feature-count
+    aggregations reduce the corpus to 256 rows each (codebook collect —
+    and the evidence division runs in PYTHON bigints, so the BM25-class
+    int64 ceiling never arises); scoring is a broadcast-map lookup + one
+    per-doc shuffle; top-k is TakeOrdered + a broadcast semi-join."""
+    from credit_abs_oltp_to_mart_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir.dsir_select(docs, F.col("lang") == "en", DSIR_TOPK)
+
+
+def _dsir_select_oracle(k: int = DSIR_TOPK) -> str:
+    from credit_abs_oltp_to_mart_spark.operators.dsir import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+    )
+
+    B, S = DSIR_BUCKETS, DSIR_SCALE
+    return f"""
+    with tok as materialized (
+      select doc_id, lang,
+             ('0x' || substr(md5(word), 1, 15))::bigint % {B} as bucket
+      from (select doc_id, lang,
+                   unnest(string_split_regex(trim(text), ' +')) as word
+            from documents where trim(text) <> '')),
+    b as (select unnest(generate_series(0, {B} - 1)) as bucket),
+    tc as (select bucket, count(*)::bigint as cnt from tok
+           where lang = 'en' group by 1),
+    rc as (select bucket, count(*)::bigint as cnt from tok group by 1),
+    tt as (select count(*)::bigint + {B} as t from tok where lang = 'en'),
+    rt as (select count(*)::bigint + {B} as t from tok),
+    ev as (select b.bucket,
+             (2 * {S} * (coalesce(tc.cnt, 0) + 1) + tt.t) // (2 * tt.t)
+           - (2 * {S} * (coalesce(rc.cnt, 0) + 1) + rt.t) // (2 * rt.t)
+             as s
+           from b left join tc using (bucket)
+                  left join rc using (bucket), tt, rt),
+    sc as (select t.doc_id, count(*)::int as n_feats,
+                  sum(ev.s)::bigint as dsir_score
+           from tok t join ev using (bucket) group by 1),
+    alls as (select d.doc_id, coalesce(sc.n_feats, 0)::int as n_feats,
+                    coalesce(sc.dsir_score, 0)::bigint as dsir_score
+             from documents d left join sc using (doc_id)),
+    topk as (select doc_id from alls
+             order by dsir_score desc, doc_id asc limit {k})
+    select a.doc_id, a.n_feats, a.dsir_score,
+           (t.doc_id is not null)::int as is_selected
+    from alls a left join topk t using (doc_id)
+    """
+
+
+BFS_MAX_HOPS = 12
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest paths from customer 0 over the same deterministic
+    2-out directed graph the pagerank contract uses (dst = (7*id+3) % n
+    and (13*id+5) % n) — hop distances are exact integers, -1 =
+    unreachable within {BFS_MAX_HOPS} hops (at sf0.1 n = 15000 > 2^12
+    frontier reach, so the unreached branch is exercised). Oracle: a
+    depth-bounded recursive CTE + min(dist)."""
+    from credit_abs_oltp_to_mart_spark.operators.graph_paths import (
+        bfs_distances,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    n = cust.count()
+    edges = cust.select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        cust.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 13 + 5) % n).alias("dst"),
+        )
+    )
+    return bfs_distances(edges, cust, [0], max_hops=BFS_MAX_HOPS)
+
+
+def _graph_bfs_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
+    return f"""
+    with recursive v as (select c_custkey as id from customer),
+    nn as (select count(*) as n from customer),
+    e as (select id as src, (id * 7 + 3) % n as dst from v, nn
+          union all
+          select id, (id * 13 + 5) % n from v, nn),
+    walk(id, dist) as (
+        select 0::bigint as id, 0 as dist
+        union
+        select e.dst, w.dist + 1
+        from walk w join e on w.id = e.src
+        where w.dist < {max_hops}
+    ),
+    d as (select id, min(dist)::int as dist from walk group by 1)
+    select v.id, coalesce(d.dist, -1)::int as dist
+    from v left join d using (id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6480,6 +6588,24 @@ WINDOW_AGING_EXCEPTIONS = {
         ),
     },
     "perplexity_filter": {
+        "granted_at_round": 8,
+        "reason": (
+            "round-9 window is full (46 expiring + 4 new contract"
+            " queries); local mirrors verify it hash-exact at sf0.01 and"
+            " sf0.1 this round; no-evidence -> it auto-leads the"
+            " round-10 window"
+        ),
+    },
+    "dsir_select": {
+        "granted_at_round": 8,
+        "reason": (
+            "round-9 window is full (46 expiring + 4 new contract"
+            " queries); local mirrors verify it hash-exact at sf0.01 and"
+            " sf0.1 this round; no-evidence -> it auto-leads the"
+            " round-10 window"
+        ),
+    },
+    "graph_bfs": {
         "granted_at_round": 8,
         "reason": (
             "round-9 window is full (46 expiring + 4 new contract"
@@ -6569,6 +6695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries they auto-lead the round-10 window
         "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,
         "perplexity_filter": q_perplexity_filter,
+        "dsir_select": q_dsir_select,
+        "graph_bfs": q_graph_bfs,
         # -- r07-evidence remainder (expires at round-10 close)
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
@@ -7154,6 +7282,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train": _unigram_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
         "perplexity_filter": _perplexity_filter_oracle(),
+        "dsir_select": _dsir_select_oracle(),
+        "graph_bfs": _graph_bfs_oracle(),
         "training_manifest": _TRAINING_MANIFEST_ORACLE,
         "bpe_training_manifest": _BPE_TRAINING_MANIFEST_ORACLE,
         "epoch_shuffle": f"""

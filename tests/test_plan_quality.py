@@ -621,3 +621,28 @@ def test_pq_refine_reads_shortlist_only_never_corpus(spark):
     assert post_blocks, p
     for b in post_blocks:
         assert "pq_codes" in b and "embedding" not in b, b
+
+
+def test_dsir_select_broadcast_evidence_single_doc_shuffle(spark):
+    """DSIR scoring: the evidence map rides a one-row broadcast (BNLJ by
+    design), the token stream NEVER exchanges on the token/bucket key,
+    selection is TakeOrdered (per-partition heads, no global sort) + a
+    broadcast semi-side join — so the whole plan pays hash exchanges
+    only for the per-doc aggregation and the docs<->scores join."""
+    p = _plan(spark, "dsir_select")
+    assert "TakeOrderedAndProject" in p, p
+    assert "hashpartitioning(tok" not in p and "hashpartitioning(bucket" not in p, p
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 3, f"dsir_select plan has {n} hash exchanges"
+
+
+def test_graph_bfs_checkpoints_truncate_lineage(spark):
+    """The returned BFS plan must be the FINAL join only: the per-hop
+    frontier lineage is localCheckpoint-truncated, so the plan re-scans
+    the vertex parquet once and joins the checkpointed distance frame —
+    no re-derivation of the hop chain, no cartesian."""
+    p = _plan(spark, "graph_bfs")
+    assert p.count("Scan parquet") <= 1, p
+    assert "ExistingRDD" in p or "LocalTableScan" in p, p
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 2, f"graph_bfs final plan has {n} hash exchanges"
