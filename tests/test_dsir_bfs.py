@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.operators import dsir
@@ -160,3 +162,50 @@ def test_bfs_source_without_edges(spark):
         for r in bfs_distances(e, v, [0], max_hops=5).collect()
     }
     assert got == {0: 0, 1: -1, 2: -1}
+
+
+SEEDS = [7, 42, 1337]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_dsir_random_corpus_matches_reference(spark, seed):
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for did in range(40):
+        n = int(rng.randint(0, 12))  # includes empty docs
+        text = " ".join(vocab[j] for j in rng.randint(0, len(vocab), n))
+        lang = ["en", "de", "fr"][int(rng.randint(0, 3))]
+        rows.append((did, lang, text))
+    k = int(rng.randint(1, 15))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_score"], r["is_selected"])
+        for r in dsir.dsir_select(
+            df, F.col("lang") == "en", k, buckets=16
+        ).collect()
+    }
+    assert got == _py_dsir(rows, {"en"}, 16, k)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bfs_random_graph_matches_reference(spark, seed):
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(5, 30))
+    m = int(rng.randint(0, 3 * n))
+    # duplicates and self-loops included on purpose
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.randint(0, n, m), rng.randint(0, n, m))
+    ]
+    sources = sorted(set(int(s) for s in rng.randint(0, n, 2)))
+    max_hops = int(rng.randint(1, 8))
+    e = spark.createDataFrame(edges or [(0, 0)], "src bigint, dst bigint")
+    if not edges:
+        e = e.limit(0)
+    v = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(e, v, sources, max_hops=max_hops).collect()
+    }
+    assert got == _py_bfs(edges, n, sources, max_hops)

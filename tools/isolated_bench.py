@@ -35,6 +35,9 @@ DEFAULT_QUERIES = [
     # r09: the transpiled reference-SQL path (dbt runner), priced like
     # the DataFrame marts — special-cased below (needs an OLTP lake)
     "sql_models_npl",
+    # r09 late additions: DSIR selection + BFS shortest paths
+    "dsir_select",
+    "graph_bfs",
 ]
 
 # sql_models_npl: generate a deterministic OLTP lake once (outside the

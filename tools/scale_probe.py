@@ -39,6 +39,11 @@ def main() -> int:
         " small ones over the same scaled corpus",
     )
     ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe names to run (default: all)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -211,7 +216,55 @@ def main() -> int:
         "audio_near_dups": lambda d: multimodal.audio_near_dups(
             multimodal.synthesize_blobs(d)
         ),
+        # round-9 operators: DSIR selection (two 256-row codebook
+        # aggregations + broadcast-map scoring + ONE per-doc shuffle +
+        # TakeOrdered — the scaled corpus carries no lang column, so
+        # synthesize 5 domains and target one of them) and BFS shortest
+        # paths (per-hop frontier⋈edges equi-join; probed on a 2-out
+        # affine graph sized to the corpus' doc count, so the vertex
+        # axis scales with --factor like everything else here)
+        "dsir_select": lambda d: (
+            lambda dl: __import__(
+                "credit_abs_oltp_to_mart_spark.operators.dsir",
+                fromlist=["dsir_select"],
+            ).dsir_select(dl, F.col("lang") == "l0", 150)
+        )(
+            d.withColumn(
+                "lang",
+                F.concat(
+                    F.lit("l"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+                ),
+            )
+        ),
+        "graph_bfs": lambda d: (
+            lambda n: __import__(
+                "credit_abs_oltp_to_mart_spark.operators.graph_paths",
+                fromlist=["bfs_distances"],
+            ).bfs_distances(
+                spark.range(n)
+                .select(
+                    F.col("id").alias("src"),
+                    ((F.col("id") * 7 + 3) % n).alias("dst"),
+                )
+                .unionByName(
+                    spark.range(n).select(
+                        F.col("id").alias("src"),
+                        ((F.col("id") * 13 + 5) % n).alias("dst"),
+                    )
+                ),
+                spark.range(n).select("id"),
+                [0],
+                max_hops=12,
+            )
+        )(d.count()),
     }
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",") if s.strip()}
+        unknown = keep - set(probes)
+        if unknown:
+            print(f"unknown probes: {sorted(unknown)}", file=sys.stderr)
+            return 1
+        probes = {k: v for k, v in probes.items() if k in keep}
     results: dict[str, dict] = {}
     for name, build in probes.items():
         times = {}
