@@ -6688,11 +6688,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_serve": q_bm25_serve,
         "stream_postings_ingest": q_stream_postings_ingest,
         # ---- driver gate window (50) ends here ----
-        # round-9 additions #5 and #6: the window is full (46 expiring
-        # + 4 new), so these two carry documented WINDOW_AGING_EXCEPTIONS
+        # round-9 additions #5-#8: the window is full (46 expiring
+        # + 4 new), so these four carry documented WINDOW_AGING_EXCEPTIONS
         # waivers (the r08 unigram_segment precedent) — local mirrors
-        # verify both hash-exact at both SFs this round; as no-evidence
-        # entries they auto-lead the round-10 window
+        # verify all four hash-exact at both SFs this round; as no-evidence
+        # entries they auto-lead the round-10 window.
+        # CAPACITY NOTE for future rounds: at 149 queries the 50-slot x
+        # 3-round rotation has exactly ONE slack slot (round-10 must-gate
+        # = 4 no-evidence + 45 r07 = 49). That slot is deliberately kept
+        # free: a code change to any gated query needs a window slot to
+        # re-gate (the semantic_dedup precedent this round). Grow the
+        # contract surface by EXTENDING existing composite oracles, not
+        # by adding entries, unless a slot is genuinely free.
         "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,
         "perplexity_filter": q_perplexity_filter,
         "dsir_select": q_dsir_select,
