@@ -6459,8 +6459,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     a target-vs-raw hashed-feature likelihood-ratio surrogate (target =
     the English slice, raw = the whole corpus; 256 md5 buckets, add-one
     smoothing, the repo's exact fixed-point linear surrogate for the
-    log-ratio) and flag the deterministic top-k. The two feature-count
-    aggregations reduce the corpus to 256 rows each (codebook collect —
+    log-ratio) and flag the deterministic top-k. ONE corpus scan fits
+    both models (dual conditional aggregation to 256 bucket rows,
+    codebook collect —
     and the evidence division runs in PYTHON bigints, so the BM25-class
     int64 ceiling never arises); scoring is a broadcast-map lookup + one
     per-doc shuffle; top-k is TakeOrdered + a broadcast semi-join."""

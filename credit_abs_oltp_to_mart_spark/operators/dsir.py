@@ -28,9 +28,10 @@ score bit-for-bit):
     variant is one hash-Gumbel column away if approximate replay is
     ever acceptable.)
 
-Scale shape (100 TB posture): the two feature-count aggregations reduce
-the corpus to B bucket rows each (B is a literal, default 256) — the
-collect is the codebook pattern, bounded by B, never corpus-sized. The
+Scale shape (100 TB posture): ONE corpus scan fits both models — a
+per-bucket dual aggregation (raw count + conditional target count)
+reduces the corpus to at most B rows (B is a literal, default 256) —
+the collect is the codebook pattern, bounded by B, never corpus-sized. The
 evidence table ships back as a one-row broadcast map (the ``unigram``
 vocabulary transport); scoring is then map-only per token occurrence +
 ONE per-doc shuffle. Top-k selection is orderBy+limit — Spark executes
@@ -116,18 +117,27 @@ def dsir_select(
     input. Docs with no tokens score 0 and compete in the same total
     order (score desc, doc_id asc)."""
     spark = docs.sparkSession
-    t_counts = {
-        r["bucket"]: r["cnt"]
-        for r in hashed_feature_counts(
-            docs.where(target_filter), buckets=buckets, text_col=text_col
-        ).collect()
-    }
-    r_counts = {
-        r["bucket"]: r["cnt"]
-        for r in hashed_feature_counts(
-            docs, buckets=buckets, text_col=text_col
-        ).collect()
-    }
+    # ONE corpus scan fits both models: per-bucket raw count + the
+    # target slice as a conditional count (a second scan would double
+    # the dominant cost at corpus scale for no information gain)
+    dual = (
+        docs.select(
+            target_filter.alias("__t"),
+            F.explode(ws_tokens(F.col(text_col))).alias("tok"),
+        )
+        .select(
+            F.pmod(md5_long(F.col("tok")), F.lit(buckets)).alias("bucket"),
+            "__t",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.count(F.when(F.col("__t"), 1)).alias("t_cnt"),
+        )
+        .collect()
+    )
+    t_counts = {r["bucket"]: r["t_cnt"] for r in dual if r["t_cnt"]}
+    r_counts = {r["bucket"]: r["r_cnt"] for r in dual}
     ev = dsir_evidence(t_counts, r_counts, buckets=buckets)
     # one-row broadcast map — the codebook transport (unigram._vmap_frame)
     ev_frame = spark.createDataFrame(
