@@ -56,7 +56,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=20)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe names to run (default: all);"
+        " index builds are skipped unless a pq/ann/stream probe needs them",
+    )
     args = ap.parse_args()
+    only = (
+        {x.strip() for x in args.only.split(",") if x.strip()}
+        if args.only
+        else None
+    )
 
     from pyspark.sql import functions as F
 
@@ -118,6 +129,8 @@ def main() -> int:
     results: dict[str, dict] = {}
 
     def probe(name: str, fn) -> None:
+        if only is not None and name not in only:
+            return
         times = {}
         for label, (d, factor) in (
             ("t1", (e1, 1)),
@@ -139,8 +152,13 @@ def main() -> int:
         print(name, results[name], flush=True)
 
     # --- prebuilt indexes (build timed once per corpus, serve probed) ---
+    needs_idx = only is None or bool(
+        {"pq_probe", "pq_probe_refine", "ann_serve", "stream_assign"} & only
+    )
     idx = {}
-    for tag, (d, factor) in (("1", (e1, 1)), ("N", (eN, args.factor))):
+    for tag, (d, factor) in (
+        (("1", (e1, 1)), ("N", (eN, args.factor))) if needs_idx else ()
+    ):
         t0 = time.perf_counter()
         pq_dir = f"{tmp}/pq_{tag}"
         ann.build_pq_index(
