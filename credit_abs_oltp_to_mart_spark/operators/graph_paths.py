@@ -13,13 +13,15 @@ Scale shape (the Pregel BFS): per hop, ONE join of the current frontier
 against the edge list on the source id (both partition on the vertex id
 — a cluster co-partitions them), a ``distinct`` on the discovered
 targets (partial agg combines map-side), and an anti-join against the
-visited set to keep only NEW vertices. Frontier and visited frames are
-``localCheckpoint``-truncated per hop (the components.py rationale:
-iterative lineage otherwise re-runs the whole prefix each round). The
-loop runs at most ``max_hops`` rounds and exits early when a frontier
-comes back empty — the per-round ``count`` action rides the checkpoint
-that round already pays for. Driver state is one integer per round;
-distances live distributed.
+visited set to keep only NEW vertices. ONLY the new frontier is
+``localCheckpoint``-materialized each hop (the components.py lineage
+rationale) — the visited set and the final distance frame are lazy
+unions over those per-hop checkpoints, so total checkpoint writes are
+O(V) across the whole run, not O(hops * V) as a re-materialized
+cumulative frame would cost (each vertex is written exactly once, at
+the hop that discovers it). The loop runs at most ``max_hops`` rounds
+and exits early when a frontier comes back empty. Driver state is one
+integer per round; distances live distributed.
 """
 
 from __future__ import annotations
@@ -48,11 +50,10 @@ def bfs_distances(
         F.col(src).alias("id"), F.col(dst).alias("to")
     ).localCheckpoint(eager=True)
     frontier = spark.createDataFrame(
-        [(int(s),) for s in sorted(set(sources))], f"id bigint"
+        [(int(s),) for s in sorted(set(sources))], "id bigint"
     ).localCheckpoint(eager=True)
-    dist = frontier.select(
-        "id", F.lit(0).cast("int").alias("dist")
-    ).localCheckpoint(eager=True)
+    levels = [(0, frontier)]
+    visited = frontier  # lazy union over the per-hop checkpoints
     for hop in range(1, int(max_hops) + 1):
         discovered = (
             frontier.join(e, "id")
@@ -60,13 +61,19 @@ def bfs_distances(
             .distinct()
         )
         frontier = discovered.join(
-            dist.select("id"), "id", "left_anti"
+            visited, "id", "left_anti"
         ).localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
+        levels.append((hop, frontier))
+        visited = visited.unionByName(frontier)
+    dist = levels[0][1].select(
+        "id", F.lit(0).cast("int").alias("dist")
+    )
+    for hop, fr in levels[1:]:
         dist = dist.unionByName(
-            frontier.select("id", F.lit(hop).cast("int").alias("dist"))
-        ).localCheckpoint(eager=True)
+            fr.select("id", F.lit(hop).cast("int").alias("dist"))
+        )
     return (
         vertices.select(F.col(id_col).alias("id"))
         .join(dist, "id", "left")
