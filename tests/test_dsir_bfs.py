@@ -81,6 +81,30 @@ def test_dsir_empty_doc_scores_zero_and_competes(spark):
     assert all(r["is_selected"] == 1 for r in out.values())
 
 
+def test_dsir_dual_scan_equals_per_model_counts(spark):
+    # dsir_select fits both models in ONE conditional-agg scan; the
+    # public per-model helper must agree with it on each slice
+    df = spark.createDataFrame(DOCS, "doc_id bigint, lang string, text string")
+    t = {
+        r["bucket"]: r["cnt"]
+        for r in dsir.hashed_feature_counts(
+            df.where(F.col("lang") == "en"), buckets=32
+        ).collect()
+    }
+    r_ = {
+        r["bucket"]: r["cnt"]
+        for r in dsir.hashed_feature_counts(df, buckets=32).collect()
+    }
+    ref_t, ref_r = {}, {}
+    for _did, lang, text in DOCS:
+        for tok in text.split():
+            b = _bucket(tok, 32)
+            ref_r[b] = ref_r.get(b, 0) + 1
+            if lang == "en":
+                ref_t[b] = ref_t.get(b, 0) + 1
+    assert t == ref_t and r_ == ref_r
+
+
 def test_dsir_evidence_is_exact_bigint():
     # the division rule (2*S*c' + tot) // (2*tot) == floor(S*c'/tot + 1/2)
     for num, den in [(1, 3), (7, 2), (10**15, 7), (999999, 10**6)]:
