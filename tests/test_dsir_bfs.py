@@ -233,3 +233,21 @@ def test_bfs_random_graph_matches_reference(spark, seed):
         for r in bfs_distances(e, v, sources, max_hops=max_hops).collect()
     }
     assert got == _py_bfs(edges, n, sources, max_hops)
+
+
+def test_bfs_hub_graph_skew(spark):
+    # a degree-2000 hub: the frontier⋈edges join must survive the skew
+    # (AQE splits the hub partition) and every leaf lands at dist 1;
+    # leaves chain one extra hop to a shared sink at dist 2
+    n = 2000
+    edges = [(0, i) for i in range(1, n + 1)] + [
+        (i, n + 1) for i in range(1, n + 1)
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    v = spark.createDataFrame([(i,) for i in range(n + 2)], "id bigint")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(e, v, [0], max_hops=5).collect()
+    }
+    assert got[0] == 0 and got[n + 1] == 2
+    assert all(got[i] == 1 for i in range(1, n + 1))
