@@ -39,6 +39,12 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument("--max-age", type=int, default=2)
     ap.add_argument("--check", action="store_true")
+    ap.add_argument(
+        "--emit-order",
+        action="store_true",
+        help="print the full queries() registration body in recommended"
+        " order (q_<name> convention) for a mechanical rotation",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -67,6 +73,21 @@ def main() -> int:
         return (evidence.get(n, -1), pos[n])
 
     recommended = sorted(names, key=key)
+    if args.emit_order:
+        # paste-able queries() body in the recommended full order —
+        # the next round's rotation becomes a mechanical replace
+        print(f"# recommended registration order after round {latest}")
+        for i, n in enumerate(recommended):
+            marker = ""
+            if i == args.window:
+                marker = (
+                    "        # ---- driver gate window"
+                    f" ({args.window}) ends here ----\n"
+                )
+            ev = evidence.get(n)
+            tag = f"r{ev:02d}" if ev else "NO-EVIDENCE"
+            print(f'{marker}        "{n}": q_{n},  # {tag}')
+        return 0
     print(f"# evidence through round {latest}; {len(names)} contract queries")
     for n in recommended[: args.window]:
         ev = evidence.get(n)
@@ -126,4 +147,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # head/tail on the emit output
+        sys.exit(0)
