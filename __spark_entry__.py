@@ -6578,134 +6578,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # states why and names the newest CORRECTNESS round it was granted
 # under; the tool EXPIRES a waiver automatically once a newer round's
 # artifact lands, so the next round cannot silently inherit it
-WINDOW_AGING_EXCEPTIONS = {
-    "stream_corpus_vocab_ingest": {
-        "granted_at_round": 8,
-        "reason": (
-            "round-9 window is full (46 expiring + 4 new contract"
-            " queries); local mirrors verify it hash-exact at sf0.01 and"
-            " sf0.1 this round; no-evidence -> it auto-leads the"
-            " round-10 window"
-        ),
-    },
-    "perplexity_filter": {
-        "granted_at_round": 8,
-        "reason": (
-            "round-9 window is full (46 expiring + 4 new contract"
-            " queries); local mirrors verify it hash-exact at sf0.01 and"
-            " sf0.1 this round; no-evidence -> it auto-leads the"
-            " round-10 window"
-        ),
-    },
-    "dsir_select": {
-        "granted_at_round": 8,
-        "reason": (
-            "round-9 window is full (46 expiring + 4 new contract"
-            " queries); local mirrors verify it hash-exact at sf0.01 and"
-            " sf0.1 this round; no-evidence -> it auto-leads the"
-            " round-10 window"
-        ),
-    },
-    "graph_bfs": {
-        "granted_at_round": 8,
-        "reason": (
-            "round-9 window is full (46 expiring + 4 new contract"
-            " queries); local mirrors verify it hash-exact at sf0.01 and"
-            " sf0.1 this round; no-evidence -> it auto-leads the"
-            " round-10 window"
-        ),
-    },
+WINDOW_AGING_EXCEPTIONS: dict = {
+    # (empty this round: the four r9 waivers expired when the round-9
+    # CORRECTNESS artifact landed, and all four queries now LEAD the
+    # round-10 window — slots 1-4 of queries(). History: git log.)
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50
-        # entries in registration order. Round-9 window (derived by
-        # tools/window_order.py from the committed CORRECTNESS_r*.json
-        # evidence): (a) ALL 46 queries whose newest driver evidence is
-        # r06 -- their 2-round evidence policy expires at round-9
-        # close; (b) the queries whose code changes this round
-        # (semantic_dedup / semantic_dedup_soft: assignment moves from
-        # the flat k-way codebook scan to IVF-on-centroids, results
-        # bit-identical) plus the remaining slots for new round-9
-        # contract queries. token_freq_stats / roll_rate hold the two
-        # interim slots (oldest r07 evidence by current order) until
-        # the round-9 additions land. Remainder: r07-evidence entries
-        # (expire at round-10 close) before r08. Run
-        # `python tools/window_order.py --check` before committing any
-        # registration change. ===
-        # -- (a) r06-aged driver evidence (46)
-        "asof_join": q_asof_join,
-        "cube_revenue": q_cube_revenue,
-        "grouped_pandas_stats": q_grouped_pandas_stats,
-        "grouped_pandas_wavg": q_grouped_pandas_wavg,
-        "json_extract": q_json_extract,
-        "pagerank": q_pagerank,
-        "pivot_monthly": q_pivot_monthly,
-        "pricing_summary": q_pricing_summary,
-        "range_window": q_range_window,
-        "region_revenue": q_region_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "running_total": q_running_total,
-        "set_ops": q_set_ops,
-        "skew_salted_agg": q_skew_salted_agg,
-        "stream_distinct_keys": q_stream_distinct_keys,
-        "stream_enriched_agg": q_stream_enriched_agg,
-        "stream_session_window": q_stream_session_window,
-        "stream_stream_join": q_stream_stream_join,
-        "stream_windowed_agg": q_stream_windowed_agg,
-        "top_revenue_orders": q_top_revenue_orders,
-        "topk_per_group": q_topk_per_group,
-        "value_percentiles": q_value_percentiles,
-        "window_variety": q_window_variety,
-        "image_near_dups": q_image_near_dups,
-        "bpe_pack": q_bpe_pack,
-        "quality_classifier": q_quality_classifier,
-        "simhash_pairs": q_simhash_pairs,
-        "mixture_weights": q_mixture_weights,
-        "pack_chunks": q_pack_chunks,
-        "bpe_segment": q_bpe_segment,
-        "bpe_merges": q_bpe_merges,
-        "stream_dedup_ingest": q_stream_dedup_ingest,
-        "mixture_apply": q_mixture_apply,
-        "stream_bpe_ingest": q_stream_bpe_ingest,
-        "pack_manifest": q_pack_manifest,
-        "cdc_upsert": q_cdc_upsert,
-        "gap_fill_daily": q_gap_fill_daily,
-        "full_outer_recon": q_full_outer_recon,
-        "fuzzy_name_match": q_fuzzy_name_match,
-        "dedup_incremental": q_dedup_incremental,
-        "funnel_stages": q_funnel_stages,
-        "median_mode": q_median_mode,
-        "simhash": q_simhash,
-        "decontaminate_store": q_decontaminate_store,
-        "cluster_sample": q_cluster_sample,
-        "token_budget_sample": q_token_budget_sample,
-        # -- (b) NEW round-9 contract queries (no driver evidence yet)
-        "semantic_dedup_hier": q_semantic_dedup_hier,
-        "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,
-        "bm25_serve": q_bm25_serve,
-        "stream_postings_ingest": q_stream_postings_ingest,
-        # ---- driver gate window (50) ends here ----
-        # round-9 additions #5-#8: the window is full (46 expiring
-        # + 4 new), so these four carry documented WINDOW_AGING_EXCEPTIONS
-        # waivers (the r08 unigram_segment precedent) — local mirrors
-        # verify all four hash-exact at both SFs this round; as no-evidence
-        # entries they auto-lead the round-10 window.
-        # CAPACITY NOTE for future rounds: at 149 queries the 50-slot x
-        # 3-round rotation has exactly ONE slack slot (round-10 must-gate
-        # = 4 no-evidence + 45 r07 = 49). That slot is deliberately kept
-        # free: a code change to any gated query needs a window slot to
-        # re-gate (the semantic_dedup precedent this round). Grow the
-        # contract surface by EXTENDING existing composite oracles, not
-        # by adding entries, unless a slot is genuinely free.
+        # entries in registration order. Round-10 window (derived
+        # mechanically by tools/window_order.py --emit-order from the
+        # committed CORRECTNESS_r*.json evidence): (a) the 4 round-9
+        # additions that have NEVER been driver-gated (local mirrors
+        # only; their r9 waivers expired), (b) the 45 queries whose
+        # newest driver evidence is r07 (expires at round-10 close).
+        # That fills 49 slots; the ONE slack slot (slot 50) holds
+        # semantic_dedup_hier_soft, whose assignment kernel changes
+        # this round (margin-pruned runner-up pool -- results must
+        # stay bit-identical, so it re-gates per the semantic_dedup
+        # r9 precedent). bm25_topk/bm25_serve also change this round
+        # (auto-decimal mode selection) but the change is a driver-side
+        # MODE CHOICE that resolves to the identical bigint path at
+        # gate scale (magnitudes far below the 2.1e11 bound), the
+        # scoring kernels are untouched, and both carry regenerated
+        # both-SF local-mirror evidence; their r08/r09 driver evidence
+        # rotates them back into the r11 window anyway. graph_bfs and
+        # dsir_select also change this round and are already in the
+        # window (slots 3-4). Run `python tools/window_order.py
+        # --check` before committing any registration change. ===
+        # -- (a) never driver-gated (round-9 additions, waivers expired)
         "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,
         "perplexity_filter": q_perplexity_filter,
         "dsir_select": q_dsir_select,
         "graph_bfs": q_graph_bfs,
-        # -- r07-evidence remainder (expires at round-10 close)
+        # -- (b) r07-aged driver evidence (45, expires at round-10 close)
         "token_freq_stats": q_token_freq_stats,
         "roll_rate": q_roll_rate,
         "unigram_segment": q_unigram_segment,
@@ -6751,7 +6659,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_explode": q_map_explode,
         "array_agg_sorted": q_array_agg_sorted,
         "token_positions": q_token_positions,
-        # -- r08-evidence remainder (freshest)
+        # -- slack slot: code change this round (margin-pruned soft
+        #    assignment), re-gated though results are bit-identical
+        "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,
+        # ---- driver gate window (50) ends here ----
+        # CAPACITY NOTE (still binding): at 149 queries the 50-slot x
+        # 3-round rotation has exactly ONE slack slot per round. Grow
+        # the contract surface by EXTENDING existing composite oracles
+        # (the dsir_select Gumbel extension this round is the model),
+        # not by adding entries, unless a slot is genuinely free.
+        # -- remainder, ascending evidence age (r08 first, then r09)
         "nullsafe_join": q_nullsafe_join,
         "retention_cohorts": q_retention_cohorts,
         "profile_stats": q_profile_stats,
@@ -6802,6 +6719,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ann_pq_residual": q_ann_pq_residual,
         "ann_index_serve": q_ann_index_serve,
+        "asof_join": q_asof_join,
+        "cube_revenue": q_cube_revenue,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
+        "grouped_pandas_wavg": q_grouped_pandas_wavg,
+        "json_extract": q_json_extract,
+        "pagerank": q_pagerank,
+        "pivot_monthly": q_pivot_monthly,
+        "pricing_summary": q_pricing_summary,
+        "range_window": q_range_window,
+        "region_revenue": q_region_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "running_total": q_running_total,
+        "set_ops": q_set_ops,
+        "skew_salted_agg": q_skew_salted_agg,
+        "stream_distinct_keys": q_stream_distinct_keys,
+        "stream_enriched_agg": q_stream_enriched_agg,
+        "stream_session_window": q_stream_session_window,
+        "stream_stream_join": q_stream_stream_join,
+        "stream_windowed_agg": q_stream_windowed_agg,
+        "top_revenue_orders": q_top_revenue_orders,
+        "topk_per_group": q_topk_per_group,
+        "value_percentiles": q_value_percentiles,
+        "window_variety": q_window_variety,
+        "image_near_dups": q_image_near_dups,
+        "bpe_pack": q_bpe_pack,
+        "quality_classifier": q_quality_classifier,
+        "simhash_pairs": q_simhash_pairs,
+        "mixture_weights": q_mixture_weights,
+        "pack_chunks": q_pack_chunks,
+        "bpe_segment": q_bpe_segment,
+        "bpe_merges": q_bpe_merges,
+        "stream_dedup_ingest": q_stream_dedup_ingest,
+        "mixture_apply": q_mixture_apply,
+        "stream_bpe_ingest": q_stream_bpe_ingest,
+        "pack_manifest": q_pack_manifest,
+        "cdc_upsert": q_cdc_upsert,
+        "gap_fill_daily": q_gap_fill_daily,
+        "full_outer_recon": q_full_outer_recon,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "dedup_incremental": q_dedup_incremental,
+        "funnel_stages": q_funnel_stages,
+        "median_mode": q_median_mode,
+        "simhash": q_simhash,
+        "decontaminate_store": q_decontaminate_store,
+        "cluster_sample": q_cluster_sample,
+        "token_budget_sample": q_token_budget_sample,
+        "semantic_dedup_hier": q_semantic_dedup_hier,
+        "bm25_serve": q_bm25_serve,
+        "stream_postings_ingest": q_stream_postings_ingest,
     }
 
 

@@ -34,6 +34,36 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def uncommitted_driver_artifacts(repo: str) -> list[str]:
+    """Driver artifacts (CORRECTNESS_r*/BENCH_r*/bench_details) that are
+    untracked or modified per ``git status``.  The evidence table is
+    derived from COMMITTED artifacts only, so ordering or checking the
+    window while these sit uncommitted silently uses stale evidence —
+    the exact slip that recurred five rounds running.  Both --check and
+    --emit-order refuse to run until they land (override:
+    --allow-dirty-artifacts, for forensic use only)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout
+    except Exception:
+        return []  # not a git repo / git unavailable: nothing to guard
+    pat = re.compile(
+        r"(CORRECTNESS_r\d+\.json|BENCH_r\d+\.json|bench_details\.json)$"
+    )
+    return [
+        line[3:]
+        for line in out.splitlines()
+        if pat.search(line.strip()) and line[:2].strip()
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=50)
@@ -45,11 +75,29 @@ def main() -> int:
         help="print the full queries() registration body in recommended"
         " order (q_<name> convention) for a mechanical rotation",
     )
+    ap.add_argument(
+        "--allow-dirty-artifacts",
+        action="store_true",
+        help="bypass the uncommitted-driver-artifact guard (forensic"
+        " reads only; never for an actual rotation)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.check or args.emit_order:
+        dirty = uncommitted_driver_artifacts(repo)
+        if dirty and not args.allow_dirty_artifacts:
+            print(
+                "UNCOMMITTED DRIVER ARTIFACTS — the evidence table below"
+                " would be stale. Commit these first (or pass"
+                " --allow-dirty-artifacts for a forensic read):",
+                file=sys.stderr,
+            )
+            for p in dirty:
+                print(f"  {p}", file=sys.stderr)
+            return 2
     evidence: dict[str, int] = {}
     rounds = []
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
