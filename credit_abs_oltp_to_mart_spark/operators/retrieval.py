@@ -40,7 +40,13 @@ div-rearranged so the GUARD itself cannot overflow), and
 (headroom to ``tf * T < ~2*10^30``) where ``div`` still truncates
 exactly and returns bigint — both ratio quotients are <= ~2.2 * S so
 the bigint quotient never wraps. The plan shape is unchanged either
-way; only the guarded arithmetic differs.
+way; only the guarded arithmetic differs. The production default is
+``decimal_scores="auto"``: N, T, and the max document length are
+driver-known before scoring (one small aggregation for ``bm25_topk``,
+the persisted totals row for the store probe), so the decimal path is
+selected automatically exactly when those magnitudes cannot prove the
+int64 envelope — a corpus past the bound scores exactly instead of
+failing the job on the guard.
 
 Scale shape: one explode + one (term, doc_id) count aggregation builds
 the postings (dl rides along, no per-doc join); the QUERY-TERM
@@ -117,6 +123,38 @@ def _int64_ceilings(
     c_t = (m // 4) // (k1n * (bd - bn)) if bd > bn else m  # den term 2
     c_n = (m // fp_scale - 1) // 2  # idf numerator
     return {"tf_t": c_tf_t, "dl_n": c_dl_n, "t": c_t, "n": c_n}
+
+
+def _auto_decimal(
+    n_docs: int,
+    n_toks: int,
+    max_dl: int | None,
+    k1: tuple[int, int],
+    b: tuple[int, int],
+    fp_scale: int,
+) -> bool:
+    """Mode selection for ``decimal_scores="auto"``: True when the
+    DRIVER-KNOWN corpus magnitudes (N, T, max document length) cannot
+    prove every per-row bigint intermediate stays inside int64 — then
+    the decimal(38,0) path runs instead of the loud guard failing the
+    job mid-scoring. tf <= dl <= max_dl bounds both per-row operands,
+    so the four checks here are exactly the row-side guard's ceilings
+    evaluated at the worst row. Both arithmetics are integer-exact and
+    bit-identical where they overlap (pinned by
+    test_decimal_and_bigint_paths_agree_in_range); auto only trades
+    speed, never values. A legacy store without ``max_dl`` recorded
+    (None) conservatively picks decimal — still exact, never wrong."""
+    if n_docs <= 0:
+        return False  # empty corpus: no rows to score, mode irrelevant
+    if max_dl is None:
+        return True
+    c = _int64_ceilings(k1, b, fp_scale)
+    return not (
+        n_docs <= c["n"]
+        and n_toks <= c["t"]
+        and max_dl <= c["tf_t"] // max(n_toks, 1)
+        and max_dl <= c["dl_n"] // max(n_docs, 1)
+    )
 
 
 def _score_and_rank(
@@ -227,7 +265,7 @@ def bm25_topk(
     b: tuple[int, int] = BM25_B,
     fp_scale: int = BM25_SCALE,
     text_col: str = "text",
-    decimal_scores: bool = False,
+    decimal_scores: bool | str = "auto",
 ) -> DataFrame:
     """Top-k BM25 retrieval: ``queries`` is a small (query_id, query)
     frame of whitespace-tokenizable query strings; returns
@@ -235,7 +273,17 @@ def bm25_topk(
     fixed-point BM25 score (scale ``fp_scale``) and rank is dense
     1..k per query by (score_fp desc, doc_id asc). Docs sharing no
     term with the query emit no row; duplicate query terms weigh the
-    term once per occurrence (standard bag-of-words BM25)."""
+    term once per occurrence (standard bag-of-words BM25).
+
+    ``decimal_scores="auto"`` (the production default) computes the
+    corpus totals (N, T, max dl) eagerly driver-side — the same one
+    small aggregation the lazy plan ran as its own broadcast stage —
+    and picks the decimal(38,0) path exactly when those magnitudes
+    cannot prove the int64 envelope (``_auto_decimal``), so a 100 TB
+    corpus scores exactly instead of tripping the loud guard mid-job.
+    Totals then enter the plan as literals (one fewer broadcast).
+    Explicit True/False keep the fully-lazy plan with the in-plan
+    totals crossJoin, unchanged."""
     post = doc_postings(docs, text_col=text_col)
     qterms = queries.select(
         "query_id", F.explode(ws_tokens(F.col("query"))).alias("term")
@@ -247,20 +295,38 @@ def bm25_topk(
     dfq = post_q.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    totals = docs.select(
-        F.size(ws_tokens(F.col(text_col))).alias("__dl")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("__dl").cast("bigint").alias("n_toks"),
+    joined = post_q.join(F.broadcast(qterms), "term").join(
+        F.broadcast(dfq), "term"
     )
-    cand = (
-        post_q.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfq), "term")
-        .crossJoin(F.broadcast(totals))
-    )
+    if decimal_scores == "auto":
+        t = (
+            docs.select(F.size(ws_tokens(F.col(text_col))).alias("__dl"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("__dl").cast("bigint").alias("n_toks"),
+                F.max("__dl").cast("bigint").alias("max_dl"),
+            )
+            .first()
+        )
+        n_docs = int(t["n_docs"])
+        n_toks = int(t["n_toks"]) if t["n_toks"] is not None else 0
+        max_dl = int(t["max_dl"]) if t["max_dl"] is not None else 0
+        use_decimal = _auto_decimal(n_docs, n_toks, max_dl, k1, b, fp_scale)
+        cand = joined.withColumn(
+            "n_docs", F.lit(n_docs).cast("bigint")
+        ).withColumn("n_toks", F.lit(n_toks).cast("bigint"))
+    else:
+        use_decimal = bool(decimal_scores)
+        totals = docs.select(
+            F.size(ws_tokens(F.col(text_col))).alias("__dl")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__dl").cast("bigint").alias("n_toks"),
+        )
+        cand = joined.crossJoin(F.broadcast(totals))
     return _score_and_rank(
         cand, k=k, k1=k1, b=b, fp_scale=fp_scale,
-        decimal_scores=decimal_scores,
+        decimal_scores=use_decimal,
     )
 
 
@@ -333,6 +399,10 @@ def build_postings_store(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("__dl").cast("bigint").alias("n_toks"),
+            # max dl makes the serve-side decimal_scores="auto" decision
+            # provable driver-side (tf <= dl <= max_dl bounds every
+            # per-row operand of the scoring guard)
+            F.max("__dl").cast("bigint").alias("max_dl"),
         )
         .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
         .coalesce(1)
@@ -357,17 +427,23 @@ def batch_postings(
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("__dl").cast("bigint").alias("n_toks"),
+        F.max("__dl").cast("bigint").alias("max_dl"),
     )
     return post, delta
 
 
 def load_store_totals(spark: SparkSession, store_dir: str) -> dict:
-    """{n_docs, n_toks, n_buckets} of the BASE store (one-row read)."""
+    """{n_docs, n_toks, n_buckets, max_dl} of the BASE store (one-row
+    read). ``max_dl`` is None for a store built before it was recorded —
+    the auto scoring mode then conservatively picks decimal (exact
+    either way)."""
     r = spark.read.parquet(f"{store_dir}/totals").first()
+    d = r.asDict()
     return {
         "n_docs": int(r["n_docs"]),
         "n_toks": int(r["n_toks"]) if r["n_toks"] is not None else 0,
         "n_buckets": int(r["n_buckets"]),
+        "max_dl": int(d["max_dl"]) if d.get("max_dl") is not None else None,
     }
 
 
@@ -380,7 +456,7 @@ def bm25_store_probe(
     b: tuple[int, int] = BM25_B,
     fp_scale: int = BM25_SCALE,
     include_incremental: bool = False,
-    decimal_scores: bool = False,
+    decimal_scores: bool | str = "auto",
 ) -> DataFrame:
     """SERVE-many half: answer ``queries`` from cold reads of the store —
     no tokenization of the corpus, no postings rebuild. The query terms
@@ -392,7 +468,15 @@ def bm25_store_probe(
     (read-your-latest on (term, doc_id): latest ingest_batch wins, base
     counts as batch -1) and adds the per-batch totals deltas; df counts
     come from the deduped matched slice, so serving base+overlay is
-    bit-identical to a full rebuild over the grown corpus."""
+    bit-identical to a full rebuild over the grown corpus.
+
+    ``decimal_scores="auto"`` (the production default) resolves from
+    the DRIVER-KNOWN store totals — N, T, and the recorded max document
+    length across base + ingested deltas — via ``_auto_decimal``: the
+    decimal(38,0) path is chosen exactly when those magnitudes cannot
+    prove the int64 envelope, so a grown corpus keeps scoring exactly
+    instead of failing on the loud guard. Values are identical either
+    way; only the guarded arithmetic differs."""
     spark = queries.sparkSession
     totals = load_store_totals(spark, store_dir)
     n_buckets = totals["n_buckets"]
@@ -425,6 +509,7 @@ def bm25_store_probe(
                 F.lit(-1).cast("long").alias("ingest_batch"))
     )
     n_docs, n_toks = totals["n_docs"], totals["n_toks"]
+    max_dl = totals["max_dl"]
     matched = base
     if include_incremental:
         from pyspark.errors import AnalysisException
@@ -446,6 +531,11 @@ def bm25_store_probe(
             for r in spark.read.parquet(f"{store_dir}/totals_inc").collect():
                 n_docs += int(r["n_docs"])
                 n_toks += int(r["n_toks"] or 0)
+                inc_max = r.asDict().get("max_dl")
+                if inc_max is None:
+                    max_dl = None  # legacy delta: auto falls back to decimal
+                elif max_dl is not None:
+                    max_dl = max(max_dl, int(inc_max))
         except AnalysisException:
             pass  # no incremental postings yet — base-only serve
         wl = Window.partitionBy("term", "doc_id").orderBy(
@@ -465,7 +555,11 @@ def bm25_store_probe(
         .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
         .withColumn("n_toks", F.lit(n_toks).cast("bigint"))
     )
+    if decimal_scores == "auto":
+        use_decimal = _auto_decimal(n_docs, n_toks, max_dl, k1, b, fp_scale)
+    else:
+        use_decimal = bool(decimal_scores)
     return _score_and_rank(
         cand, k=k, k1=k1, b=b, fp_scale=fp_scale,
-        decimal_scores=decimal_scores,
+        decimal_scores=use_decimal,
     )

@@ -261,12 +261,69 @@ ADVERSARIAL = [
 
 
 def test_overflow_guard_fires_loudly_bigint(spark):
+    """With decimal_scores FORCED off, the row-side guard still fails
+    the job loudly at magnitudes past the int64 envelope (the defense
+    when auto selection is explicitly overridden)."""
     import pytest as _pytest
 
     docs = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
     qs = spark.createDataFrame([(0, "x y")], "query_id long, query string")
     with _pytest.raises(Exception, match="bm25: int64 overflow"):
-        retrieval.bm25_topk(docs, qs, k=3).collect()
+        retrieval.bm25_topk(docs, qs, k=3, decimal_scores=False).collect()
+
+
+def test_auto_mode_scores_exactly_beyond_bigint_bound(spark):
+    """The production default (decimal_scores='auto'): a corpus whose
+    driver-known magnitudes breach the int64 envelope scores EXACTLY
+    (decimal path auto-selected) instead of dying on the loud guard —
+    verified against the Python bigint replica."""
+    docs = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "x y"), (1, "z")], "query_id long, query string"
+    )
+    got = {}
+    for r in retrieval.bm25_topk(docs, qs, k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rank"], r["score_fp"])
+        )
+    expect = _bm25_python(list(ADVERSARIAL), [(0, "x y"), (1, "z")], k=3)
+    assert got[0] == expect[0]
+    assert got[1] == expect[1]
+
+
+def test_auto_mode_store_probe_beyond_bigint_bound(spark, tmp_path):
+    """Serve-side auto: the store's persisted totals (N, T, max_dl)
+    drive the same decision — a probe of an adversarial-magnitude store
+    scores exactly with the default mode."""
+    docs, store = _store(spark, tmp_path, docs_rows=ADVERSARIAL)
+    totals = retrieval.load_store_totals(spark, store)
+    assert totals["max_dl"] == 500_001
+    qs = spark.createDataFrame([(0, "x y")], "query_id long, query string")
+    got = [
+        (r["doc_id"], r["rank"], r["score_fp"])
+        for r in retrieval.bm25_store_probe(qs, store, k=3).collect()
+        if r["query_id"] == 0
+    ]
+    expect = _bm25_python(list(ADVERSARIAL), [(0, "x y")], k=3)
+    assert got == expect[0]
+
+
+def test_auto_decimal_decision_bounds():
+    """Unit pin of the mode decision: in-range magnitudes stay bigint,
+    each breached ceiling flips to decimal, unknown max_dl (legacy
+    store) conservatively picks decimal, empty corpus stays bigint."""
+    k1, b, s = retrieval.BM25_K1, retrieval.BM25_B, retrieval.BM25_SCALE
+    c = retrieval._int64_ceilings(k1, b, s)
+    assert retrieval._auto_decimal(1000, 50_000, 200, k1, b, s) is False
+    # tf*T ceiling: max_dl just past c_tf_t // n_toks
+    n_toks = 10**6
+    assert retrieval._auto_decimal(
+        1000, n_toks, c["tf_t"] // n_toks + 1, k1, b, s
+    ) is True
+    # N past the idf-numerator ceiling
+    assert retrieval._auto_decimal(c["n"] + 1, 10, 5, k1, b, s) is True
+    assert retrieval._auto_decimal(1000, 50_000, None, k1, b, s) is True
+    assert retrieval._auto_decimal(0, 0, None, k1, b, s) is False
 
 
 def test_decimal_scores_exact_at_adversarial_magnitudes(spark):
