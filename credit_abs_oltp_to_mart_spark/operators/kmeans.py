@@ -651,17 +651,35 @@ def _hier_frame(
     sub: dict[int, dict[int, list[int]]],
 ) -> DataFrame:
     """One-row transport frame: ``__cbc`` = coarse codebook (array of
-    (ccl, cc, arr) ordered by ccl), ``__cbh`` = map from coarse cell id
-    to its sub-centroids (array of (scid, cc, arr) ordered by scid; empty
-    array for a memberless cell so lookups never null)."""
-    cbc = [
-        (
-            int(ccl),
-            int(sum(x * x for x in coarse_cents[ccl])),
-            [int(x) for x in coarse_cents[ccl]],
+    (ccl, cc, r, arr) ordered by ccl), ``__cbh`` = map from coarse cell
+    id to its sub-centroids (array of (scid, cc, arr) ordered by scid;
+    empty array for a memberless cell so lookups never null).
+
+    ``r`` is the cell's sub-centroid radius — max over the cell's
+    sub-centroids of ceil(sqrt(d2(cc, sc))), EXACT integer ceiling via
+    math.isqrt (codebooks are driver-sized). It feeds the soft-serve
+    margin prune: by the triangle inequality every member sc satisfies
+    d(x, sc) >= d(x, cc) - r, so a runner-up coarse cell whose bound
+    already exceeds the margin window never needs its sub-centroids
+    scored."""
+    import math
+
+    cbc = []
+    for ccl in sorted(coarse_cents):
+        cc = coarse_cents[ccl]
+        r = 0
+        for vec in sub.get(ccl, {}).values():
+            d2 = sum((int(a) - int(b)) ** 2 for a, b in zip(cc, vec))
+            if d2 > 0:
+                r = max(r, math.isqrt(d2 - 1) + 1)
+        cbc.append(
+            (
+                int(ccl),
+                int(sum(x * x for x in cc)),
+                int(r),
+                [int(x) for x in cc],
+            )
         )
-        for ccl in sorted(coarse_cents)
-    ]
     cbh = {
         int(ccl): [
             (
@@ -675,7 +693,7 @@ def _hier_frame(
     }
     return spark.createDataFrame(
         [(cbc, cbh)],
-        "__cbc array<struct<ccl:bigint,cc:bigint,arr:array<bigint>>>,"
+        "__cbc array<struct<ccl:bigint,cc:bigint,r:bigint,arr:array<bigint>>>,"
         "__cbh map<bigint,array<struct<scid:bigint,cc:bigint,arr:array<bigint>>>>",
     )
 
@@ -710,6 +728,74 @@ def _hier_cand_scores_expr(arr_col: str, nprobe: int) -> Column:
         f"hc.cc - 2L * aggregate(zip_with({arr_col}, hc.arr,"
         f" (sx, sy) -> sx * sy), 0L, (sa, sz) -> sa + sz) as score,"
         f" hc.scid as scid))))"
+    )
+
+
+def _hier_soft_top2_pruned_expr(arr_col: str, margin_fp: int) -> Column:
+    """struct(c1, c2, probed2) for the nprobe=2 soft serve with the
+    MARGIN PRUNE: the vector always scores its nearest coarse cell's
+    sub-centroids exactly; the runner-up cell's sub-centroids are scored
+    ONLY when the triangle-inequality lower bound cannot rule them out
+    of the (primary, within-margin runner-up) outcome.
+
+    Exactness argument (all comparisons on the integer score
+    s = ||c||^2 - 2<x,c>, i.e. d^2 shifted by the constant ||x||^2):
+    with s1 = best own-cell score, the prune requires
+    min_{sc in cell2} s(sc) > s1 + margin_fp, certified by
+    (d_lb - r2)^2 > s1 + ||x||^2 + margin_fp with d_lb <= d(x, cc2)
+    and d_lb >= r2. Then no cell-2 candidate can be the primary
+    (score > s1, strictly — labels never tie it away) nor a kept
+    runner-up (score - s1 > margin), so (own[0], own[1]) equals the
+    full union's effective top-2: if own[1] <= cell2-min the pools
+    agree outright; otherwise BOTH pools' second candidates exceed the
+    margin window and are dropped identically downstream. d_lb uses
+    float sqrt CONSERVATIVELY (floor - 1, clamped at 0): an
+    underestimate only ever disables the prune, never the other way,
+    so the fallback is exact scoring — bit-identical output either
+    way. A memberless own cell (empty sub-codebook) disables the
+    prune, reproducing the union kernel's behavior verbatim.
+    ``probed2`` = 1 when cell 2 was scored (the measured prune rate)."""
+    own_scores = (
+        f"array_sort(transform(element_at(__cbh, get(w0.top2, 0).ccl),"
+        f" hc -> struct(hc.cc - 2L * aggregate(zip_with({arr_col}, hc.arr,"
+        f" (sx, sy) -> sx * sy), 0L, (sa, sz) -> sa + sz) as score,"
+        f" hc.scid as scid)))"
+    )
+    sub2_scores = (
+        f"transform(element_at(__cbh, get(w0.top2, 1).ccl),"
+        f" hd -> struct(hd.cc - 2L * aggregate(zip_with({arr_col}, hd.arr,"
+        f" (tx, ty) -> tx * ty), 0L, (ta, tz) -> ta + tz) as score,"
+        f" hd.scid as scid))"
+    )
+    prune = (
+        "(get(w0.top2, 1) is null"
+        " or size(element_at(__cbh, get(w0.top2, 1).ccl)) = 0"
+        " or (size(w1.own) > 0 and w1.dlb >= get(w0.top2, 1).r"
+        "     and (w1.dlb - get(w0.top2, 1).r)"
+        "         * (w1.dlb - get(w0.top2, 1).r)"
+        f"        > get(w1.own, 0).score + w0.normx + {int(margin_fp)}L))"
+    )
+    return F.expr(
+        f"get(transform(array(struct("
+        f"aggregate(zip_with({arr_col}, {arr_col}, (nx, ny) -> nx * ny),"
+        f" 0L, (na, nz) -> na + nz) as normx,"
+        f"slice(array_sort(transform(__cbc, hg -> struct("
+        f"hg.cc - 2L * aggregate(zip_with({arr_col}, hg.arr,"
+        f" (hx, hy) -> hx * hy), 0L, (ha, hz) -> ha + hz) as cs,"
+        f" hg.ccl as ccl, hg.r as r))), 1, 2) as top2"
+        f")), w0 -> "
+        f"get(transform(array(struct({own_scores} as own,"
+        f" greatest(0L, cast(floor(sqrt(cast("
+        f"   get(w0.top2, 1).cs + w0.normx as double))) as bigint) - 1L)"
+        f" as dlb)), w1 -> "
+        f"get(transform(array(struct("
+        f"if({prune}, w1.own,"
+        f" array_sort(concat(w1.own, {sub2_scores}))) as pool,"
+        f"if({prune}, 0, 1) as probed2)), w2 -> struct("
+        f"get(w2.pool, 0) as c1, get(w2.pool, 1) as c2,"
+        f" w2.probed2 as probed2)), 0)"
+        f"), 0)"
+        f"), 0)"
     )
 
 
@@ -847,13 +933,25 @@ def kmeans_assign_hier_soft(
     fp_scale: int = FP_SCALE,
     codebook_as_literals: bool | None = None,
     centroid_index: bool | None = None,
+    _prune: bool = True,
 ) -> DataFrame:
     """Top-2-within-margin soft assignment under the hierarchical rule:
     rank the nprobe-union candidates, primary = argmin, runner-up kept
     when within ``margin`` (squared-L2 units of the original space, exact
     fixed-point integer comparison — same semantics as
     ``kmeans_assign_soft``). With nprobe >= 2 the pool spans coarse-cell
-    boundaries, so this is the cross-cell SemDeDup recall repair."""
+    boundaries, so this is the cross-cell SemDeDup recall repair.
+
+    At the default nprobe=2 the serve kernel MARGIN-PRUNES the
+    runner-up cell (``_hier_soft_top2_pruned_expr``): only vectors
+    whose second coarse cell could, by the triangle-inequality bound on
+    its recorded sub-centroid radius, still place a candidate inside
+    the (primary, within-margin runner-up) window pay the second
+    cell's sub-centroid scoring — everyone else scores one cell, the
+    ``kmeans_assign_hier`` cost shape. Output is bit-identical to the
+    full union (the prune is a certified skip, pinned by
+    test_kmeans_index); ``_prune=False`` forces the union kernel (the
+    parity reference), and nprobe != 2 always uses it."""
     v, coarse_cents, sub = hier_train(
         emb,
         coarse_init_ids=coarse_init_ids,
@@ -868,10 +966,20 @@ def kmeans_assign_hier_soft(
     )
     margin_fp = int(round(margin * fp_scale * fp_scale))
     frame = _hier_frame(emb.sparkSession, coarse_cents, sub)
-    scores = F.array_sort(_hier_cand_scores_expr("a", nprobe))
-    top = v.crossJoin(F.broadcast(frame)).select(
-        "vid", F.get(scores, 0).alias("c1"), F.get(scores, 1).alias("c2")
-    )
+    if nprobe == 2 and _prune:
+        t2 = _hier_soft_top2_pruned_expr("a", margin_fp)
+        top = v.crossJoin(F.broadcast(frame)).select(
+            "vid", t2.alias("__t")
+        ).select(
+            "vid",
+            F.col("__t.c1").alias("c1"),
+            F.col("__t.c2").alias("c2"),
+        )
+    else:
+        scores = F.array_sort(_hier_cand_scores_expr("a", nprobe))
+        top = v.crossJoin(F.broadcast(frame)).select(
+            "vid", F.get(scores, 0).alias("c1"), F.get(scores, 1).alias("c2")
+        )
     rows = F.filter(
         F.array(
             F.struct(
