@@ -16,18 +16,31 @@ targets (partial agg combines map-side), and an anti-join against the
 visited set to keep only NEW vertices. ONLY the new frontier is
 ``localCheckpoint``-materialized each hop (the components.py lineage
 rationale) — the visited set and the final distance frame are lazy
-unions over those per-hop checkpoints, so total checkpoint writes are
-O(V) across the whole run, not O(hops * V) as a re-materialized
-cumulative frame would cost (each vertex is written exactly once, at
-the hop that discovers it). The loop runs at most ``max_hops`` rounds
-and exits early when a frontier comes back empty. Driver state is one
-integer per round; distances live distributed.
+unions over those per-hop checkpoints, so per-hop checkpoint writes
+total O(V) across the whole run (each vertex is written exactly once,
+at the hop that discovers it). The loop runs at most ``max_hops``
+rounds and exits early when a frontier comes back empty. Driver state
+is one integer per round; distances live distributed.
+
+Long-diameter read amplification: hop h's anti-join scans the lazy
+visited union, i.e. h - 1 separate frontier checkpoints — harmless at
+social-graph diameters (~12 hops saturate the probe graph) but
+O(hops^2 * avg_frontier) cumulative on a path-like graph. So every
+``COMPACT_VISITED_EVERY`` hops the visited union is FOLDED into one
+compact checkpoint: the anti-join then reads one materialized frame
+plus at most K-1 recent frontiers, bounding cumulative reads at
+O(hops * (V/hops * K + V)) = O(V * hops / K * const) while adding at
+most O(V * hops / K) compaction writes — K trades the two, and at
+K = 8 both terms sit far under the uncompacted read blowup (measured:
+tools/scale_probe.py --long-diameter, bench_ab_r10/).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+COMPACT_VISITED_EVERY = 8
 
 
 def bfs_distances(
@@ -54,6 +67,7 @@ def bfs_distances(
     ).localCheckpoint(eager=True)
     levels = [(0, frontier)]
     visited = frontier  # lazy union over the per-hop checkpoints
+    uncompacted = 0
     for hop in range(1, int(max_hops) + 1):
         discovered = (
             frontier.join(e, "id")
@@ -67,6 +81,13 @@ def bfs_distances(
             break
         levels.append((hop, frontier))
         visited = visited.unionByName(frontier)
+        uncompacted += 1
+        if uncompacted >= COMPACT_VISITED_EVERY:
+            # fold the accumulated checkpoints into ONE compact frame so
+            # a long-diameter run's anti-join never scans an unbounded
+            # list of per-hop files (module docstring: the K dial)
+            visited = visited.localCheckpoint(eager=True)
+            uncompacted = 0
     dist = levels[0][1].select(
         "id", F.lit(0).cast("int").alias("dist")
     )

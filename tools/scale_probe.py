@@ -236,6 +236,43 @@ def main() -> int:
                 ),
             )
         ),
+        # long-diameter BFS: a ~96-row lattice (row width n/96, edges
+        # v -> v+W and v -> v+W+1, plus a source fan-out across row 0)
+        # — diameter ~96 hops with frontier mass proportional to n, the
+        # read-amplification regime the visited-set compaction
+        # (graph_paths.COMPACT_VISITED_EVERY) exists for; the 2-out
+        # affine "graph_bfs" probe saturates in ~12 hops and never
+        # stresses it
+        "graph_bfs_long": lambda d: (
+            lambda n: (
+                lambda w: __import__(
+                    "credit_abs_oltp_to_mart_spark.operators.graph_paths",
+                    fromlist=["bfs_distances"],
+                ).bfs_distances(
+                    spark.range(1, w)
+                    .select(
+                        F.lit(0).cast("long").alias("src"),
+                        F.col("id").alias("dst"),
+                    )
+                    .unionByName(
+                        spark.range(n).select(
+                            F.col("id").alias("src"),
+                            (F.col("id") + w).alias("dst"),
+                        )
+                    )
+                    .unionByName(
+                        spark.range(n).select(
+                            F.col("id").alias("src"),
+                            (F.col("id") + w + 1).alias("dst"),
+                        )
+                    )
+                    .where(F.col("dst") < n),
+                    spark.range(n).select("id"),
+                    [0],
+                    max_hops=n // w + 2,
+                )
+            )(max(2, n // 96))
+        )(d.count()),
         "graph_bfs": lambda d: (
             lambda n: __import__(
                 "credit_abs_oltp_to_mart_spark.operators.graph_paths",
