@@ -100,6 +100,51 @@ def dsir_evidence(
     }
 
 
+def dsir_score_all(
+    docs: DataFrame,
+    ev_frame: DataFrame,
+    *,
+    buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The PRE-CHECKPOINT scoring plan of ``dsir_select``: token
+    explode -> bucket hash -> one-row broadcast evidence lookup ->
+    per-doc aggregation -> left join back onto all docs. Exposed
+    separately so tests can gate the scoring stages' plan shape (the
+    token stream must never exchange on the token/bucket key) — inside
+    ``dsir_select`` the localCheckpoint truncates these stages out of
+    any downstream explain output."""
+    toks = docs.select(
+        id_col, F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).select(
+        id_col,
+        F.pmod(md5_long(F.col("tok")), F.lit(buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+    scored_docs = (
+        toks.join(F.broadcast(ev_frame))
+        .select(id_col, F.col("__ev")[F.col("bucket")].alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("s").alias("dsir_score"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored_docs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("int").alias("n_feats"),
+            F.coalesce("dsir_score", F.lit(0))
+            .cast("bigint")
+            .alias("dsir_score"),
+        )
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target_filter,
@@ -144,39 +189,15 @@ def dsir_select(
         [({int(b): int(s) for b, s in ev.items()},)],
         "__ev map<int,bigint>",
     )
-    toks = docs.select(
-        id_col, F.explode(ws_tokens(F.col(text_col))).alias("tok")
-    ).select(
-        id_col,
-        F.pmod(md5_long(F.col("tok")), F.lit(buckets))
-        .cast("int")
-        .alias("bucket"),
-    )
-    scored_docs = (
-        toks.join(F.broadcast(ev_frame))
-        .select(id_col, F.col("__ev")[F.col("bucket")].alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("s").alias("dsir_score"),
-        )
-    )
     # one scoring pass: the frame feeds BOTH the top-k and the output
     # join, and without truncation Spark re-derives the whole token
     # explode + aggregation for each consumer (measured: 2x the plan's
     # exchanges). localCheckpoint is output-sized (one row per doc).
-    allscore = (
-        docs.select(id_col)
-        .join(scored_docs, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_feats", F.lit(0)).cast("int").alias("n_feats"),
-            F.coalesce("dsir_score", F.lit(0))
-            .cast("bigint")
-            .alias("dsir_score"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # The pre-checkpoint plan is built by dsir_score_all so the plan
+    # gate can inspect the scoring stages the truncation hides.
+    allscore = dsir_score_all(
+        docs, ev_frame, buckets=buckets, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
     topk = allscore.orderBy(
         F.col("dsir_score").desc(), F.col(id_col).asc()
     ).limit(int(k)).select(F.col(id_col).alias("__sel"))

@@ -624,16 +624,38 @@ def test_pq_refine_reads_shortlist_only_never_corpus(spark):
 
 
 def test_dsir_select_broadcast_evidence_single_doc_shuffle(spark):
-    """DSIR scoring: the evidence map rides a one-row broadcast (BNLJ by
-    design), the token stream NEVER exchanges on the token/bucket key,
-    selection is TakeOrdered (per-partition heads, no global sort) + a
-    broadcast semi-side join — so the whole plan pays hash exchanges
-    only for the per-doc aggregation and the docs<->scores join."""
+    """DSIR selection tail (post-checkpoint — the scoring stages are
+    localCheckpoint-truncated out of this plan; they are gated
+    separately below): selection is TakeOrdered (per-partition heads,
+    no global sort) + a broadcast semi-side join, with hash exchanges
+    only for the docs<->scores join."""
     p = _plan(spark, "dsir_select")
     assert "TakeOrderedAndProject" in p, p
-    assert "hashpartitioning(tok" not in p and "hashpartitioning(bucket" not in p, p
     n = p.count("Exchange hashpartitioning")
     assert n <= 3, f"dsir_select plan has {n} hash exchanges"
+
+
+def test_dsir_scoring_plan_no_token_shuffle(spark):
+    """DSIR scoring stages (PRE-checkpoint, via dsir.dsir_score_all —
+    dsir_select's localCheckpoint hides them from any downstream
+    explain): the evidence map rides a one-row broadcast (BNLJ by
+    design), the token stream NEVER exchanges on the token/bucket key,
+    and the only hash exchanges are the per-doc aggregation and the
+    docs<->scores join."""
+    from credit_abs_oltp_to_mart_spark.operators import dsir
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev_frame = spark.createDataFrame(
+        [({b: 1 for b in range(dsir.DSIR_BUCKETS)},)], "__ev map<int,bigint>"
+    )
+    out = dsir.dsir_score_all(docs, ev_frame)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "hashpartitioning(tok" not in p, p
+    assert "hashpartitioning(bucket" not in p, p
+    assert "CartesianProduct" not in p, p
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 3, f"dsir scoring plan has {n} hash exchanges"
 
 
 def test_graph_bfs_checkpoints_truncate_lineage(spark):
