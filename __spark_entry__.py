@@ -6464,20 +6464,35 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook collect —
     and the evidence division runs in PYTHON bigints, so the BM25-class
     int64 ceiling never arises); scoring is a broadcast-map lookup + one
-    per-doc shuffle; top-k is TakeOrdered + a broadcast semi-join."""
+    per-doc shuffle; top-k is TakeOrdered + a broadcast semi-join.
+
+    Round-10 extension (same oracle, no new contract entry): the
+    SAMPLED variant — Gumbel-top-k importance resampling via the
+    hash-Gumbel key dsir_score + gumbel_noise_table()[md5(seed:doc_id)
+    mod 256] (fixed-point quantile-discretized Gumbel noise, identical
+    integer table embedded in the oracle SQL) — adds gumbel_key and
+    is_sampled columns, deterministic in (seed, doc_id)."""
     from credit_abs_oltp_to_mart_spark.operators import dsir
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir.dsir_select(docs, F.col("lang") == "en", DSIR_TOPK)
+    return dsir.dsir_select(
+        docs, F.col("lang") == "en", DSIR_TOPK, gumbel_k=DSIR_TOPK
+    )
 
 
 def _dsir_select_oracle(k: int = DSIR_TOPK) -> str:
     from credit_abs_oltp_to_mart_spark.operators.dsir import (
         DSIR_BUCKETS,
         DSIR_SCALE,
+        GUMBEL_RESOLUTION,
+        gumbel_noise_table,
     )
 
     B, S = DSIR_BUCKETS, DSIR_SCALE
+    # the SAME Python-computed fixed-point Gumbel table the Spark plan
+    # embeds as literals — both engines consume identical integers
+    res = GUMBEL_RESOLUTION
+    gt_list = ", ".join(str(int(g)) for g in gumbel_noise_table(res))
     return f"""
     with tok as materialized (
       select doc_id, lang,
@@ -6504,10 +6519,21 @@ def _dsir_select_oracle(k: int = DSIR_TOPK) -> str:
                     coalesce(sc.dsir_score, 0)::bigint as dsir_score
              from documents d left join sc using (doc_id)),
     topk as (select doc_id from alls
-             order by dsir_score desc, doc_id asc limit {k})
-    select a.doc_id, a.n_feats, a.dsir_score,
-           (t.doc_id is not null)::int as is_selected
-    from alls a left join topk t using (doc_id)
+             order by dsir_score desc, doc_id asc limit {k}),
+    gt(g) as (select [{gt_list}]),
+    keyed as (select a.doc_id, a.n_feats, a.dsir_score,
+                     a.dsir_score + g.g[1 + (('0x' ||
+                       substr(md5('dsir:' || a.doc_id::varchar), 1, 15)
+                     )::bigint % {res})]::bigint as gumbel_key
+              from alls a, gt g),
+    samp as (select doc_id from keyed
+             order by gumbel_key desc, doc_id asc limit {k})
+    select kk.doc_id, kk.n_feats, kk.dsir_score,
+           (t.doc_id is not null)::int as is_selected,
+           kk.gumbel_key,
+           (sm.doc_id is not null)::int as is_sampled
+    from keyed kk left join topk t using (doc_id)
+                  left join samp sm using (doc_id)
     """
 
 

@@ -145,6 +145,29 @@ def dsir_score_all(
     )
 
 
+GUMBEL_RESOLUTION = 256
+
+
+def gumbel_noise_table(
+    resolution: int = GUMBEL_RESOLUTION, scale: int = DSIR_SCALE
+) -> list[int]:
+    """Fixed-point midpoint-quantile discretization of the Gumbel(0,1)
+    quantile function: entry j = round(-ln(-ln((j + 0.5)/R)) * S).
+    Computed ONCE driver-side in Python floats and shipped as integer
+    literals (the codebook-as-literals transport), so both the Spark
+    plan and the SQL oracle consume the SAME integers — the sampled
+    variant stays engine-replayable by rule even though the Gumbel
+    quantile is transcendental. Midpoint quantiles make the
+    discretized noise mean/scale match Gumbel(0,1) to O(1/R); R = 256
+    matches the evidence-bucket resolution."""
+    import math
+
+    return [
+        int(round(-math.log(-math.log((j + 0.5) / resolution)) * scale))
+        for j in range(resolution)
+    ]
+
+
 def dsir_select(
     docs: DataFrame,
     target_filter,
@@ -153,6 +176,9 @@ def dsir_select(
     buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gumbel_k: int | None = None,
+    gumbel_seed: str = "dsir",
+    gumbel_resolution: int = GUMBEL_RESOLUTION,
 ) -> DataFrame:
     """Score every doc and flag the top-k: returns
     (doc_id, n_feats, dsir_score, is_selected) for ALL docs.
@@ -160,7 +186,20 @@ def dsir_select(
     ``target_filter`` is a Column predicate defining the target corpus
     (e.g. ``F.col("lang") == "en"``); the raw model is fit on the whole
     input. Docs with no tokens score 0 and compete in the same total
-    order (score desc, doc_id asc)."""
+    order (score desc, doc_id asc).
+
+    ``gumbel_k`` additionally emits the SAMPLED variant of DSIR (the
+    paper's importance RESAMPLING, made replayable): Gumbel-top-k over
+    the importance weights — key = dsir_score + G where G is the
+    hash-Gumbel perturbation ``gumbel_noise_table()[md5(seed:doc_id)
+    mod R]`` (dsir_score already IS the fixed-point log-weight, so
+    adding fixed-point Gumbel noise and taking the top-k is exactly
+    the Gumbel-max trick over exp(score/S), discretized to R quantile
+    levels). Adds columns ``gumbel_key`` (bigint) and ``is_sampled``
+    (the k winners by key desc, doc_id asc). Deterministic in
+    (seed, doc_id) — replays bit-for-bit, no RNG state. The scoring
+    pass is shared: the same checkpointed frame feeds both flags and
+    the extra cost is one more TakeOrdered + broadcast join."""
     spark = docs.sparkSession
     # ONE corpus scan fits both models: per-bucket raw count + the
     # target slice as a conditional count (a second scan would double
@@ -201,16 +240,46 @@ def dsir_select(
     topk = allscore.orderBy(
         F.col("dsir_score").desc(), F.col(id_col).asc()
     ).limit(int(k)).select(F.col(id_col).alias("__sel"))
-    return (
-        allscore.join(
-            F.broadcast(topk),
-            F.col(id_col) == F.col("__sel"),
-            "left",
-        )
-        .select(
-            id_col,
-            "n_feats",
-            "dsir_score",
-            F.col("__sel").isNotNull().cast("int").alias("is_selected"),
-        )
+    out = allscore.join(
+        F.broadcast(topk),
+        F.col(id_col) == F.col("__sel"),
+        "left",
+    ).select(
+        id_col,
+        "n_feats",
+        "dsir_score",
+        F.col("__sel").isNotNull().cast("int").alias("is_selected"),
+    )
+    if gumbel_k is None:
+        return out
+    gt = gumbel_noise_table(gumbel_resolution)
+    noise = F.element_at(
+        F.array(*[F.lit(int(g)).cast("bigint") for g in gt]),
+        F.pmod(
+            md5_long(
+                F.concat(
+                    F.lit(f"{gumbel_seed}:"), F.col(id_col).cast("string")
+                )
+            ),
+            F.lit(gumbel_resolution),
+        ).cast("int")
+        + F.lit(1),
+    )
+    keyed = out.withColumn(
+        "gumbel_key", (F.col("dsir_score") + noise).cast("bigint")
+    )
+    sampk = (
+        keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(int(gumbel_k))
+        .select(F.col(id_col).alias("__smp"))
+    )
+    return keyed.join(
+        F.broadcast(sampk), F.col(id_col) == F.col("__smp"), "left"
+    ).select(
+        id_col,
+        "n_feats",
+        "dsir_score",
+        "is_selected",
+        "gumbel_key",
+        F.col("__smp").isNotNull().cast("int").alias("is_sampled"),
     )

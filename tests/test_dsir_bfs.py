@@ -68,6 +68,48 @@ def test_dsir_matches_python_reference(spark):
     assert got == _py_dsir(DOCS, {"en"}, 32, 3)
 
 
+def _py_gumbel_key(did, score, seed="dsir", res=256):
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"{seed}:{did}".encode()).hexdigest()[:15], 16
+    ) % res
+    return score + dsir.gumbel_noise_table(res)[h]
+
+
+def test_dsir_gumbel_sampled_matches_python_reference(spark):
+    """The Gumbel-top-k sampled variant replays from (seed, doc_id)
+    alone: keys and the is_sampled flag match a from-scratch Python
+    replica (md5 hash -> fixed-point Gumbel table -> top-k)."""
+    df = spark.createDataFrame(DOCS, "doc_id bigint, lang string, text string")
+    got = {
+        r["doc_id"]: (r["gumbel_key"], r["is_sampled"])
+        for r in dsir.dsir_select(
+            df, F.col("lang") == "en", 3, buckets=32, gumbel_k=3
+        ).collect()
+    }
+    base = _py_dsir(DOCS, {"en"}, 32, 3)
+    keys = {did: _py_gumbel_key(did, sc) for did, (_, sc, _) in base.items()}
+    samp = {
+        did
+        for did, _ in sorted(keys.items(), key=lambda t: (-t[1], t[0]))[:3]
+    }
+    expect = {did: (keys[did], int(did in samp)) for did in keys}
+    assert got == expect
+
+
+def test_dsir_gumbel_table_shape():
+    """Fixed-point Gumbel quantile table: strictly increasing in the
+    quantile index, negative tail / positive head (the Gumbel shape),
+    and deterministic across calls."""
+    gt = dsir.gumbel_noise_table()
+    assert len(gt) == 256
+    assert gt == sorted(gt) and gt[0] < 0 < gt[-1]
+    assert gt == dsir.gumbel_noise_table()
+    # mean of discretized Gumbel(0,1) ~ Euler-Mascheroni * scale
+    assert abs(sum(gt) / len(gt) - 0.5772 * dsir.DSIR_SCALE) < 0.02 * dsir.DSIR_SCALE
+
+
 def test_dsir_empty_doc_scores_zero_and_competes(spark):
     df = spark.createDataFrame(DOCS, "doc_id bigint, lang string, text string")
     out = {
