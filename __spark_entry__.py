@@ -999,10 +999,19 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_est=0.25,
             seed=MINHASH_SEED,
             dedup_within_batch=True,
+            # attribution hook (tools/isolated_bench.py --stages): None
+            # in every gate/bench run, so the production path is
+            # untouched there
+            stage_times=STREAM_CORPUS_STAGE_TIMES,
         )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# set by tools/isolated_bench.py's stage-decomposition child to a dict
+# that stream_corpus_ingest fills with per-stage wall seconds
+STREAM_CORPUS_STAGE_TIMES: dict | None = None
 
 
 def q_stream_bpe_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -744,6 +744,7 @@ def stream_corpus_ingest(
     tokenizer_merges: int = 8,
     return_packed: bool = False,
     return_segmented: bool = False,
+    stage_times: dict | None = None,
 ) -> DataFrame:
     """The COMPLETE incremental corpus pipeline per arriving micro-batch —
     the actual shape of a continuous 100 TB pretraining ingest, composing
@@ -838,7 +839,17 @@ def stream_corpus_ingest(
     ``segmented/batch=<id>`` (per-doc stats under the pinned
     generation). ``return_segmented`` returns (doc_id, ingest_batch,
     vocab_version, n_words, n_bpe_tokens). Mutually exclusive with
-    ``tokenizer_word_frame``."""
+    ``tokenizer_word_frame``.
+
+    ``stage_times`` (ATTRIBUTION MODE, tools/isolated_bench.py): a
+    mutable dict that accumulates per-stage wall seconds across
+    batches (filter / signatures / dedup / decontam / pack /
+    store_write). Timing a lazy chain requires stage-boundary
+    materializations the production path deliberately fuses (an extra
+    count on the two persisted frames, an extra checkpoint after the
+    dedup anti-join), so the per-stage SUM slightly exceeds the
+    untimed run's wall — use it to attribute cost, never as the
+    headline number."""
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
@@ -948,17 +959,33 @@ def stream_corpus_ingest(
         return wf
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time_mod
+
+        def _mark(key: str, t0: float) -> float:
+            if stage_times is not None:
+                now = _time_mod.perf_counter()
+                stage_times[key] = stage_times.get(key, 0.0) + (now - t0)
+                return now
+            return t0
+
         sess = batch_df.sparkSession
         gram_store = _pin_gram_store(sess)
+        t0 = _time_mod.perf_counter()
         gated = filter_documents(
             batch_df,
             min_quality=min_quality,
             min_tokens=min_tokens,
             keep_langs=keep_langs,
         ).persist()
+        if stage_times is not None:
+            gated.count()  # boundary materialization (attribution mode)
+        t0 = _mark("filter", t0)
         batch_sigs = D.minhash_signatures(
             gated, n=n, n_perm=n_perm, seed=seed
         ).persist()
+        if stage_times is not None:
+            batch_sigs.count()
+        t0 = _mark("signatures", t0)
         try:
             try:
                 store = (
@@ -981,6 +1008,9 @@ def stream_corpus_ingest(
                 survivors = gated.join(drop.distinct(), "doc_id", "left_anti")
             else:
                 survivors = gated
+            if stage_times is not None:
+                survivors = survivors.localCheckpoint(eager=True)
+            t0 = _mark("dedup", t0)
             if gram_store is not None:
                 verdicts = decontaminate_against_store(
                     survivors,
@@ -1000,6 +1030,7 @@ def stream_corpus_ingest(
             # the admitted plan reads the store path, which the signature
             # write below invalidates
             admitted = admitted.localCheckpoint(eager=True)
+            t0 = _mark("decontam", t0)
             wf_run = wf_pinned
             if tokenizer_refresh_init is not None:
                 from credit_abs_oltp_to_mart_spark.operators import bpe as B
@@ -1083,6 +1114,7 @@ def stream_corpus_ingest(
                 .write.mode("overwrite")
                 .parquet(os.path.join(offsets_dir, f"batch={batch_id}"))
             )
+            t0 = _mark("pack", t0)
             adm_sigs = batch_sigs.join(
                 admitted.select("doc_id"), "doc_id", "left_semi"
             ).withColumn("ingest_batch", F.lit(batch_id).cast("long"))
@@ -1095,6 +1127,7 @@ def stream_corpus_ingest(
             adm_sigs.write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
+            t0 = _mark("store_write", t0)
             # between-batches hook: metrics, store compaction triggers,
             # or landing a new eval suite (add_eval_suite) that the NEXT
             # batch's re-pin picks up — runs after this batch's sinks

@@ -92,6 +92,39 @@ for _ in range(3):
 print("ISOLATED_RESULT", best)
 """
 
+# stream_corpus_ingest stage attribution: the same contract query with
+# the stage_times hook set — per-stage wall seconds summed over the 3
+# micro-batches (attribution mode adds stage-boundary materializations;
+# the stage SUM exceeds the untimed wall by design, see the operator
+# docstring). Records BOTH: the untimed min-of-3 headline and one timed
+# run's decomposition.
+_CHILD_CORPUS_STAGES = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from credit_abs_oltp_to_mart_spark.session import get_spark
+import __spark_entry__ as entry_mod
+sf_dir = {sf_dir!r}
+spark = get_spark(app_name="isolated-stream_corpus_ingest_stages")
+q = entry_mod.queries()["stream_corpus_ingest"]
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = min(best, time.perf_counter() - t0)
+    spark.catalog.clearCache()
+entry_mod.STREAM_CORPUS_STAGE_TIMES = st = {{}}
+t0 = time.perf_counter()
+q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+timed_wall = time.perf_counter() - t0
+entry_mod.STREAM_CORPUS_STAGE_TIMES = None
+print("ISOLATED_STAGES", json.dumps({{
+    "untimed_min3": round(best, 3),
+    "timed_wall": round(timed_wall, 3),
+    "stages": {{k: round(v, 3) for k, v in st.items()}},
+}}))
+print("ISOLATED_RESULT", best)
+"""
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -101,9 +134,12 @@ def main() -> int:
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results: dict[str, float] = {}
+    stages: dict[str, dict] = {}
     for name in args.queries.split(","):
         if name == "sql_models_npl":
             code = _CHILD_SQL_MODELS.format(repo=repo)
+        elif name == "stream_corpus_ingest_stages":
+            code = _CHILD_CORPUS_STAGES.format(repo=repo, sf_dir=args.sf_dir)
         else:
             code = _CHILD.format(repo=repo, name=name, sf_dir=args.sf_dir)
         out = subprocess.run(
@@ -120,9 +156,14 @@ def main() -> int:
             print(f"{name}: FAILED\n{out.stderr[-2000:]}", file=sys.stderr)
             return 1
         results[name] = round(float(line[0].split()[1]), 3)
-        print(name, results[name], flush=True)
+        for ln in out.stdout.splitlines():
+            if ln.startswith("ISOLATED_STAGES"):
+                stages[name] = json.loads(ln.split(" ", 1)[1])
+        print(name, results[name], stages.get(name, ""), flush=True)
     doc = {"sf_dir": args.sf_dir, "min_of": 3, "fresh_session": True,
            "isolated_sec": results}
+    if stages:
+        doc["stage_decomposition"] = stages
     if args.out:
         with open(os.path.join(repo, args.out), "w") as f:
             json.dump(doc, f, indent=2)
