@@ -92,6 +92,54 @@ for _ in range(3):
 print("ISOLATED_RESULT", best)
 """
 
+# reference_chain_e2e: the WHOLE reference surface priced as one chain
+# at the reference's own generator volumes (BASELINE.md: 2000 borrowers
+# / 3000 applications / 1500 loans, seed 42) — generate the 17-table
+# OLTP lake, read it back, build staging + all 7 marts with observe
+# metrics, materialize every mart, then run the dbt schema tests and
+# README audit checks. Each piece is priced separately elsewhere; this
+# is the airflow-DAG-shaped end-to-end number.
+_CHILD_REFERENCE_CHAIN = r"""
+import sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from datetime import date
+from credit_abs_oltp_to_mart_spark.session import get_spark
+from credit_abs_oltp_to_mart_spark.generator import (
+    OLTPSynthConfig, run_credit_oltp_synth,
+)
+from credit_abs_oltp_to_mart_spark.plans.pipeline import run_pipeline
+from credit_abs_oltp_to_mart_spark.plans.checks import (
+    run_audit_checks, run_schema_tests,
+)
+from credit_abs_oltp_to_mart_spark.sources.readers import read_oltp_table
+
+spark = get_spark(app_name="isolated-reference_chain_e2e")
+best = float("inf")
+for rep in range(3):
+    out = tempfile.mkdtemp(prefix="isolated_refchain_")
+    t0 = time.perf_counter()
+    cfg = OLTPSynthConfig(
+        n_borrowers=2000, n_applications=3000, n_loans=1500,
+        start_date_max=date(2025, 12, 31), seed=42,
+    )
+    run_credit_oltp_synth(spark, cfg, out_dir=out + "/oltp")
+    metrics = {{}}
+    frames = run_pipeline(
+        spark, out + "/oltp", out_dir=out + "/marts",
+        collect_metrics=metrics,
+    )
+    schema_fails = sum(run_schema_tests(frames).values())
+    audit_fails = sum(run_audit_checks({{
+        t: read_oltp_table(spark, out + "/oltp", t)
+        for t in ("loan_contract", "arrears_dpd_status")
+    }}).values())
+    assert schema_fails == 0 and audit_fails == 0, (
+        schema_fails, audit_fails)
+    best = min(best, time.perf_counter() - t0)
+    spark.catalog.clearCache()
+print("ISOLATED_RESULT", best)
+"""
+
 # stream_corpus_ingest stage attribution: the same contract query with
 # the stage_times hook set — per-stage wall seconds summed over the 3
 # micro-batches (attribution mode adds stage-boundary materializations;
@@ -138,6 +186,8 @@ def main() -> int:
     for name in args.queries.split(","):
         if name == "sql_models_npl":
             code = _CHILD_SQL_MODELS.format(repo=repo)
+        elif name == "reference_chain_e2e":
+            code = _CHILD_REFERENCE_CHAIN.format(repo=repo)
         elif name == "stream_corpus_ingest_stages":
             code = _CHILD_CORPUS_STAGES.format(repo=repo, sf_dir=args.sf_dir)
         else:
