@@ -308,6 +308,53 @@ def test_auto_mode_store_probe_beyond_bigint_bound(spark, tmp_path):
     assert got == expect[0]
 
 
+def test_auto_mode_tracks_incremental_max_dl(spark, tmp_path):
+    """Serve-side auto with the streamed overlay: a small base store
+    grown by an adversarial-magnitude ingest batch must flip the auto
+    decision via the delta's recorded max_dl and still score exactly
+    (base tf*T is tiny; only the driver-side totals fold knows the
+    overlay broke the envelope)."""
+    import os
+    import time
+
+    from credit_abs_oltp_to_mart_spark.streaming.ops import (
+        stream_postings_ingest,
+    )
+
+    docs, store = _store(spark, tmp_path, docs_rows=[ADVERSARIAL[1]])
+    assert retrieval.load_store_totals(spark, store)["max_dl"] == 3
+    src = str(tmp_path / "adv_slices")
+    d = f"{src}/b0"
+    spark.createDataFrame(
+        [ADVERSARIAL[0]], "doc_id long, text string"
+    ).coalesce(1).write.parquet(d)
+    now = time.time()
+    for f2 in os.listdir(d):
+        if f2.endswith(".parquet"):
+            os.utime(os.path.join(d, f2), (now - 60, now - 60))
+    stream_postings_ingest(
+        spark, f"{src}/b*", store, schema="doc_id long, text string"
+    )
+    qs = spark.createDataFrame([(0, "x y")], "query_id long, query string")
+    got = [
+        (r["doc_id"], r["rank"], r["score_fp"])
+        for r in retrieval.bm25_store_probe(
+            qs, store, k=3, include_incremental=True
+        ).collect()
+    ]
+    expect = _bm25_python(
+        [ADVERSARIAL[1], ADVERSARIAL[0]], [(0, "x y")], k=3
+    )
+    assert got == expect[0]
+    # the bigint arithmetic would have tripped the loud guard here
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="bm25: int64 overflow"):
+        retrieval.bm25_store_probe(
+            qs, store, k=3, include_incremental=True, decimal_scores=False
+        ).collect()
+
+
 def test_auto_decimal_decision_bounds():
     """Unit pin of the mode decision: in-range magnitudes stay bigint,
     each breached ceiling flips to decimal, unknown max_dl (legacy
