@@ -894,12 +894,20 @@ def kmeans_assign_hier(
     fp_scale: int = FP_SCALE,
     codebook_as_literals: bool | None = None,
     centroid_index: bool | None = None,
+    _prune: bool = True,
 ) -> DataFrame:
     """(vec_id, cluster) under the hierarchical rule: argmin over the
     union of the vector's ``nprobe`` nearest coarse cells' sub-centroids
     (same integer kernel and tiebreaks as flat k-means; cluster labels
     are sub-seed vec_ids, globally unique). nprobe=1 reproduces the final
-    within-cell training assignment bit-for-bit."""
+    within-cell training assignment bit-for-bit.
+
+    At nprobe=2 the serve kernel reuses the soft path's MARGIN PRUNE at
+    margin 0 (``_hier_soft_top2_pruned_expr``): the runner-up cell's
+    sub-centroids are scored only when the triangle-inequality radius
+    bound cannot certify the own-cell argmin as the union argmin —
+    bit-identical output, one-cell scoring cost for the pruned bulk.
+    ``_prune=False`` keeps the plain union kernel (parity reference)."""
     v, coarse_cents, sub = hier_train(
         emb,
         coarse_init_ids=coarse_init_ids,
@@ -913,6 +921,14 @@ def kmeans_assign_hier(
         centroid_index=centroid_index,
     )
     frame = _hier_frame(emb.sparkSession, coarse_cents, sub)
+    if nprobe == 2 and _prune:
+        # margin 0: the prune certifies exactly "no cell-2 candidate
+        # can beat the own-cell argmin" — the hard-assignment condition
+        t2 = _hier_soft_top2_pruned_expr("a", 0)
+        return v.crossJoin(F.broadcast(frame)).select(
+            F.col("vid").alias(id_col),
+            t2["c1"]["scid"].alias("cluster"),
+        )
     best = F.array_min(_hier_cand_scores_expr("a", nprobe))
     return v.crossJoin(F.broadcast(frame)).select(
         F.col("vid").alias(id_col), best["scid"].alias("cluster")

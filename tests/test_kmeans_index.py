@@ -199,6 +199,22 @@ def test_hier_soft_rows_shape(spark, emb):
     assert s.groupBy("vec_id").count().agg(F.max("count")).first()[0] <= 2
 
 
+def test_hier_hard_prune_bit_identical_to_union(spark, emb):
+    """Hard nprobe=2 assignment through the margin-0 prune equals the
+    plain union kernel, bit for bit."""
+    pruned = {
+        tuple(r)
+        for r in kmeans_assign_hier(emb, nprobe=2, **HIER_KW).collect()
+    }
+    union = {
+        tuple(r)
+        for r in kmeans_assign_hier(
+            emb, nprobe=2, _prune=False, **HIER_KW
+        ).collect()
+    }
+    assert pruned == union and pruned
+
+
 @pytest.mark.parametrize("margin", [0.0, 0.01, 0.5, 10.0])
 def test_hier_soft_prune_bit_identical_to_union(spark, emb, margin):
     """The margin prune is a certified skip: the pruned kernel's output
