@@ -199,6 +199,17 @@ def test_hier_soft_rows_shape(spark, emb):
     assert s.groupBy("vec_id").count().agg(F.max("count")).first()[0] <= 2
 
 
+def test_hier_soft_pruned_serve_is_map_only(spark, emb):
+    """Plan gate for the PRUNED soft serve: still scan + one-row
+    broadcast + project on the vector side — the prune is pure
+    expression work, no new exchange, no cartesian."""
+    s = kmeans_assign_hier_soft(emb, margin=0.01, nprobe=2, **HIER_KW)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_hier_hard_prune_bit_identical_to_union(spark, emb):
     """Hard nprobe=2 assignment through the margin-0 prune equals the
     plain union kernel, bit for bit."""
