@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.operators import retrieval
@@ -353,6 +354,42 @@ def test_auto_mode_tracks_incremental_max_dl(spark, tmp_path):
         retrieval.bm25_store_probe(
             qs, store, k=3, include_incremental=True, decimal_scores=False
         ).collect()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_auto_decimal_decision_is_sound(seed):
+    """Property pin (pure Python, exact ints): whenever _auto_decimal
+    says the bigint path is safe, EVERY int64 intermediate of the
+    scoring formula fits at the worst admissible row (tf = dl = max_dl,
+    df in {1, N}) — i.e. the driver-side decision can never admit a row
+    the row-side guard would reject."""
+    import random
+
+    rng = random.Random(seed)
+    m = (1 << 63) - 1
+    k1n, k1d = retrieval.BM25_K1
+    bn, bd = retrieval.BM25_B
+    checked = 0
+    for _ in range(4000):
+        s = rng.choice([10**4, 10**6, 10**9, 10**12, 10**14])
+        n_docs = rng.randrange(1, 10 ** rng.randrange(1, 13))
+        max_dl = rng.randrange(1, 10 ** rng.randrange(1, 10))
+        n_toks = max_dl * rng.randrange(1, 1000)
+        if retrieval._auto_decimal(
+            n_docs, n_toks, max_dl, (k1n, k1d), (bn, bd), s
+        ):
+            continue  # decimal chosen: nothing to prove
+        checked += 1
+        tf = dl = max_dl
+        # score numerator and the three denominator terms (den sums, so
+        # each term must fit with the same 4x headroom the guard uses)
+        assert s * tf * (k1n + k1d) * bd * n_toks <= m
+        assert tf * k1d * bd * n_toks <= m // 4
+        assert k1n * (bd - bn) * n_toks <= m // 4
+        assert k1n * bn * dl * n_docs <= m // 4
+        # idf numerator at the rarest admissible term (df -> 0 bound)
+        assert s * (2 * n_docs + 1) <= m
+    assert checked > 100  # the property must actually exercise bigint
 
 
 def test_auto_decimal_decision_bounds():
