@@ -246,6 +246,56 @@ def test_hier_soft_prune_bit_identical_to_union(spark, emb, margin):
     assert pruned == union and pruned
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hier_soft_prune_randomized_boundary_parity(spark, seed):
+    """Adversarial geometry for the float-sqrt conservativeness: tight
+    clusters PLUS vectors sitting on midpoints between cluster pairs
+    (where the triangle bound is weakest and a non-conservative d_lb
+    would flip results). Pruned vs union must stay bit-identical at a
+    degenerate, a tight, and a window-dominating margin."""
+    import random
+
+    rng = random.Random(seed)
+    dim = 8
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(4)]
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(30):
+            rows.append(
+                (vid, [x + rng.uniform(-0.05, 0.05) for x in c])
+            )
+            vid += 1
+    for i in range(4):
+        for j in range(i + 1, 4):
+            mid = [(a + b) / 2 for a, b in zip(centers[i], centers[j])]
+            for _ in range(5):
+                rows.append(
+                    (vid, [x + rng.uniform(-0.02, 0.02) for x in mid])
+                )
+                vid += 1
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kw = dict(
+        coarse_init_ids=[0, 30, 60, 90],
+        sub_k=3,
+        coarse_iterations=2,
+        sub_iterations=2,
+    )
+    for margin in (0.0, 0.005, 0.2):
+        a = {
+            tuple(r)
+            for r in kmeans_assign_hier_soft(
+                e, margin=margin, nprobe=2, **kw
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in kmeans_assign_hier_soft(
+                e, margin=margin, nprobe=2, _prune=False, **kw
+            ).collect()
+        }
+        assert a == b and a, margin
+
+
 def test_hier_soft_prune_actually_fires(spark, emb):
     """The certified skip must engage on real data — otherwise the
     kernel silently degrades to the union cost. Inspect probed2 from
