@@ -349,8 +349,13 @@ def bm25_topk(
 #   <store>/postings_inc/batch=<id>/  streamed postings (bucket in-file),
 #       batch-scoped overwrites -> crash-replay idempotent; folded by
 #       sources.maintenance.compact_keyed_store (its exact contract).
-#   <store>/totals_inc/batch=<id>/    per-batch (n_docs, n_toks) deltas,
-#       same idempotency; serving sums base + deltas (tiny files).
+#   <store>/totals_inc/batch=<id>/    per-batch (n_docs, n_toks, max_dl)
+#       deltas, same idempotency; serving sums base + deltas (tiny
+#       files). Folded by compact_keyed_store exactly like postings_inc
+#       (NO dedup_cols — every delta row must survive the merge, since
+#       serving sums them); a long-running stream otherwise accretes one
+#       partition per batch and the serve-side collect loop grows with
+#       stream age.
 #
 # Everything persisted is integer-exact, so a cold-read probe is
 # bit-identical to bm25_topk over the same corpus — pinned by the
@@ -520,6 +525,11 @@ def bm25_store_probe(
 
         inc_dir = f"{store_dir}/postings_inc"
         resume_pending_compaction(spark, inc_dir)
+        # the totals overlay is batch=<id>-partitioned too and is folded
+        # by the same compact_keyed_store protocol (merging preserves
+        # the delta ROWS, and this loop only sums/maxes them) — heal a
+        # half-swapped totals compaction before reading
+        resume_pending_compaction(spark, f"{store_dir}/totals_inc")
         try:
             inc = (
                 spark.read.parquet(inc_dir)

@@ -1501,6 +1501,7 @@ def stream_postings_ingest(
     tot_dir = os.path.join(store_dir, "totals_inc")
     ck_dir = os.path.join(store_dir, "ingest_checkpoint")
     resume_pending_compaction(spark, inc_dir)
+    resume_pending_compaction(spark, tot_dir)  # same keyed-store protocol
     n_buckets = R.load_store_totals(spark, store_dir)["n_buckets"]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

@@ -242,6 +242,11 @@ def test_postings_compaction_transparent(spark, tmp_path):
     compact_keyed_store(
         spark, f"{store}/postings_inc", upto=1, dedup_cols=["term", "doc_id"]
     )
+    # the totals overlay folds under the SAME protocol — but with NO
+    # dedup_cols: every per-batch delta row must survive the merge
+    # (serving sums them), so n_docs/n_toks/max_dl stay exact
+    stats = compact_keyed_store(spark, f"{store}/totals_inc", upto=1)
+    assert stats["compacted"] and stats["partitions_after"] == 1
     after = {
         tuple(r)
         for r in retrieval.bm25_store_probe(
