@@ -6623,186 +6623,177 @@ WINDOW_AGING_EXCEPTIONS: dict = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50
-        # entries in registration order. Round-10 window (derived
+        # entries in registration order. Round-11 window (derived
         # mechanically by tools/window_order.py --emit-order from the
-        # committed CORRECTNESS_r*.json evidence): (a) the 4 round-9
-        # additions that have NEVER been driver-gated (local mirrors
-        # only; their r9 waivers expired), (b) the 45 queries whose
-        # newest driver evidence is r07 (expires at round-10 close).
-        # That fills 49 slots; the ONE slack slot (slot 50) holds
-        # semantic_dedup_hier_soft, whose assignment kernel changes
-        # this round (margin-pruned runner-up pool -- results must
-        # stay bit-identical, so it re-gates per the semantic_dedup
-        # r9 precedent). bm25_topk/bm25_serve also change this round
-        # (auto-decimal mode selection) but the change is a driver-side
-        # MODE CHOICE that resolves to the identical bigint path at
-        # gate scale (magnitudes far below the 2.1e11 bound), the
-        # scoring kernels are untouched, and both carry regenerated
-        # both-SF local-mirror evidence; their r08/r09 driver evidence
-        # rotates them back into the r11 window anyway. graph_bfs and
-        # dsir_select also change this round and are already in the
-        # window (slots 3-4). Run `python tools/window_order.py
+        # committed CORRECTNESS_r*.json evidence): ALL 50 slots are
+        # consumed by the 50 queries whose newest driver evidence is
+        # r08 (expires at round-11 close) -- ZERO slack slots this
+        # round. Consequence (binding for round 11): behavior-affecting
+        # changes are confined to these 50 in-window queries (their
+        # re-gate is free); result-affecting work on any OTHER query
+        # is deferred to round 12 (49 must-gate + 1 slack). The round-11
+        # semantic-decontamination extension therefore rides the
+        # IN-WINDOW `decontaminate` oracle (slot 30), not semantic_dedup
+        # (out of window at r10 age). Bit-identical refactors (e.g. the
+        # keyed-store auto-compaction trigger in the streaming ingests)
+        # carry regenerated both-SF local mirrors + local[7] runs per
+        # the house waiver discipline. Run `python tools/window_order.py
         # --check` before committing any registration change. ===
-        # -- (a) never driver-gated (round-9 additions, waivers expired)
-        "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,
-        "perplexity_filter": q_perplexity_filter,
-        "dsir_select": q_dsir_select,
-        "graph_bfs": q_graph_bfs,
-        # -- (b) r07-aged driver evidence (45, expires at round-10 close)
-        "token_freq_stats": q_token_freq_stats,
-        "roll_rate": q_roll_rate,
-        "unigram_segment": q_unigram_segment,
-        "stream_ann_ingest": q_stream_ann_ingest,
-        "sessionize": q_sessionize,
-        "reconcile_waterfall": q_reconcile_waterfall,
-        "stream_sessionize": q_stream_sessionize,
-        "generator_invariants": q_generator_invariants,
-        "dedup_embedding": q_dedup_embedding,
-        "variant_extract": q_variant_extract,
-        "try_arithmetic": q_try_arithmetic,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_quantize": q_embedding_quantize,
-        "ann_quantized": q_ann_quantized,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
-        "text_repetition": q_text_repetition,
-        "split_assign": q_split_assign,
-        "stratified_sample": q_stratified_sample,
-        "doc_chunks": q_doc_chunks,
-        "tfidf_topk": q_tfidf_topk,
-        "pii_scan": q_pii_scan,
-        "weighted_sample": q_weighted_sample,
-        "interval_join_agg": q_interval_join_agg,
-        "hypertable_rollup": q_hypertable_rollup,
-        "scd2_changelog": q_scd2_changelog,
-        "kmv_distinct": q_kmv_distinct,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_soft": q_semantic_dedup_soft,
-        "video_near_dups": q_video_near_dups,
-        "training_manifest": q_training_manifest,
-        "stream_corpus_ingest": q_stream_corpus_ingest,
-        "window_frames": q_window_frames,
-        "unpivot_measures": q_unpivot_measures,
-        "array_hof": q_array_hof,
-        "map_explode": q_map_explode,
-        "array_agg_sorted": q_array_agg_sorted,
-        "token_positions": q_token_positions,
-        # -- slack slot: code change this round (margin-pruned soft
-        #    assignment), re-gated though results are bit-identical
-        "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,
+        "nullsafe_join": q_nullsafe_join,  # r08
+        "retention_cohorts": q_retention_cohorts,  # r08
+        "profile_stats": q_profile_stats,  # r08
+        "bitmap_distinct": q_bitmap_distinct,  # r08
+        "grouping_sets_revenue": q_grouping_sets_revenue,  # r08
+        "dedup_exact": q_dedup_exact,  # r08
+        "triangle_count": q_triangle_count,  # r08
+        "udtf_sentences": q_udtf_sentences,  # r08
+        "dup_spans_keep_first": q_dup_spans_keep_first,  # r08
+        "ann_quantized_ivf": q_ann_quantized_ivf,  # r08
+        "pii_redact": q_pii_redact,  # r08
+        "bigram_fluency": q_bigram_fluency,  # r08
+        "kmeans": q_kmeans,  # r08
+        "ann_ivf_trained": q_ann_ivf_trained,  # r08
+        "dup_spans": q_dup_spans,  # r08
+        "dup_spans_removed": q_dup_spans_removed,  # r08
+        "corpus_pipeline": q_corpus_pipeline,  # r08
+        "value_histogram": q_value_histogram,  # r08
+        "ewma": q_ewma,  # r08
+        "rolling_distinct_users": q_rolling_distinct_users,  # r08
+        "correlated_subquery": q_correlated_subquery,  # r08
+        "exists_subquery": q_exists_subquery,  # r08
+        "window_ignore_nulls": q_window_ignore_nulls,  # r08
+        "vintage_mob": q_vintage_mob,  # r08
+        "cure_rate": q_cure_rate,  # r08
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,  # r08
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # r08
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # r08
+        "dedup_clusters": q_dedup_clusters,  # r08
+        "decontaminate": q_decontaminate,  # r08
+        "stg_projection": q_stg_projection,  # r08
+        "bucket_case": q_bucket_case,  # r08
+        "conditional_agg": q_conditional_agg,  # r08
+        "filter_scan": q_filter_scan,  # r08
+        "join_dim_agg": q_join_dim_agg,  # r08
+        "anti_join": q_anti_join,  # r08
+        "semi_join": q_semi_join,  # r08
+        "month_end_snapshot": q_month_end_snapshot,  # r08
+        "coalesce_nullif_arith": q_coalesce_nullif_arith,  # r08
+        "bpe_training_manifest": q_bpe_training_manifest,  # r08
+        "ann_pq_refine": q_ann_pq_refine,  # r08
+        "bm25_topk": q_bm25_topk,  # r08
+        "audio_near_dups": q_audio_near_dups,  # r08
+        "stream_pq_ingest": q_stream_pq_ingest,  # r08
+        "stream_vocab_refresh": q_stream_vocab_refresh,  # r08
+        "unigram_train": q_unigram_train,  # r08
+        "epoch_shuffle": q_epoch_shuffle,  # r08
+        "ann_pq": q_ann_pq,  # r08
+        "ann_pq_residual": q_ann_pq_residual,  # r08
+        "ann_index_serve": q_ann_index_serve,  # r08
         # ---- driver gate window (50) ends here ----
         # CAPACITY NOTE (still binding): at 149 queries the 50-slot x
-        # 3-round rotation has exactly ONE slack slot per round. Grow
-        # the contract surface by EXTENDING existing composite oracles
-        # (the dsir_select Gumbel extension this round is the model),
-        # not by adding entries, unless a slot is genuinely free.
-        # -- remainder, ascending evidence age (r08 first, then r09)
-        "nullsafe_join": q_nullsafe_join,
-        "retention_cohorts": q_retention_cohorts,
-        "profile_stats": q_profile_stats,
-        "bitmap_distinct": q_bitmap_distinct,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "dedup_exact": q_dedup_exact,
-        "triangle_count": q_triangle_count,
-        "udtf_sentences": q_udtf_sentences,
-        "dup_spans_keep_first": q_dup_spans_keep_first,
-        "ann_quantized_ivf": q_ann_quantized_ivf,
-        "pii_redact": q_pii_redact,
-        "bigram_fluency": q_bigram_fluency,
-        "kmeans": q_kmeans,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "dup_spans": q_dup_spans,
-        "dup_spans_removed": q_dup_spans_removed,
-        "corpus_pipeline": q_corpus_pipeline,
-        "value_histogram": q_value_histogram,
-        "ewma": q_ewma,
-        "rolling_distinct_users": q_rolling_distinct_users,
-        "correlated_subquery": q_correlated_subquery,
-        "exists_subquery": q_exists_subquery,
-        "window_ignore_nulls": q_window_ignore_nulls,
-        "vintage_mob": q_vintage_mob,
-        "cure_rate": q_cure_rate,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "decontaminate": q_decontaminate,
-        "stg_projection": q_stg_projection,
-        "bucket_case": q_bucket_case,
-        "conditional_agg": q_conditional_agg,
-        "filter_scan": q_filter_scan,
-        "join_dim_agg": q_join_dim_agg,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "month_end_snapshot": q_month_end_snapshot,
-        "coalesce_nullif_arith": q_coalesce_nullif_arith,
-        "bpe_training_manifest": q_bpe_training_manifest,
-        "ann_pq_refine": q_ann_pq_refine,
-        "bm25_topk": q_bm25_topk,
-        "audio_near_dups": q_audio_near_dups,
-        "stream_pq_ingest": q_stream_pq_ingest,
-        "stream_vocab_refresh": q_stream_vocab_refresh,
-        "unigram_train": q_unigram_train,
-        "epoch_shuffle": q_epoch_shuffle,
-        "ann_pq": q_ann_pq,
-        "ann_pq_residual": q_ann_pq_residual,
-        "ann_index_serve": q_ann_index_serve,
-        "asof_join": q_asof_join,
-        "cube_revenue": q_cube_revenue,
-        "grouped_pandas_stats": q_grouped_pandas_stats,
-        "grouped_pandas_wavg": q_grouped_pandas_wavg,
-        "json_extract": q_json_extract,
-        "pagerank": q_pagerank,
-        "pivot_monthly": q_pivot_monthly,
-        "pricing_summary": q_pricing_summary,
-        "range_window": q_range_window,
-        "region_revenue": q_region_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "running_total": q_running_total,
-        "set_ops": q_set_ops,
-        "skew_salted_agg": q_skew_salted_agg,
-        "stream_distinct_keys": q_stream_distinct_keys,
-        "stream_enriched_agg": q_stream_enriched_agg,
-        "stream_session_window": q_stream_session_window,
-        "stream_stream_join": q_stream_stream_join,
-        "stream_windowed_agg": q_stream_windowed_agg,
-        "top_revenue_orders": q_top_revenue_orders,
-        "topk_per_group": q_topk_per_group,
-        "value_percentiles": q_value_percentiles,
-        "window_variety": q_window_variety,
-        "image_near_dups": q_image_near_dups,
-        "bpe_pack": q_bpe_pack,
-        "quality_classifier": q_quality_classifier,
-        "simhash_pairs": q_simhash_pairs,
-        "mixture_weights": q_mixture_weights,
-        "pack_chunks": q_pack_chunks,
-        "bpe_segment": q_bpe_segment,
-        "bpe_merges": q_bpe_merges,
-        "stream_dedup_ingest": q_stream_dedup_ingest,
-        "mixture_apply": q_mixture_apply,
-        "stream_bpe_ingest": q_stream_bpe_ingest,
-        "pack_manifest": q_pack_manifest,
-        "cdc_upsert": q_cdc_upsert,
-        "gap_fill_daily": q_gap_fill_daily,
-        "full_outer_recon": q_full_outer_recon,
-        "fuzzy_name_match": q_fuzzy_name_match,
-        "dedup_incremental": q_dedup_incremental,
-        "funnel_stages": q_funnel_stages,
-        "median_mode": q_median_mode,
-        "simhash": q_simhash,
-        "decontaminate_store": q_decontaminate_store,
-        "cluster_sample": q_cluster_sample,
-        "token_budget_sample": q_token_budget_sample,
-        "semantic_dedup_hier": q_semantic_dedup_hier,
-        "bm25_serve": q_bm25_serve,
-        "stream_postings_ingest": q_stream_postings_ingest,
+        # 3-round rotation has AT MOST one slack slot per round (zero
+        # this round). Grow the contract surface by EXTENDING existing
+        # composite oracles (dsir_select's Gumbel extension, r10), not
+        # by adding entries, unless a slot is genuinely free.
+        "asof_join": q_asof_join,  # r09
+        "cube_revenue": q_cube_revenue,  # r09
+        "grouped_pandas_stats": q_grouped_pandas_stats,  # r09
+        "grouped_pandas_wavg": q_grouped_pandas_wavg,  # r09
+        "json_extract": q_json_extract,  # r09
+        "pagerank": q_pagerank,  # r09
+        "pivot_monthly": q_pivot_monthly,  # r09
+        "pricing_summary": q_pricing_summary,  # r09
+        "range_window": q_range_window,  # r09
+        "region_revenue": q_region_revenue,  # r09
+        "rollup_revenue": q_rollup_revenue,  # r09
+        "running_total": q_running_total,  # r09
+        "set_ops": q_set_ops,  # r09
+        "skew_salted_agg": q_skew_salted_agg,  # r09
+        "stream_distinct_keys": q_stream_distinct_keys,  # r09
+        "stream_enriched_agg": q_stream_enriched_agg,  # r09
+        "stream_session_window": q_stream_session_window,  # r09
+        "stream_stream_join": q_stream_stream_join,  # r09
+        "stream_windowed_agg": q_stream_windowed_agg,  # r09
+        "top_revenue_orders": q_top_revenue_orders,  # r09
+        "topk_per_group": q_topk_per_group,  # r09
+        "value_percentiles": q_value_percentiles,  # r09
+        "window_variety": q_window_variety,  # r09
+        "image_near_dups": q_image_near_dups,  # r09
+        "bpe_pack": q_bpe_pack,  # r09
+        "quality_classifier": q_quality_classifier,  # r09
+        "simhash_pairs": q_simhash_pairs,  # r09
+        "mixture_weights": q_mixture_weights,  # r09
+        "pack_chunks": q_pack_chunks,  # r09
+        "bpe_segment": q_bpe_segment,  # r09
+        "bpe_merges": q_bpe_merges,  # r09
+        "stream_dedup_ingest": q_stream_dedup_ingest,  # r09
+        "mixture_apply": q_mixture_apply,  # r09
+        "stream_bpe_ingest": q_stream_bpe_ingest,  # r09
+        "pack_manifest": q_pack_manifest,  # r09
+        "cdc_upsert": q_cdc_upsert,  # r09
+        "gap_fill_daily": q_gap_fill_daily,  # r09
+        "full_outer_recon": q_full_outer_recon,  # r09
+        "fuzzy_name_match": q_fuzzy_name_match,  # r09
+        "dedup_incremental": q_dedup_incremental,  # r09
+        "funnel_stages": q_funnel_stages,  # r09
+        "median_mode": q_median_mode,  # r09
+        "simhash": q_simhash,  # r09
+        "decontaminate_store": q_decontaminate_store,  # r09
+        "cluster_sample": q_cluster_sample,  # r09
+        "token_budget_sample": q_token_budget_sample,  # r09
+        "semantic_dedup_hier": q_semantic_dedup_hier,  # r09
+        "bm25_serve": q_bm25_serve,  # r09
+        "stream_postings_ingest": q_stream_postings_ingest,  # r09
+        "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,  # r10
+        "perplexity_filter": q_perplexity_filter,  # r10
+        "dsir_select": q_dsir_select,  # r10
+        "graph_bfs": q_graph_bfs,  # r10
+        "token_freq_stats": q_token_freq_stats,  # r10
+        "roll_rate": q_roll_rate,  # r10
+        "unigram_segment": q_unigram_segment,  # r10
+        "stream_ann_ingest": q_stream_ann_ingest,  # r10
+        "sessionize": q_sessionize,  # r10
+        "reconcile_waterfall": q_reconcile_waterfall,  # r10
+        "stream_sessionize": q_stream_sessionize,  # r10
+        "generator_invariants": q_generator_invariants,  # r10
+        "dedup_embedding": q_dedup_embedding,  # r10
+        "variant_extract": q_variant_extract,  # r10
+        "try_arithmetic": q_try_arithmetic,  # r10
+        "ann_brute_force": q_ann_brute_force,  # r10
+        "ann_lsh": q_ann_lsh,  # r10
+        "ann_ivf": q_ann_ivf,  # r10
+        "embedding_quantize": q_embedding_quantize,  # r10
+        "ann_quantized": q_ann_quantized,  # r10
+        "multimodal_meta": q_multimodal_meta,  # r10
+        "multimodal_features": q_multimodal_features,  # r10
+        "multimodal_frames": q_multimodal_frames,  # r10
+        "lang_id": q_lang_id,  # r10
+        "text_quality": q_text_quality,  # r10
+        "token_counts": q_token_counts,  # r10
+        "fingerprints": q_fingerprints,  # r10
+        "text_repetition": q_text_repetition,  # r10
+        "split_assign": q_split_assign,  # r10
+        "stratified_sample": q_stratified_sample,  # r10
+        "doc_chunks": q_doc_chunks,  # r10
+        "tfidf_topk": q_tfidf_topk,  # r10
+        "pii_scan": q_pii_scan,  # r10
+        "weighted_sample": q_weighted_sample,  # r10
+        "interval_join_agg": q_interval_join_agg,  # r10
+        "hypertable_rollup": q_hypertable_rollup,  # r10
+        "scd2_changelog": q_scd2_changelog,  # r10
+        "kmv_distinct": q_kmv_distinct,  # r10
+        "semantic_dedup": q_semantic_dedup,  # r10
+        "semantic_dedup_soft": q_semantic_dedup_soft,  # r10
+        "video_near_dups": q_video_near_dups,  # r10
+        "training_manifest": q_training_manifest,  # r10
+        "stream_corpus_ingest": q_stream_corpus_ingest,  # r10
+        "window_frames": q_window_frames,  # r10
+        "unpivot_measures": q_unpivot_measures,  # r10
+        "array_hof": q_array_hof,  # r10
+        "map_explode": q_map_explode,  # r10
+        "array_agg_sorted": q_array_agg_sorted,  # r10
+        "token_positions": q_token_positions,  # r10
+        "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,  # r10
     }
 
 
