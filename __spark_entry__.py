@@ -999,6 +999,13 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_est=0.25,
             seed=MINHASH_SEED,
             dedup_within_batch=True,
+            # the in-loop store-compaction trigger (r10 stage attribution
+            # put the store LISTING at 10.0 of 28.0 timed-stage seconds;
+            # r11 wires the trigger). Fires once here (batch 2 folds the
+            # two committed partitions); admitted rows are bit-identical
+            # with or without it — parity pinned in
+            # tests/test_stream_corpus_ingest.py
+            auto_compact_partitions=2,
             # attribution hook (tools/isolated_bench.py --stages): None
             # in every gate/bench run, so the production path is
             # untouched there

@@ -24,10 +24,36 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibration(spark) -> float:
+    """Fixed micro-query (min-of-3 wall for a 10M-row range sum) whose cost
+    depends only on the machine, never on this repo's code.  Recorded at run
+    start AND end so a loaded-machine run is self-adjudicating: if the
+    calibration walls are inflated vs prior rounds' records, a total-time
+    swing is host contention, not a regression (round 10's 428.6 s vs the
+    quiesced 332.4 s was adjudicable only by cross-artifact forensics)."""
+    import pyspark.sql.functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10_000_000).select(F.sum("id")).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
+
+    load_start = _loadavg()
 
     # warm-up: JIT/codegen + parquet footer/page caches for EVERY table, not
     # measured — per-query timings then reflect plan cost, not first-touch IO
@@ -37,6 +63,8 @@ def main() -> None:
     ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         _materialize(spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1000))
+
+    calib_start = _calibration(spark)
 
     # three passes per query, keep the min: single-run numbers swing +-2x
     # from JVM/GC and host-contention noise at this scale; min-of-3 reports
@@ -97,6 +125,19 @@ def main() -> None:
             spark.catalog.clearCache()
         prod_timings[name] = round(best, 3)
 
+    calib_end = _calibration(spark)
+    load_end = _loadavg()
+    # machine-state telemetry: the calibration walls bracket the run with a
+    # code-independent yardstick; loadavg records host contention directly.
+    # A future reader compares calibration against prior rounds' sidecars —
+    # inflated calibration + inflated total = noisy host, not a regression.
+    telemetry = {
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "calibration_range_sum_sec_start": calib_start,
+        "calibration_range_sum_sec_end": calib_end,
+    }
+
     total = round(sum(timings.values()), 3)
     # The driver captures only a short tail of stdout; a 98-entry queries
     # dict overflows it and parses as null (round-1 BENCH had "parsed": null).
@@ -112,6 +153,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "production_mode": prod_timings,
+                "machine": telemetry,
                 "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             },
@@ -130,6 +172,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "n_queries": len(timings),
+                "machine": telemetry,
                 "details": "bench_details.json",
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

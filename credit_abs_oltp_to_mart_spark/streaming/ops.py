@@ -552,6 +552,7 @@ def stream_dedup_ingest(
     broadcast_batch: bool = True,
     dedup_within_batch: bool = False,
     store_prebanded: bool = False,
+    auto_compact_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming corpus ingest with incremental dedup against a GROWING
     signature store — the 100 TB continuous-ingest shape, composing the
@@ -604,11 +605,17 @@ def stream_dedup_ingest(
     plain partitioned parquet — restartable, auditable, DFS-friendly
     (probed via the reader, not driver-local filesystem calls), and
     shared with the batch pipeline's ``minhash_signatures`` writer.
+    ``auto_compact_partitions`` arms the between-batches compaction
+    trigger (``maintenance.maybe_compact_keyed_store``): when the store
+    exceeds that many ``batch=`` partitions, the COMMITTED ones fold into
+    one — results are bit-identical either way (the trigger only buys
+    back the per-batch store-listing cost a long ingest accretes).
     """
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
     from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
         resume_pending_compaction,
     )
 
@@ -687,6 +694,13 @@ def stream_dedup_ingest(
             surv_sigs.write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
+            if auto_compact_partitions is not None:
+                maybe_compact_keyed_store(
+                    sess,
+                    store_dir,
+                    commits_dir=os.path.join(ck_dir, "commits"),
+                    max_partitions=auto_compact_partitions,
+                )
         finally:
             batch_sigs.unpersist()
             batch_df.unpersist()
@@ -745,6 +759,7 @@ def stream_corpus_ingest(
     return_packed: bool = False,
     return_segmented: bool = False,
     stage_times: dict | None = None,
+    auto_compact_partitions: int | None = None,
 ) -> DataFrame:
     """The COMPLETE incremental corpus pipeline per arriving micro-batch —
     the actual shape of a continuous 100 TB pretraining ingest, composing
@@ -849,7 +864,15 @@ def stream_corpus_ingest(
     count on the two persisted frames, an extra checkpoint after the
     dedup anti-join), so the per-stage SUM slightly exceeds the
     untimed run's wall — use it to attribute cost, never as the
-    headline number."""
+    headline number.
+
+    ``auto_compact_partitions`` arms the between-batches signature-store
+    compaction trigger (``maintenance.maybe_compact_keyed_store``) —
+    the round-10 stage attribution put the store's per-batch file
+    listing at 10.0 of this pipeline's 28.0 timed-stage seconds, and
+    the existing ``compact_signature_store`` had no caller inside the
+    loop. Fires after the batch's sinks are written, folds COMMITTED
+    partitions only; admitted output is bit-identical either way."""
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
@@ -860,6 +883,7 @@ def stream_corpus_ingest(
     )
     from credit_abs_oltp_to_mart_spark.plans.corpus import filter_documents
     from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
         resume_pending_compaction,
     )
 
@@ -1128,6 +1152,14 @@ def stream_corpus_ingest(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
             t0 = _mark("store_write", t0)
+            if auto_compact_partitions is not None:
+                maybe_compact_keyed_store(
+                    sess,
+                    store_dir,
+                    commits_dir=os.path.join(ck_dir, "commits"),
+                    max_partitions=auto_compact_partitions,
+                )
+                t0 = _mark("auto_compact", t0)
             # between-batches hook: metrics, store compaction triggers,
             # or landing a new eval suite (add_eval_suite) that the NEXT
             # batch's re-pin picks up — runs after this batch's sinks
@@ -1184,6 +1216,7 @@ def stream_ann_ingest(
     levels: int = 256,
     vec_col: str = "embedding",
     codebook_as_literals: bool | None = None,
+    auto_compact_partitions: int | None = None,
 ) -> DataFrame:
     """Continuous maintenance of the persisted IVF index
     (``ann.build_ivf_index``): micro-batches of NEW vectors are assigned
@@ -1208,13 +1241,17 @@ def stream_ann_ingest(
     ``ann.ivf_index_probe(..., include_incremental=True)`` serves base
     UNION incremental; ``sources.maintenance.compact_keyed_store`` folds
     the accreting batch partitions (they are exactly its contract:
-    batch-keyed, ingest_batch in-file). The codebook is loaded ONCE per
+    batch-keyed, ingest_batch in-file), automatically between batches
+    when ``auto_compact_partitions`` is set (committed partitions only —
+    an uncommitted batch's replay still byte-identically overwrites its
+    own untouched partition). The codebook is loaded ONCE per
     run — O(k*dim) — and shipped into every batch through the shared
     literal/broadcast kernel.
 
     Returns (vec_id, cluster, ingest_batch) for everything ingested."""
     from credit_abs_oltp_to_mart_spark.operators import ann as A
     from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
         resume_pending_compaction,
     )
 
@@ -1245,6 +1282,13 @@ def stream_ann_ingest(
             .write.mode("overwrite")
             .parquet(os.path.join(inc_dir, f"batch={batch_id}"))
         )
+        if auto_compact_partitions is not None:
+            maybe_compact_keyed_store(
+                batch_df.sparkSession,
+                inc_dir,
+                commits_dir=os.path.join(ck_dir, "commits"),
+                max_partitions=auto_compact_partitions,
+            )
 
     stream = (
         spark.readStream.schema(schema)
@@ -1272,6 +1316,7 @@ def stream_pq_ingest(
     schema,
     vec_col: str = "embedding",
     codebook_as_literals: bool | None = None,
+    auto_compact_partitions: int | None = None,
 ) -> DataFrame:
     """Continuous maintenance of the persisted IVF-PQ index
     (``ann.build_pq_index``) — the product-quantized twin of
@@ -1290,16 +1335,22 @@ def stream_pq_ingest(
     a crash replay rewrites byte-identical data over its own partition —
     idempotent without an exclusion dance.
     ``ann.pq_index_probe(..., include_incremental=True)`` serves base
-    UNION incremental with read-your-latest dedup. Returns
+    UNION incremental with read-your-latest dedup.
+    ``auto_compact_partitions`` arms the between-batches trigger over
+    BOTH accreting stores (``postings_inc`` and, when the index carries
+    a refine tier, ``refine_inc`` — committed partitions only). Returns
     (vec_id, cluster, ingest_batch) for everything ingested."""
     from credit_abs_oltp_to_mart_spark.operators import ann as A
     from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
         resume_pending_compaction,
     )
 
     inc_dir = os.path.join(index_dir, "postings_inc")
+    refine_dir = os.path.join(index_dir, "refine_inc")
     ck_dir = os.path.join(index_dir, "ingest_checkpoint")
     resume_pending_compaction(spark, inc_dir)
+    resume_pending_compaction(spark, refine_dir)
     loaded = A.load_pq_index(spark, index_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -1311,6 +1362,15 @@ def stream_pq_ingest(
             codebook_as_literals=codebook_as_literals,
             loaded=loaded,
         )
+        if auto_compact_partitions is not None:
+            sess = batch_df.sparkSession
+            for store in (inc_dir, refine_dir):
+                maybe_compact_keyed_store(
+                    sess,
+                    store,
+                    commits_dir=os.path.join(ck_dir, "commits"),
+                    max_partitions=auto_compact_partitions,
+                )
 
     stream = (
         spark.readStream.schema(schema)
@@ -1467,6 +1527,7 @@ def stream_postings_ingest(
     *,
     schema,
     text_col: str = "text",
+    auto_compact_partitions: int | None = None,
 ) -> DataFrame:
     """Continuous maintenance of the persisted BM25 postings store
     (``retrieval.build_postings_store``) — the retrieval twin of
@@ -1489,11 +1550,14 @@ def stream_postings_ingest(
     base UNION overlay with read-your-latest dedup;
     ``sources.maintenance.compact_keyed_store`` folds the accreting
     batch partitions (their exact contract: batch-keyed, ingest_batch
-    in-file). A store REBUILD clears the overlay + this checkpoint.
+    in-file), automatically between batches over BOTH stores when
+    ``auto_compact_partitions`` is set (committed partitions only). A
+    store REBUILD clears the overlay + this checkpoint.
 
     Returns (doc_id, ingest_batch, n_terms) for everything ingested."""
     from credit_abs_oltp_to_mart_spark.operators import retrieval as R
     from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
         resume_pending_compaction,
     )
 
@@ -1519,6 +1583,15 @@ def stream_postings_ingest(
             .write.mode("overwrite")
             .parquet(os.path.join(tot_dir, f"batch={batch_id}"))
         )
+        if auto_compact_partitions is not None:
+            sess = batch_df.sparkSession
+            for store in (inc_dir, tot_dir):
+                maybe_compact_keyed_store(
+                    sess,
+                    store,
+                    commits_dir=os.path.join(ck_dir, "commits"),
+                    max_partitions=auto_compact_partitions,
+                )
 
     stream = (
         spark.readStream.schema(schema)

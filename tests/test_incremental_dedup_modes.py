@@ -303,6 +303,101 @@ def test_compaction_resume_falls_through_to_fresh_merge(spark, tmp_path):
     assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == before
 
 
+def test_auto_compaction_triggers_inside_ingest_loop(spark, tmp_path):
+    """auto_compact_partitions arms the in-loop trigger: once the store
+    exceeds the threshold, COMMITTED partitions fold between batches,
+    and the survivor set is bit-identical to an untriggered run (the
+    trigger only buys back listing cost, never rows)."""
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    batches = [
+        [Row(doc_id=1, text=TEXT_A), Row(doc_id=2, text=TEXT_B)],
+        [Row(doc_id=10, text=TEXT_A), Row(doc_id=11, text=TEXT_C)],
+        [Row(doc_id=20, text=TEXT_B), Row(doc_id=21, text="totally fresh words nobody wrote down yet")],
+        [Row(doc_id=30, text=TEXT_C), Row(doc_id=31, text="another genuinely novel sentence of unseen grams")],
+    ]
+    results = {}
+    for k_auto in (None, 1):
+        src = tmp_path / f"auto_slices_{k_auto}"
+        out = str(tmp_path / f"auto_out_{k_auto}")
+        for i, rows in enumerate(batches):
+            _land(spark, src, schema, i, rows, t0)
+        results[k_auto] = _rows(
+            streaming.stream_dedup_ingest(
+                spark, f"{src}/b*", out, schema=schema, min_est=0.25,
+                auto_compact_partitions=k_auto,
+            )
+        )
+        n_parts = len([
+            d
+            for d in os.listdir(os.path.join(out, "signature_store"))
+            if d.startswith("batch=")
+        ])
+        if k_auto is None:
+            assert n_parts == 4  # one partition per batch, nothing folds
+        else:
+            # the trigger fired mid-loop: committed partitions folded
+            # (the in-flight batch's own partition is never eligible)
+            assert n_parts < 4
+    assert results[1] == results[None] == {
+        (1, 0), (2, 0), (11, 1), (21, 2), (31, 3),
+    }
+
+
+def test_auto_compaction_then_crash_replay_is_idempotent(spark, tmp_path):
+    """The compaction-mid-stream crash window: the trigger fires inside
+    batch N's foreachBatch (folding committed partitions < N), then the
+    run dies BEFORE batch N's checkpoint commit. The replay must still
+    find its own batch=<N> partition to exclude (it was uncommitted, so
+    the fold never touched it) and must dedup correctly against the
+    now-FOLDED earlier history."""
+    src = tmp_path / "auto_replay_slices"
+    out = str(tmp_path / "auto_replay_out")
+    store = os.path.join(out, "signature_store")
+    schema = spark.createDataFrame([Row(doc_id=1, text=TEXT_A)]).schema
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=TEXT_A)], t0)
+    _land(spark, src, schema, 1, [Row(doc_id=11, text=TEXT_B)], t0)
+    # batch 2 holds a dup of batch 0 (20~A: drops), a fresh doc (21),
+    # and lands with the trigger armed low enough that ITS apply folds
+    # batches 0-1 into batch=1 before the crash
+    _land(spark, src, schema, 2,
+          [Row(doc_id=20, text=TEXT_A), Row(doc_id=21, text=TEXT_C)], t0)
+    first = _rows(
+        streaming.stream_dedup_ingest(
+            spark, f"{src}/b*", out, schema=schema, min_est=0.25,
+            auto_compact_partitions=1,
+        )
+    )
+    assert first == {(1, 0), (11, 1), (21, 2)}
+    # batch 2's apply folded the two committed partitions; its own
+    # partition survived the fold
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch=")
+    ) == ["batch=1", "batch=2"]
+
+    # crash window: batch 2's sinks + compaction done, commit log not
+    commits = os.path.join(out, "checkpoint", "commits")
+    os.remove(os.path.join(commits, "2"))
+    crc = os.path.join(commits, ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _land(spark, src, schema, 3,
+          [Row(doc_id=30, text=TEXT_C),
+           Row(doc_id=31, text="totally fresh words nobody wrote down yet")],
+          t0)
+    second = _rows(
+        streaming.stream_dedup_ingest(
+            spark, f"{src}/b*", out, schema=schema, min_est=0.25,
+            auto_compact_partitions=1,
+        )
+    )
+    # batch 2 replayed idempotently against the folded store (same two
+    # verdicts), then batch 3 deduped against the replay-consistent
+    # store (30~C drops against 21, 31 is fresh)
+    assert second == {(1, 0), (11, 1), (21, 2), (31, 3)}
+
+
 @pytest.mark.parametrize("broadcast_batch", [True, False])
 def test_stream_dedup_ingest_modes_agree(spark, tmp_path, broadcast_batch):
     """The join-physics knob threads through the streaming ingest without

@@ -139,6 +139,56 @@ def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     assert len(again) == len(set(again))  # no duplicated survivor rows
 
 
+def test_stream_corpus_ingest_auto_compaction_parity(spark, tmp_path):
+    """auto_compact_partitions threads through the full corpus pipeline
+    without changing the admitted set or the packed shards: the in-loop
+    signature-store compaction (fires during batch 2's apply here, after
+    the sinks, folding the two committed partitions) is invisible to
+    every downstream consumer."""
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+    gram_store = str(tmp_path / "eval_grams")
+    build_eval_gram_store(
+        spark.createDataFrame([Row(doc_id=900, text=EVAL_DOC)], schema)
+    ).write.parquet(gram_store)
+    t0 = _time.time() - 120
+    batches = [
+        [Row(doc_id=1, text=GOOD_A), Row(doc_id=2, text=JUNK)],
+        [Row(doc_id=10, text=DUP_A), Row(doc_id=12, text=FRESH)],
+        [Row(doc_id=20, text=EVAL_DOC), Row(doc_id=21, text=FRESH),
+         Row(doc_id=22, text=GOOD_A)],
+    ]
+    results, packed = {}, {}
+    for k_auto in (None, 2):
+        src = tmp_path / f"auto_slices_{k_auto}"
+        out = str(tmp_path / f"auto_out_{k_auto}")
+        for i, rows in enumerate(batches):
+            _land(spark, src, schema, i, rows, t0)
+        results[k_auto] = {
+            tuple(r)
+            for r in streaming.stream_corpus_ingest(
+                spark, f"{src}/b*", out, schema=schema,
+                gram_store_path=gram_store, min_est=0.25, chunk_tokens=8,
+                dedup_within_batch=True, auto_compact_partitions=k_auto,
+            ).collect()
+        }
+        packed[k_auto] = {
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(out, "packed"))
+            .drop("batch").collect()
+        }
+        store = os.path.join(out, "signature_store")
+        n_parts = len(
+            [d for d in os.listdir(store) if d.startswith("batch=")]
+        )
+        assert n_parts == (3 if k_auto is None else 2)
+    assert results[2] == results[None]
+    assert packed[2] == packed[None]
+    n_a = -(-len(GOOD_A.split()) // 8)
+    n_f = -(-len(FRESH.split()) // 8)
+    # 1 admitted; 10/22 store-dups, 20 decontam, 21 dup of 12
+    assert results[2] == {(1, 0, n_a), (12, 1, n_f)}
+
+
 def test_stream_corpus_ingest_prebanded_store_agrees(spark, tmp_path):
     """store_prebanded=True: identical admitted set + chunk counts, with
     band_key baked into the signature-store partitions (bands rows per
