@@ -1734,7 +1734,60 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curation.decontaminate(_t(spark, sf_dir, "documents"))
+    """Both decontamination axes per eval doc in one contract row (the
+    round-11 oracle extension — capacity-safe growth per the dsir_select
+    Gumbel precedent, zero new contract entries):
+
+    * n-gram (verbatim leakage): share of the eval doc's word 5-grams
+      present anywhere in the train split (``curation.decontaminate``);
+    * semantic (paraphrase leakage): count + max cosine of TRAIN vectors
+      sharing the eval doc's k-means cluster within the
+      ``EMB_NEAR_DUP_THRESHOLD`` — ``curation.semantic_contamination_
+      pairs``, the SemDeDup cluster restriction applied cross-set, with
+      the same Lloyd rounds as the kmeans/semantic_dedup contracts and
+      the doc_id<->vec_id identity the embeddings table carries.
+
+    The production TRAIN-side drop verdict (``semantic_decontaminate``)
+    rides the same pair kernel — planted-paraphrase drop + plan gates in
+    tests/test_semantic_decontam.py."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import (
+        TRAIN_PCT,
+        split_bucket,
+    )
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_assign
+
+    ng = curation.decontaminate(_t(spark, sf_dir, "documents"))
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(
+        emb, init_ids=KMEANS_INIT_IDS, iterations=KMEANS_ITERS
+    )
+    b = split_bucket(F.col("vec_id"), "split:")
+    sem = (
+        curation.semantic_contamination_pairs(
+            emb.where(b < TRAIN_PCT),
+            emb.where(b >= TRAIN_PCT),
+            assign,
+            threshold=EMB_NEAR_DUP_THRESHOLD,
+        )
+        .groupBy(F.col("eval_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_sem_hits"),
+            F.max("cosine").alias("max_train_cosine"),
+        )
+    )
+    return ng.join(F.broadcast(sem), "doc_id", "left").select(
+        "doc_id",
+        "split",
+        "n_grams",
+        "n_contaminated",
+        "contamination",
+        F.coalesce(F.col("n_sem_hits"), F.lit(0)).cast("int").alias(
+            "n_sem_hits"
+        ),
+        F.coalesce(F.col("max_train_cosine"), F.lit(0.0)).alias(
+            "max_train_cosine"
+        ),
+    )
 
 
 def q_decontaminate_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2857,9 +2910,15 @@ def _ngram_cte(n: int) -> str:
 
 
 def _decontaminate_oracle() -> str:
+    """Round-11 extension: the n-gram replay plus the SEMANTIC axis —
+    the Lloyd-replay CTEs (shared with the kmeans/semantic_dedup oracles)
+    feed a cross-split shared-cluster cosine pair set; per eval doc, the
+    count and max cosine of train vectors within the threshold."""
     t = curation.TRAIN_PCT
+    cos = _COSINE.format(a="ea.ve", b="eb.ve")
     return f"""
-    with {_ngram_cte(curation.DECONTAM_N)},
+    {_kmeans_ctes(KMEANS_ITERS)},
+    {_ngram_cte(curation.DECONTAM_N)},
     splits as (
       select doc_id,
              case when {_split_bucket_sql("split:")} < {t} then 'train'
@@ -2874,11 +2933,31 @@ def _decontaminate_oracle() -> str:
     tg as (select distinct gram from g where is_train = 'train'),
     ev as (select doc_id, split, gram from g where is_train <> 'train'),
     hits as (select doc_id, count(*) as c from ev join tg using (gram) group by 1),
-    tot as (select doc_id, split, count(*) as n from ev group by 1, 2)
+    tot as (select doc_id, split, count(*) as n from ev group by 1, 2),
+    e2 as (select vec_id, embedding::DOUBLE[] as ve from embeddings),
+    vb as (select vid, (('0x' || substr(md5('split:' || vid::varchar), 1, 15))
+                        ::bigint % {curation.SPLIT_BUCKETS}) as b
+           from a{KMEANS_ITERS}),
+    sem_pairs as (
+      select x.vid as train_id, y.vid as eval_id, {cos} as cosine
+      from a{KMEANS_ITERS} x
+      join a{KMEANS_ITERS} y on x.cluster = y.cluster
+      join vb bx on bx.vid = x.vid
+      join vb bz on bz.vid = y.vid
+      join e2 ea on ea.vec_id = x.vid
+      join e2 eb on eb.vec_id = y.vid
+      where bx.b < {t} and bz.b >= {t}),
+    sem as (select eval_id as doc_id, count(*)::int as n_sem_hits,
+                   max(cosine) as mc
+            from sem_pairs where cosine >= {EMB_NEAR_DUP_THRESHOLD}
+            group by 1)
     select tot.doc_id, tot.split, n::int as n_grams,
            coalesce(c, 0)::int as n_contaminated,
-           round(coalesce(c, 0)::double / n, 6) as contamination
+           round(coalesce(c, 0)::double / n, 6) as contamination,
+           coalesce(n_sem_hits, 0)::int as n_sem_hits,
+           coalesce(mc, 0.0)::double as max_train_cosine
     from tot left join hits on hits.doc_id = tot.doc_id
+    left join sem on sem.doc_id = tot.doc_id
     """
 
 

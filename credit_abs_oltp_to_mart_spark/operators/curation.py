@@ -318,6 +318,131 @@ def decontaminate_against_store(
     )
 
 
+def semantic_contamination_pairs(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    assignments: DataFrame,
+    *,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    target_block_rows: int = 4096,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Embedding-space (paraphrase-level) contamination candidates: every
+    (train vector, eval vector) pair that shares a k-means cluster with
+    cosine >= ``threshold`` — the cross-set twin of ``dedup.semantic_dedup``
+    (SemDeDup, Abbas et al. 2023), closing the gap n-gram decontamination
+    provably has: ``decontaminate``/``decontaminate_against_store`` catch
+    verbatim eval leakage, but a paraphrased eval passage shares few word
+    5-grams while sitting near the original in embedding space.
+
+    Candidate generation is the SemDeDup cluster restriction: an EQUI-JOIN
+    on the cluster id between the two sets' block frames, never all-pairs
+    (the clustering is the recall/cost dial, exactly as in semantic
+    dedup; pass a soft/hier assignment frame for boundary recall).
+    ``assignments`` is ONE (vec_id, cluster) frame covering BOTH id
+    spaces — both sets must be assigned against the SAME codebook or the
+    cluster restriction is meaningless. Within a cluster, both sides
+    split into bounded collect_list blocks
+    (``ceil(size / target_block_rows)``) and the cross blocked-GEMM
+    kernel scores them — ``dedup._blocked_cross_cosine_kernel``, emitting
+    (train_id, eval_id, cosine) with the oracle-exact 6 dp rounding.
+
+    ``broadcast_eval=True`` (default): eval suites are small and fixed,
+    so the eval block frame ships to every executor and the train side is
+    joined without a shuffle on the cluster key. ``=False`` is the
+    oversized-eval fallback (plain hash join)."""
+    from credit_abs_oltp_to_mart_spark.operators.dedup import (
+        _blocked_cross_cosine_kernel,
+    )
+
+    def _blocks(emb: DataFrame, rows_alias: str) -> DataFrame:
+        tagged = assignments.join(
+            emb.select(F.col("vec_id"), F.col(vec_col).alias("v")), "vec_id"
+        )
+        sizes = tagged.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csz"))
+        return (
+            tagged.join(F.broadcast(sizes), "cluster")
+            .select(
+                "cluster",
+                "vec_id",
+                "v",
+                F.pmod(
+                    F.col("vec_id"),
+                    F.ceil(F.col("__csz") / F.lit(target_block_rows)),
+                ).cast("int").alias("blk"),
+            )
+            .groupBy("cluster", "blk")
+            .agg(F.collect_list(F.struct("vec_id", "v")).alias(rows_alias))
+            .drop("blk")
+        )
+
+    a = _blocks(train_emb, "rows_a")
+    b = _blocks(eval_emb, "rows_b")
+    if broadcast_eval:
+        b = F.broadcast(b)
+    return a.join(b, "cluster").mapInPandas(
+        _blocked_cross_cosine_kernel(threshold),
+        "id_a long, id_b long, cosine double",
+    ).select(
+        F.col("id_a").alias("train_id"),
+        F.col("id_b").alias("eval_id"),
+        "cosine",
+    )
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    assignments: DataFrame,
+    *,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    target_block_rows: int = 4096,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-TRAIN-vector semantic decontamination verdicts against an eval
+    set: (vec_id, cluster, n_eval_hits, max_eval_cosine, dropped) — the
+    production drop authority for paraphrase-level eval leakage. A train
+    doc is ``dropped`` iff SOME eval vector shares one of its clusters
+    within the cosine threshold (``semantic_contamination_pairs`` is the
+    candidate kernel). ``max_eval_cosine`` is 0.0 when nothing hit
+    (hits all sit at >= threshold > 0, so 0.0 is unambiguous). Callers
+    keep ``where(~dropped)`` — same consumption shape as
+    ``decontaminate_against_store``, so an ingest can run both gates and
+    union the drop sets."""
+    pairs = semantic_contamination_pairs(
+        train_emb,
+        eval_emb,
+        assignments,
+        threshold=threshold,
+        vec_col=vec_col,
+        target_block_rows=target_block_rows,
+        broadcast_eval=broadcast_eval,
+    )
+    hits = pairs.groupBy(F.col("train_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_eval_hits"),
+        F.max("cosine").alias("max_eval_cosine"),
+    )
+    return (
+        assignments.join(
+            train_emb.select("vec_id"), "vec_id", "left_semi"
+        )
+        .join(F.broadcast(hits), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("int").alias(
+                "n_eval_hits"
+            ),
+            F.coalesce(F.col("max_eval_cosine"), F.lit(0.0)).alias(
+                "max_eval_cosine"
+            ),
+            (F.col("n_eval_hits").isNotNull()).alias("dropped"),
+        )
+    )
+
+
 def sample_to_token_budget(
     docs: DataFrame,
     budget_tokens: int,

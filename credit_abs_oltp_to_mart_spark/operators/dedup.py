@@ -647,6 +647,60 @@ def _blocked_cosine_kernel(threshold: float):
     return _block_cosines
 
 
+def _blocked_cross_cosine_kernel(threshold: float):
+    """mapInPandas kernel over CROSS-SET block-pair rows (rows_a from one
+    vector set, rows_b from another): emits (id_a, id_b, cosine) for every
+    cross pair with cosine >= threshold — no triangle mask and no min/max
+    id normalization, because the two sides are distinct populations
+    (train vs eval) and the caller needs to know which side each id came
+    from. Same dimension-major accumulation + half-up 6 dp rounding as
+    ``_blocked_cosine_kernel``, so the DuckDB ``list_dot_product`` oracle
+    reproduces every cosine bit-for-bit."""
+
+    def _block_cross(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_a_out: list[np.ndarray] = []
+            ids_b_out: list[np.ndarray] = []
+            cos_out: list[np.ndarray] = []
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ids_a = np.array([r["vec_id"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["vec_id"] for r in rows_b], dtype=np.int64)
+                mat_a = np.array(
+                    [np.asarray(r["v"], dtype=np.float64) for r in rows_a]
+                )
+                mat_b = np.array(
+                    [np.asarray(r["v"], dtype=np.float64) for r in rows_b]
+                )
+                dim = mat_a.shape[1]
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                for d in range(dim):
+                    dots += mat_a[:, d : d + 1] * mat_b[None, :, d]
+                sq_a = np.zeros(len(ids_a))
+                sq_b = np.zeros(len(ids_b))
+                for d in range(dim):
+                    sq_a += mat_a[:, d] * mat_a[:, d]
+                    sq_b += mat_b[:, d] * mat_b[:, d]
+                cos = _round6_half_up(
+                    dots / (np.sqrt(sq_a)[:, None] * np.sqrt(sq_b)[None, :])
+                )
+                ii, jj = np.nonzero(cos >= threshold)
+                ids_a_out.append(ids_a[ii])
+                ids_b_out.append(ids_b[jj])
+                cos_out.append(cos[ii, jj])
+            empty_i = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(ids_a_out or [empty_i]),
+                    "id_b": np.concatenate(ids_b_out or [empty_i]),
+                    "cosine": np.concatenate(cos_out or [np.array([])]),
+                }
+            )
+
+    return _block_cross
+
+
 def semantic_dedup(
     emb: DataFrame,
     assignments: DataFrame,
