@@ -573,3 +573,95 @@ def bm25_store_probe(
         cand, k=k, k1=k1, b=b, fp_scale=fp_scale,
         decimal_scores=use_decimal,
     )
+
+
+def hybrid_rank_fusion(
+    lex_hits: DataFrame,
+    sem_hits: DataFrame,
+    *,
+    k: int = 5,
+    rrf_k: int = 60,
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Exact-arithmetic reciprocal-rank fusion of a lexical (BM25) and a
+    semantic (ANN) shortlist — the standard hybrid-RAG serving pattern,
+    fused WITHOUT floating point so the ranking is engine-exact
+    (the house rule every scoring kernel here follows).
+
+    Inputs are the two probes' shortlists normalized to
+    (query_id, doc_id, rank) with dense ranks in [1, ``max_rank``]
+    (``bm25_topk``/``bm25_store_probe`` emit that shape directly;
+    ``ann.ivf_index_probe`` after renaming neighbor_id). RRF score of a
+    doc is sum over lists of 1/(rrf_k + rank) — a rational. Instead of
+    floating 1/(k+r), the sum is formed as an exact integer fraction
+    num/den (den = product of the present lists' (rrf_k + rank)) and
+    materialized as the SEPARATING fixed point
+
+        fused_fp = num * S div den,   S = (rrf_k + max_rank)^4
+
+    Two distinct two-list RRF rationals have denominators bounded by
+    (rrf_k + max_rank)^2, so they differ by at least 1/S; scaling by S
+    makes the integer floors differ too (x >= y + 1 => floor(x) >=
+    floor(y) + 1), so ORDERING BY fused_fp IS ordering by the exact
+    rational — no float ever enters. Magnitudes: num <= 2(rrf_k +
+    max_rank), so num * S < 2(rrf_k + max_rank)^5 — inside int64 through
+    max_rank = 1000 (~2.7e15). Ranks past ``max_rank`` would break the
+    separation proof, so they fail loudly rather than mis-rank.
+
+    Returns (query_id, doc_id, lex_rank, sem_rank, fused_fp, rank) for
+    the fused top ``k`` per query, rank dense by (fused_fp desc, doc_id
+    asc); lex_rank/sem_rank are NULL for the lists that missed the doc.
+
+    Scale posture: the shortlists are k-sized per query by construction
+    (the probes bound them), so the full-outer join and the per-query
+    window run on tiny frames — cost lives in the upstream probes. No
+    extension of the reference surface is lost by exactness: integer
+    Borda is the degenerate rrf_k -> infinity limit of the same key."""
+    if max_rank > 1000:
+        raise ValueError(
+            "hybrid_rank_fusion: max_rank > 1000 overflows the separating "
+            "fixed point's int64 envelope (num * S < 2*(rrf_k+max_rank)^5)"
+        )
+    lex = lex_hits.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("lex_rank")
+    )
+    sem = sem_hits.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("sem_rank")
+    )
+    both = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    guard = F.when(
+        (F.coalesce(F.col("lex_rank"), F.lit(1)) > max_rank)
+        | (F.coalesce(F.col("sem_rank"), F.lit(1)) > max_rank),
+        F.raise_error(
+            F.lit(
+                f"hybrid_rank_fusion: rank beyond max_rank={max_rank} — "
+                "the separating-scale exactness proof no longer holds; "
+                "raise max_rank (<= 1000) to cover the shortlist depth"
+            )
+        ).cast("long"),
+    )
+    a = F.lit(rrf_k).cast("long") + F.col("lex_rank")  # null when lex missed
+    b = F.lit(rrf_k).cast("long") + F.col("sem_rank")
+    num = F.coalesce(
+        guard,
+        F.when(F.col("lex_rank").isNotNull(), F.coalesce(b, F.lit(1)))
+        .otherwise(F.lit(0))
+        + F.when(F.col("sem_rank").isNotNull(), F.coalesce(a, F.lit(1)))
+        .otherwise(F.lit(0)),
+    )
+    den = F.coalesce(a, F.lit(1)) * F.coalesce(b, F.lit(1))
+    scale = (rrf_k + max_rank) ** 4
+    fused = both.withColumn("__num", num).withColumn("__den", den).withColumn(
+        # `div` is Spark SQL's INTEGER division on longs — exact, no float
+        "fused_fp",
+        F.expr(f"(__num * {scale}L) div __den"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fused_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank",
+                "fused_fp", "rank")
+    )

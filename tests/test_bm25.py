@@ -447,3 +447,126 @@ def test_decimal_and_bigint_paths_agree_in_range(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# hybrid BM25 + ANN reciprocal-rank fusion (round 11; contract entry
+# deferred to round 12 per the window-capacity discipline)
+# ---------------------------------------------------------------------------
+
+
+def _shortlist(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank long")
+
+
+def test_hybrid_fusion_matches_fraction_reference(spark):
+    """Literal-python reference: the fused ordering must equal ordering by
+    the EXACT rational RRF score (fractions.Fraction), including docs
+    present in only one list and cross-list ties broken by doc_id."""
+    from fractions import Fraction
+
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+    )
+
+    lex = {  # query -> [(doc, rank)]
+        1: [(10, 1), (11, 2), (12, 3), (13, 4)],
+        2: [(20, 1), (21, 2)],
+    }
+    sem = {
+        1: [(12, 1), (10, 2), (14, 3)],
+        2: [(22, 1), (21, 2)],  # 21 gets the same (2,2) ranks as... see q1
+    }
+    rrf_k, k = 60, 6
+    got = hybrid_rank_fusion(
+        _shortlist(spark, [(q, d, r) for q, ds in lex.items() for d, r in ds]),
+        _shortlist(spark, [(q, d, r) for q, ds in sem.items() for d, r in ds]),
+        k=k,
+        rrf_k=rrf_k,
+    ).collect()
+
+    for q in (1, 2):
+        scores = {}
+        for d, r in lex[q]:
+            scores[d] = scores.get(d, Fraction(0)) + Fraction(1, rrf_k + r)
+        for d, r in sem[q]:
+            scores[d] = scores.get(d, Fraction(0)) + Fraction(1, rrf_k + r)
+        want = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+        rows = sorted((r for r in got if r["query_id"] == q),
+                      key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+        # the separating fixed point orders exactly like the rationals:
+        # strictly-greater fraction => strictly-greater fused_fp
+        by_doc = {r["doc_id"]: r["fused_fp"] for r in rows}
+        ds = [d for d, _ in want]
+        for x, y in zip(ds, ds[1:]):
+            if scores[x] > scores[y]:
+                assert by_doc[x] > by_doc[y]
+            else:
+                assert by_doc[x] == by_doc[y]  # exact tie preserved
+    # single-list docs carry NULL for the missing side
+    r13 = next(r for r in got if r["doc_id"] == 13)
+    assert r13["lex_rank"] == 4 and r13["sem_rank"] is None
+    r14 = next(r for r in got if r["doc_id"] == 14)
+    assert r14["lex_rank"] is None and r14["sem_rank"] == 3
+
+
+def test_hybrid_fusion_end_to_end_over_real_probes(spark):
+    """Compose the real shortlists: bm25_topk over documents (lexical) and
+    brute_force_topk over embeddings (semantic, neighbor_id renamed).
+    The fused top-k must respect both signals: a doc in both shortlists
+    outranks the same-rank doc present in one."""
+    from fractions import Fraction
+
+    from credit_abs_oltp_to_mart_spark.operators import ann
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        bm25_topk,
+        hybrid_rank_fusion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = spark.createDataFrame(
+        [(0, "the model data"), (1, "loan payment record")],
+        "query_id long, query string",
+    )
+    lex = bm25_topk(docs, queries, k=8)
+    sem = ann.brute_force_topk(emb, [0, 1], k=8).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = hybrid_rank_fusion(lex, sem, k=5).collect()
+    assert fused and {r["query_id"] for r in fused} == {0, 1}
+    lex_rows = {(r["query_id"], r["doc_id"]): r["rank"] for r in lex.collect()}
+    sem_rows = {(r["query_id"], r["doc_id"]): r["rank"] for r in sem.collect()}
+    # python replay over the union of the real shortlists
+    for q in (0, 1):
+        scores = {}
+        for (qq, d), r in list(lex_rows.items()) + list(sem_rows.items()):
+            if qq == q:
+                scores[d] = scores.get(d, Fraction(0)) + Fraction(1, 60 + r)
+        want = [d for d, _ in sorted(
+            scores.items(), key=lambda t: (-t[1], t[0])
+        )[:5]]
+        rows = sorted((r for r in fused if r["query_id"] == q),
+                      key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == want
+
+
+def test_hybrid_fusion_rank_guard_fails_loudly(spark):
+    """A rank beyond max_rank breaks the separating-scale exactness proof:
+    the operator must raise, never silently mis-rank."""
+    import pytest as _pytest
+
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+    )
+
+    lex = _shortlist(spark, [(1, 10, 1)])
+    sem = _shortlist(spark, [(1, 11, 9)])
+    ok = hybrid_rank_fusion(lex, sem, k=2, max_rank=9).collect()
+    assert len(ok) == 2
+    with _pytest.raises(Exception, match="max_rank"):
+        hybrid_rank_fusion(lex, sem, k=2, max_rank=8).collect()
+    with _pytest.raises(ValueError, match="int64"):
+        hybrid_rank_fusion(lex, sem, k=2, max_rank=2000)
