@@ -99,6 +99,10 @@ print("ISOLATED_RESULT", best)
 # metrics, materialize every mart, then run the dbt schema tests and
 # README audit checks. Each piece is priced separately elsewhere; this
 # is the airflow-DAG-shaped end-to-end number.
+# reference_chain_e2e_10x (r11): the SAME chain at 10x the reference
+# volumes (20k borrowers / 30k applications / 15k loans — the axis the
+# credit-domain surface actually grows on, ~5M arrears rows) — turns
+# "the generator+marts chain scales horizontally" into a measured ratio.
 _CHILD_REFERENCE_CHAIN = r"""
 import sys, tempfile, time
 sys.path.insert(0, {repo!r})
@@ -113,13 +117,15 @@ from credit_abs_oltp_to_mart_spark.plans.checks import (
 )
 from credit_abs_oltp_to_mart_spark.sources.readers import read_oltp_table
 
+mult = {mult}
 spark = get_spark(app_name="isolated-reference_chain_e2e")
 best = float("inf")
 for rep in range(3):
     out = tempfile.mkdtemp(prefix="isolated_refchain_")
     t0 = time.perf_counter()
     cfg = OLTPSynthConfig(
-        n_borrowers=2000, n_applications=3000, n_loans=1500,
+        n_borrowers=2000 * mult, n_applications=3000 * mult,
+        n_loans=1500 * mult,
         start_date_max=date(2025, 12, 31), seed=42,
     )
     run_credit_oltp_synth(spark, cfg, out_dir=out + "/oltp")
@@ -187,7 +193,9 @@ def main() -> int:
         if name == "sql_models_npl":
             code = _CHILD_SQL_MODELS.format(repo=repo)
         elif name == "reference_chain_e2e":
-            code = _CHILD_REFERENCE_CHAIN.format(repo=repo)
+            code = _CHILD_REFERENCE_CHAIN.format(repo=repo, mult=1)
+        elif name == "reference_chain_e2e_10x":
+            code = _CHILD_REFERENCE_CHAIN.format(repo=repo, mult=10)
         elif name == "stream_corpus_ingest_stages":
             code = _CHILD_CORPUS_STAGES.format(repo=repo, sf_dir=args.sf_dir)
         else:
