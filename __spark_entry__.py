@@ -2256,6 +2256,126 @@ def _bm25_serve_oracle() -> str:
     return _bm25_topk_oracle(queries=BM25_SERVE_QUERIES)
 
 
+# --- hybrid BM25+ANN fusion: REGISTRATION DEFERRED TO ROUND 12 -------------
+# The operator + Fraction-reference parity landed in round 11
+# (retrieval.hybrid_rank_fusion, tests/test_bm25.py), but round 11's gate
+# window had ZERO slack slots, so the contract entry waits for round 12's
+# one free slot (49 r09-age queries + 1). The query and oracle below are
+# the finished registration candidates — exercised against DuckDB directly
+# by tests/test_bm25.py::test_hybrid_fusion_contract_rehearsal so round 12
+# only has to add the two dict entries and rotate.
+
+HYBRID_DEPTH = 8  # per-list shortlist depth feeding the fusion
+HYBRID_RRF_K = 60
+HYBRID_MAX_RANK = 1000
+
+
+def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval serving: the BM25 lexical shortlist and the exact
+    cosine semantic shortlist for the same query ids, fused by
+    reciprocal-rank fusion in EXACT integer arithmetic
+    (``retrieval.hybrid_rank_fusion`` — the RRF rational is materialized
+    as a separating fixed point whose int64 ordering provably equals the
+    rational ordering; no float enters the ranking)."""
+    from credit_abs_oltp_to_mart_spark.operators import ann, retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    lex = retrieval.bm25_topk(docs, qs, k=HYBRID_DEPTH)
+    sem = ann.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"),
+        [qid for qid, _ in BM25_QUERIES],
+        k=HYBRID_DEPTH,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return retrieval.hybrid_rank_fusion(
+        lex, sem, k=ANN_K, rrf_k=HYBRID_RRF_K, max_rank=HYBRID_MAX_RANK
+    )
+
+
+def _hybrid_fusion_oracle() -> str:
+    """BM25 replay (depth HYBRID_DEPTH) + exact-cosine replay (same query
+    ids) + the integer separating-fixed-point RRF key: fused_fp =
+    num * (rrf_k + max_rank)^4 // den over the full-outer-joined
+    shortlists, rank by (fused_fp desc, doc_id asc)."""
+    k1n, k1d, bn, bd, fp_scale = 6, 5, 3, 4, 10**6
+    qrows = ", ".join(
+        f"({qid}::bigint, '{term}')"
+        for qid, q in BM25_QUERIES
+        for term in q.split()
+    )
+    ids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+    cos = _COSINE.format(a="qv", b="nv")
+    scale = (HYBRID_RRF_K + HYBRID_MAX_RANK) ** 4
+    return f"""
+    with tk as (
+      select doc_id,
+             case when trim(text) = '' then []
+                  else string_split_regex(trim(text), ' +') end as tk
+      from documents),
+    post as (
+      select term, doc_id, dl, count(*)::bigint as tf
+      from (select doc_id, len(tk) as dl, unnest(tk) as term from tk)
+      group by 1, 2, 3),
+    qt as (select * from (values {qrows}) q(query_id, term)),
+    tot as (select count(*)::bigint as n_docs,
+                   coalesce(sum(len(tk)), 0)::bigint as n_toks
+            from tk),
+    dfq as (select term, count(*)::bigint as df from post
+            where term in (select distinct term from qt) group by 1),
+    cand as (select q.query_id, p.doc_id, p.tf, p.dl, d.df,
+                    t.n_docs, t.n_toks
+             from post p join qt q using (term) join dfq d using (term)
+             cross join tot t),
+    sc as (select query_id, doc_id,
+                  ((({fp_scale} * (2 * (n_docs - df) + 1))
+                      // (2 * n_docs + 1))
+                   * (({fp_scale} * tf * {k1n + k1d} * {bd} * n_toks)
+                      // (tf * {k1d * bd} * n_toks
+                          + {k1n * (bd - bn)} * n_toks
+                          + {k1n * bn} * dl * n_docs)))
+                  // {fp_scale} as contrib
+           from cand),
+    agg as (select query_id, doc_id, sum(contrib)::bigint as score_fp
+            from sc group by 1, 2),
+    lex as (select query_id, doc_id, rank from (
+              select *, row_number() over (partition by query_id
+                order by score_fp desc, doc_id asc) as rank from agg) z
+            where rank <= {HYBRID_DEPTH}),
+    q2 as (select vec_id as query_id, embedding::DOUBLE[] as qv
+           from embeddings where vec_id in ({ids})),
+    n2 as (select vec_id as doc_id, embedding::DOUBLE[] as nv
+           from embeddings),
+    scored as (select query_id, doc_id, {cos} as cosine
+               from q2, n2 where doc_id <> query_id),
+    sem as (select query_id, doc_id, rank from (
+              select *, row_number() over (partition by query_id
+                order by cosine desc, doc_id asc) as rank from scored) z
+            where rank <= {HYBRID_DEPTH}),
+    joined as (
+      select coalesce(l.query_id, s.query_id) as query_id,
+             coalesce(l.doc_id, s.doc_id) as doc_id,
+             l.rank::bigint as lex_rank, s.rank::bigint as sem_rank
+      from lex l full join sem s
+        on l.query_id = s.query_id and l.doc_id = s.doc_id),
+    fusedk as (
+      select query_id, doc_id, lex_rank, sem_rank,
+             ((case when lex_rank is not null
+                    then coalesce({HYBRID_RRF_K} + sem_rank, 1)
+                    else 0 end
+               + case when sem_rank is not null
+                      then coalesce({HYBRID_RRF_K} + lex_rank, 1)
+                      else 0 end) * {scale})
+             // (coalesce({HYBRID_RRF_K} + lex_rank, 1)
+                 * coalesce({HYBRID_RRF_K} + sem_rank, 1)) as fused_fp
+      from joined)
+    select query_id, doc_id, lex_rank, sem_rank, fused_fp::bigint as fused_fp,
+           rank::int as rank
+    from (select *, row_number() over (partition by query_id
+            order by fused_fp desc, doc_id asc) as rank from fusedk) z
+    where rank <= {ANN_K}
+    """
+
+
 def q_stream_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous maintenance of the persisted BM25 postings store — the
     retrieval twin of stream_ann_ingest: the store is BUILT from the

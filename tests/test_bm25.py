@@ -570,3 +570,33 @@ def test_hybrid_fusion_rank_guard_fails_loudly(spark):
         hybrid_rank_fusion(lex, sem, k=2, max_rank=8).collect()
     with _pytest.raises(ValueError, match="int64"):
         hybrid_rank_fusion(lex, sem, k=2, max_rank=2000)
+
+
+def test_hybrid_fusion_contract_rehearsal(spark):
+    """The round-12 registration candidates (q_hybrid_fusion +
+    _hybrid_fusion_oracle, deferred from r11 because the window had zero
+    slack) compared the exact way the driver gate will compare them:
+    sorted columns, per-row values. Round 12 only adds the dict entries."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    got = entry_mod.q_hybrid_fusion(spark, sf).toPandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"create view {t} as select * from"
+            f" parquet_scan('{sf}/{t}.parquet')"
+        )
+    want = con.execute(entry_mod._hybrid_fusion_oracle()).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for col in g.columns:
+        gv, wv = g[col].tolist(), w[col].tolist()
+        norm = lambda xs: [None if x != x else int(x) for x in xs]  # noqa: E731
+        assert norm(gv) == norm(wv), (col, gv[:8], wv[:8])
