@@ -256,6 +256,36 @@ def main() -> int:
 
     probe("semantic_dedup_soft", soft)
 
+    # --- semantic decontamination (r11): the cross-set SemDeDup shape.
+    # Train = the full scaled corpus, eval = a FIXED-SIZE suite (the
+    # production regime: benchmarks don't grow with the corpus). Both
+    # sets assign against the same corpus-scaled codebook, so the probe
+    # measures the train side's cluster-restricted cross-GEMM growth.
+    def sem_decontam(d, f):
+        from credit_abs_oltp_to_mart_spark.operators.curation import (
+            semantic_decontaminate,
+        )
+        from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+            kmeans_assign as _ka,
+        )
+
+        ev = e1.where(F.col("vec_id") % 10 == 3).select(
+            (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        pool = d.unionByName(ev)
+        assign = _ka(
+            pool,
+            init_ids=init_ids(f),
+            iterations=2,
+            codebook_as_literals=False,
+        )
+        return semantic_decontaminate(
+            d, ev, assign, threshold=DEDUP_THRESHOLD
+        )
+
+    probe("semantic_decontam", sem_decontam)
+
     # --- hierarchical SemDeDup: the production path once k scales with
     # the corpus. coarse_k ~ sqrt(k_total) cells, sub_k subs per cell —
     # assignment cost O(N * sqrt(k) * dim) instead of O(N * k * dim).
@@ -314,6 +344,36 @@ def main() -> int:
         )
 
     probe("semantic_dedup_hier_soft", hier_soft)
+
+    # semantic decontamination under the HIER assignment — the actual
+    # production composition once k scales with the corpus (the flat
+    # `semantic_decontam` probe's ratio is dominated by the O(N*k*dim)
+    # flat assignment, the known blowup the hier path exists to kill;
+    # the cross-GEMM itself is cluster-bounded either way)
+    def sem_decontam_hier(d, f):
+        from credit_abs_oltp_to_mart_spark.operators.curation import (
+            semantic_decontaminate,
+        )
+
+        coarse_ids, sub_k = hier_params(f)
+        ev = e1.where(F.col("vec_id") % 10 == 3).select(
+            (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        pool = d.unionByName(ev)
+        assign = kmeans_assign_hier(
+            pool,
+            coarse_init_ids=coarse_ids,
+            sub_k=sub_k,
+            coarse_iterations=2,
+            sub_iterations=2,
+            nprobe=1,
+        )
+        return semantic_decontaminate(
+            d, ev, assign, threshold=DEDUP_THRESHOLD
+        )
+
+    probe("semantic_decontam_hier", sem_decontam_hier)
 
     def stream_assign(d, f):
         cents = ann.load_index_codebook(
