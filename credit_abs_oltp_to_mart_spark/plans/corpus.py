@@ -215,6 +215,10 @@ def build_corpus(
     span_k: int = 8,
     keep_first_span: bool = False,
     min_tokens: int = 8,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.4,
+    semantic_init_ids: list[int] | None = None,
+    semantic_iterations: int = 2,
 ) -> dict[str, DataFrame]:
     """Full pipeline; returns every stage so callers can write or audit any
     of them. ``packed`` is the trainer-facing output: train-split chunks
@@ -228,7 +232,18 @@ def build_corpus(
     ``keep_first_span=True`` preserves the earliest occurrence of each
     duplicated passage and cuts only the later copies. Runs before
     doc-level dedup on purpose: span removal can collapse near-dups into
-    exact dups, which the cheaper exact pass then takes."""
+    exact dups, which the cheaper exact pass then takes.
+
+    ``embeddings`` (a (vec_id, embedding) frame keyed by doc_id) arms the
+    SEMANTIC decontamination gate after the n-gram one: surviving docs'
+    embeddings assign to a shared k-means codebook
+    (``semantic_init_ids``/``semantic_iterations``; default init = the 8
+    lowest present ids, deterministic) and TRAIN docs within
+    ``semantic_threshold`` cosine of a same-cluster eval doc drop
+    (``curation.semantic_decontaminate``) — the paraphrase-leakage gate
+    the n-gram overlap provably misses. Docs WITHOUT an embedding pass
+    the gate untouched (they cannot be semantically checked; the n-gram
+    gate already judged them). Stage key: ``semclean``."""
     # persisted BEFORE dedup: the dedup stage eagerly materializes its
     # verified pair set (localCheckpoint inside dedup_documents), which
     # would otherwise re-run the full regex-heavy filter gate once for the
@@ -260,11 +275,71 @@ def build_corpus(
         stages["spancut"] = gated
     deduped = dedup_documents(gated)
     clean = decontaminate_train(deduped)
+    # "clean" stays the n-gram gate's output even when the semantic gate
+    # runs after it — auditors diff the two stages to see what the
+    # paraphrase gate caught that the verbatim gate missed
+    stages["clean"] = clean
+    if embeddings is not None:
+        from credit_abs_oltp_to_mart_spark.operators.curation import (
+            semantic_decontaminate,
+        )
+        from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+            kmeans_assign,
+        )
+
+        emb = embeddings.select("vec_id", "embedding")
+        # restrict to docs still alive after the n-gram gate — the
+        # semantic gate judges survivors, and the codebook trains on
+        # exactly the population it will restrict
+        pool = emb.join(
+            clean.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        ).persist()
+        if semantic_init_ids is None:
+            # deterministic default: the 8 lowest present ids (bounded
+            # driver collect, codebook-sized)
+            semantic_init_ids = [
+                r["vec_id"]
+                for r in pool.select("vec_id")
+                .orderBy("vec_id")
+                .limit(8)
+                .collect()
+            ]
+        assign = kmeans_assign(
+            pool,
+            init_ids=semantic_init_ids,
+            iterations=semantic_iterations,
+        )
+        train_emb = pool.join(
+            clean.where(F.col("split") == "train").select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        )
+        eval_emb = pool.join(
+            clean.where(F.col("split") != "train").select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        )
+        verdicts = semantic_decontaminate(
+            train_emb, eval_emb, assign, threshold=semantic_threshold
+        )
+        sem_drop = verdicts.where(F.col("dropped")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        clean = clean.join(F.broadcast(sem_drop), "doc_id", "left_anti")
+        stages["semclean"] = clean
     train = clean.where(F.col("split") == "train")
     packed = pack_chunks(
         train, chunk_tokens=chunk_tokens, bin_tokens=bin_tokens, shards=shards
     ).join(train.select("doc_id", "split"), "doc_id")
-    stages.update(deduped=deduped, clean=clean, packed=packed)
+    stages["deduped"] = deduped
+    stages.setdefault("clean", clean)
+    stages["packed"] = packed
     return stages
 
 

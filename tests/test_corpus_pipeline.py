@@ -203,3 +203,53 @@ def test_span_cut_drops_fully_cut_docs(spark):
     got = {r["doc_id"]: r["text"] for r in kf["spancut"].select("doc_id", "text").collect()}
     assert set(got) == {1, 3}
     assert got[1] == boiler and got[3] == uniq
+
+
+def test_semantic_gate_drops_planted_paraphrase(spark, docs):
+    """build_corpus(embeddings=...) arms the semantic decontamination
+    stage: a TRAIN doc whose text shares no 5-grams with any eval doc (so
+    the n-gram gate passes it) but whose EMBEDDING nearly equals an eval
+    doc's is dropped from `semclean`/`packed`; every other survivor is
+    untouched, and the default (no embeddings) output is unchanged."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import split_expr
+
+    base = build_corpus(docs)
+    clean = base["clean"].select("doc_id", "split")
+    train_ids = [r["doc_id"] for r in clean.where(
+        F.col("split") == "train").orderBy("doc_id").limit(3).collect()]
+    eval_ids = [r["doc_id"] for r in clean.where(
+        F.col("split") != "train").orderBy("doc_id").limit(2).collect()]
+    assert train_ids and eval_ids
+    planted, anchor = train_ids[0], eval_ids[0]
+    bystander = train_ids[1]
+
+    # hand-built embedding space: the planted train doc sits on the eval
+    # anchor's axis (cosine ~1); everyone else is far away on other axes
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        return v
+
+    rows = [(planted, vec(0, 0.01)), (anchor, vec(0))]
+    rows += [(i, vec(2 + (j % 5))) for j, i in enumerate(
+        train_ids[1:] + eval_ids[1:])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    gated = build_corpus(
+        docs,
+        embeddings=emb,
+        semantic_threshold=0.95,
+        semantic_init_ids=[planted, anchor, bystander],
+    )
+    kept = {r["doc_id"] for r in gated["semclean"].select("doc_id").collect()}
+    base_kept = {r["doc_id"] for r in clean.collect()}
+    assert planted not in kept                  # the paraphrase dropped
+    assert kept == base_kept - {planted}        # and ONLY the paraphrase
+    # eval docs are never dropped by the semantic gate (train-side verdicts)
+    assert anchor in kept
+    # packed shards carry no trace of the dropped doc
+    assert gated["packed"].where(F.col("doc_id") == planted).count() == 0
+    # docs WITHOUT an embedding pass the gate untouched (most of the
+    # corpus here) — already implied by kept == base_kept - {planted}
