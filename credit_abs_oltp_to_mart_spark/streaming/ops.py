@@ -760,6 +760,10 @@ def stream_corpus_ingest(
     return_segmented: bool = False,
     stage_times: dict | None = None,
     auto_compact_partitions: int | None = None,
+    semantic_eval_store: str | None = None,
+    semantic_doc_embeddings: DataFrame | None = None,
+    semantic_centroids: dict | None = None,
+    semantic_threshold: float = 0.4,
 ) -> DataFrame:
     """The COMPLETE incremental corpus pipeline per arriving micro-batch —
     the actual shape of a continuous 100 TB pretraining ingest, composing
@@ -872,7 +876,25 @@ def stream_corpus_ingest(
     listing at 10.0 of this pipeline's 28.0 timed-stage seconds, and
     the existing ``compact_signature_store`` had no caller inside the
     loop. Fires after the batch's sinks are written, folds COMMITTED
-    partitions only; admitted output is bit-identical either way."""
+    partitions only; admitted output is bit-identical either way.
+
+    ``semantic_eval_store`` + ``semantic_doc_embeddings`` +
+    ``semantic_centroids`` (all three together) arm the SEMANTIC
+    decontamination stage after the gram one — the streaming half of
+    ``plans.corpus.build_corpus(embeddings=...)``: the eval embedding
+    store (parquet of (vec_id, embedding)) is pinned like the gram
+    blocklist and RE-PINNED when its file listing changes (a suite of
+    eval embeddings landed mid-run blocks from the next batch); arriving
+    docs look up their embeddings in the pinned ``semantic_doc_
+    embeddings`` frame (doc_id-keyed; docs without one pass untouched);
+    both sides assign map-only against the FIXED trained
+    ``semantic_centroids`` codebook (``ann.assign_against_codebook`` —
+    the same offline-train / online-assign regime as
+    ``stream_ann_ingest``), and batch docs within
+    ``semantic_threshold`` cosine of a same-cluster eval vector drop
+    (``curation.semantic_decontaminate``). All gate state is fixed or
+    strictly-pinned, so crash replays re-derive identical admitted sets
+    (the mid-run suite-addition caveat above applies unchanged)."""
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
@@ -938,6 +960,47 @@ def stream_corpus_ingest(
         return pinned["df"]
 
     _pin_gram_store(spark)
+
+    sem_armed = semantic_eval_store is not None
+    if sem_armed and (
+        semantic_doc_embeddings is None or semantic_centroids is None
+    ):
+        raise ValueError(
+            "semantic decontamination needs all three of"
+            " semantic_eval_store, semantic_doc_embeddings and"
+            " semantic_centroids (fixed trained codebook)"
+        )
+    # doc-embedding lookup: pinned ONCE per run (doc vectors are input
+    # data, not state); eval store: pinned like the gram blocklist and
+    # re-pinned on a listing change, with its codebook assignment
+    # precomputed at pin time (map-only, eval-suite-sized)
+    sem_doc_emb = (
+        semantic_doc_embeddings.select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+        if sem_armed
+        else None
+    )
+    sem_pinned: dict = {"sig": None, "emb": None, "assign": None}
+
+    def _pin_eval_embeddings(sess: SparkSession):
+        if not sem_armed:
+            return None, None
+        from credit_abs_oltp_to_mart_spark.operators import ann as A
+
+        raw = sess.read.parquet(semantic_eval_store)
+        sig = tuple(sorted(raw.inputFiles()))
+        if sig != sem_pinned["sig"]:
+            emb = raw.select("vec_id", "embedding").localCheckpoint(
+                eager=True
+            )
+            sem_pinned["emb"] = emb
+            sem_pinned["assign"] = A.assign_against_codebook(
+                emb, semantic_centroids
+            ).localCheckpoint(eager=True)
+            sem_pinned["sig"] = sig
+        return sem_pinned["emb"], sem_pinned["assign"]
+
+    _pin_eval_embeddings(spark)
 
     # tokenizer-refresh mode: one trained word frame per vocabulary
     # generation, derived BY RULE (version v trains on init + admitted
@@ -1050,6 +1113,38 @@ def stream_corpus_ingest(
                 )
             else:
                 admitted = survivors
+            if sem_armed:
+                from credit_abs_oltp_to_mart_spark.operators import (
+                    ann as A,
+                )
+                from credit_abs_oltp_to_mart_spark.operators.curation import (
+                    semantic_decontaminate,
+                )
+
+                ev_emb, ev_assign = _pin_eval_embeddings(sess)
+                # only candidates WITH an embedding are judged; the
+                # batch side assigns map-only against the fixed codebook
+                cand_vecs = sem_doc_emb.join(
+                    admitted.select(F.col("doc_id").alias("vec_id")),
+                    "vec_id",
+                    "left_semi",
+                )
+                assignments = A.assign_against_codebook(
+                    cand_vecs, semantic_centroids
+                ).unionByName(ev_assign)
+                sem_drop = (
+                    semantic_decontaminate(
+                        cand_vecs,
+                        ev_emb,
+                        assignments,
+                        threshold=semantic_threshold,
+                    )
+                    .where(F.col("dropped"))
+                    .select(F.col("vec_id").alias("doc_id"))
+                )
+                admitted = admitted.join(
+                    F.broadcast(sem_drop), "doc_id", "left_anti"
+                )
             # same lineage-severing checkpoint as stream_dedup_ingest:
             # the admitted plan reads the store path, which the signature
             # write below invalidates

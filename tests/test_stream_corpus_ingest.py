@@ -603,3 +603,76 @@ def test_vocab_ingest_replay_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert again == first
+
+
+def test_streaming_semantic_gate_drops_planted_paraphrase(spark, tmp_path):
+    """The streaming half of build_corpus(embeddings=...): with the
+    semantic eval store + doc-embedding lookup + FIXED codebook armed, an
+    arriving doc whose text passes every verbatim gate but whose
+    embedding nearly equals an eval vector drops before packing; docs
+    without an embedding pass untouched; a crash replay re-derives the
+    identical admitted set (the gate's state is all pinned/fixed)."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = eps
+        return v
+
+    # eval suite: one vector on axis 0 (id 900) and one on axis 1 (901)
+    ev_store = str(tmp_path / "eval_emb")
+    spark.createDataFrame(
+        [(900, vec(0)), (901, vec(1))],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(ev_store)
+    # doc embeddings: doc 1 is the PARAPHRASE of eval 900 (cosine ~1,
+    # text GOOD_A shares no grams with the eval texts since there are
+    # no eval TEXTS at all here); doc 12 sits far away on axis 2;
+    # doc 13 (same batch) has NO embedding -> passes untouched
+    doc_emb = spark.createDataFrame(
+        [(1, vec(0, 0.01)), (12, vec(2))],
+        "vec_id long, embedding array<double>",
+    )
+    # fixed codebook trained offline over the whole little vector space
+    pool = spark.createDataFrame(
+        [(900, vec(0)), (901, vec(1)), (12, vec(2))],
+        "vec_id long, embedding array<double>",
+    )
+    _, cents = kmeans_train(pool, init_ids=[900, 901, 12], iterations=1)
+
+    src = tmp_path / "sem_slices"
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [
+        Row(doc_id=1, text=GOOD_A),      # semantic dup of eval 900
+        Row(doc_id=12, text=FRESH),      # far vector -> admitted
+        Row(doc_id=13, text=EVAL_DOC),   # no embedding -> admitted
+    ], t0)
+    out = str(tmp_path / "sem_out")
+
+    def run():
+        return {
+            r["doc_id"]
+            for r in streaming.stream_corpus_ingest(
+                spark, f"{src}/b*", out, schema=schema,
+                gram_store_path=None, min_est=0.25, chunk_tokens=8,
+                dedup_within_batch=True,
+                semantic_eval_store=ev_store,
+                semantic_doc_embeddings=doc_emb,
+                semantic_centroids=cents,
+                semantic_threshold=0.95,
+            ).collect()
+        }
+
+    got = run()
+    assert got == {12, 13}  # 1 dropped by the semantic gate, others pass
+
+    # crash replay: delete the commit, re-run — identical admitted set
+    commits = os.path.join(out, "checkpoint", "commits")
+    os.remove(os.path.join(commits, "0"))
+    crc = os.path.join(commits, ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert run() == {12, 13}
