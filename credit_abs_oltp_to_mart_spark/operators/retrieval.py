@@ -582,6 +582,7 @@ def hybrid_rank_fusion(
     k: int = 5,
     rrf_k: int = 60,
     max_rank: int = 1000,
+    weights: tuple[int, int] = (1, 1),
 ) -> DataFrame:
     """Exact-arithmetic reciprocal-rank fusion of a lexical (BM25) and a
     semantic (ANN) shortlist — the standard hybrid-RAG serving pattern,
@@ -612,11 +613,29 @@ def hybrid_rank_fusion(
     the fused top ``k`` per query, rank dense by (fused_fp desc, doc_id
     asc); lex_rank/sem_rank are NULL for the lists that missed the doc.
 
+    ``weights`` = integer (lexical, semantic) list weights — weighted RRF
+    score w_lex/(rrf_k+r_lex) + w_sem/(rrf_k+r_sem), still exact: integer
+    numerators don't loosen the separation bound (two distinct rationals
+    with denominators <= (rrf_k+max_rank)^2 still differ by >= 1/S), only
+    the int64 envelope, which is checked against the weight sum.
+
     Scale posture: the shortlists are k-sized per query by construction
     (the probes bound them), so the full-outer join and the per-query
     window run on tiny frames — cost lives in the upstream probes. No
     extension of the reference surface is lost by exactness: integer
     Borda is the degenerate rrf_k -> infinity limit of the same key."""
+    w_lex, w_sem = weights
+    if w_lex < 0 or w_sem < 0 or w_lex + w_sem == 0:
+        raise ValueError(
+            "hybrid_rank_fusion: weights must be non-negative integers"
+            " with a positive sum"
+        )
+    if (w_lex + w_sem) * (rrf_k + max_rank) ** 5 >= 2**63:
+        raise ValueError(
+            "hybrid_rank_fusion: weight sum * (rrf_k+max_rank)^5 overflows"
+            " the separating fixed point's int64 envelope — lower the"
+            " weights or max_rank"
+        )
     if max_rank > 1000:
         raise ValueError(
             "hybrid_rank_fusion: max_rank > 1000 overflows the separating "
@@ -644,10 +663,14 @@ def hybrid_rank_fusion(
     b = F.lit(rrf_k).cast("long") + F.col("sem_rank")
     num = F.coalesce(
         guard,
-        F.when(F.col("lex_rank").isNotNull(), F.coalesce(b, F.lit(1)))
-        .otherwise(F.lit(0))
-        + F.when(F.col("sem_rank").isNotNull(), F.coalesce(a, F.lit(1)))
-        .otherwise(F.lit(0)),
+        F.when(
+            F.col("lex_rank").isNotNull(),
+            F.lit(w_lex).cast("long") * F.coalesce(b, F.lit(1)),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("sem_rank").isNotNull(),
+            F.lit(w_sem).cast("long") * F.coalesce(a, F.lit(1)),
+        ).otherwise(F.lit(0)),
     )
     den = F.coalesce(a, F.lit(1)) * F.coalesce(b, F.lit(1))
     scale = (rrf_k + max_rank) ** 4

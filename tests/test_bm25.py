@@ -600,3 +600,86 @@ def test_hybrid_fusion_contract_rehearsal(spark):
         gv, wv = g[col].tolist(), w[col].tolist()
         norm = lambda xs: [None if x != x else int(x) for x in xs]  # noqa: E731
         assert norm(gv) == norm(wv), (col, gv[:8], wv[:8])
+
+
+def test_hybrid_fusion_weighted_matches_fraction_reference(spark):
+    """Integer list weights stay exact: ordering equals Fraction-weighted
+    RRF, and weights=(1,1) reproduces the unweighted key bit-for-bit."""
+    from fractions import Fraction
+
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+    )
+
+    lex = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    sem = [(1, 12, 1), (1, 13, 2), (1, 10, 3)]
+    l_df, s_df = _shortlist(spark, lex), _shortlist(spark, sem)
+    for w in ((1, 1), (3, 1), (1, 4), (0, 1)):
+        got = sorted(
+            hybrid_rank_fusion(l_df, s_df, k=4, weights=w).collect(),
+            key=lambda r: r["rank"],
+        )
+        scores = {}
+        for _, d, r in lex:
+            scores[d] = scores.get(d, Fraction(0)) + Fraction(w[0], 60 + r)
+        for _, d, r in sem:
+            scores[d] = scores.get(d, Fraction(0)) + Fraction(w[1], 60 + r)
+        want = [d for d, _ in sorted(
+            scores.items(), key=lambda t: (-t[1], t[0]))[:4]]
+        assert [r["doc_id"] for r in got] == want, w
+    base = hybrid_rank_fusion(l_df, s_df, k=4).collect()
+    w11 = hybrid_rank_fusion(l_df, s_df, k=4, weights=(1, 1)).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, w11))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive sum"):
+        hybrid_rank_fusion(l_df, s_df, weights=(0, 0))
+    with _pytest.raises(ValueError, match="envelope"):
+        hybrid_rank_fusion(l_df, s_df, weights=(10**6, 1))
+
+
+def test_hybrid_fusion_store_backed_serving(spark, tmp_path):
+    """The full hybrid-RAG serving composition on PERSISTED state: the
+    BM25 postings store and the IVF index both built once, both probed
+    cold, shortlists fused — and the fused result replays exactly from a
+    Fraction reference over the two probes' own outputs."""
+    from fractions import Fraction
+
+    from credit_abs_oltp_to_mart_spark.operators import ann
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        bm25_store_probe,
+        build_postings_store,
+        hybrid_rank_fusion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    store = str(tmp_path / "bm25_store")
+    idx = str(tmp_path / "ivf_idx")
+    build_postings_store(docs, store)
+    ann.build_ivf_index(emb, idx, init_ids=[10, 20, 30, 40], iterations=2)
+
+    qs = spark.createDataFrame(
+        [(0, "the data table"), (1, "model stream batch")],
+        "query_id long, query string",
+    )
+    lex = bm25_store_probe(qs, store, k=6)
+    qvecs = emb.where(F.col("vec_id").isin([0, 1]))
+    sem = ann.ivf_index_probe(qvecs, idx, k=6, nprobe=2).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = hybrid_rank_fusion(lex, sem, k=4).collect()
+    assert fused and {r["query_id"] for r in fused} <= {0, 1}
+    lr = {(r["query_id"], r["doc_id"]): r["rank"] for r in lex.collect()}
+    sr = {(r["query_id"], r["doc_id"]): r["rank"] for r in sem.collect()}
+    for q in {r["query_id"] for r in fused}:
+        scores = {}
+        for (qq, d), r in list(lr.items()) + list(sr.items()):
+            if qq == q:
+                scores[d] = scores.get(d, Fraction(0)) + Fraction(1, 60 + r)
+        want = [d for d, _ in sorted(
+            scores.items(), key=lambda t: (-t[1], t[0]))[:4]]
+        rows = sorted((r for r in fused if r["query_id"] == q),
+                      key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == want
