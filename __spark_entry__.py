@@ -2256,14 +2256,14 @@ def _bm25_serve_oracle() -> str:
     return _bm25_topk_oracle(queries=BM25_SERVE_QUERIES)
 
 
-# --- hybrid BM25+ANN fusion: REGISTRATION DEFERRED TO ROUND 12 -------------
+# --- hybrid BM25+ANN fusion ------------------------------------------------
 # The operator + Fraction-reference parity landed in round 11
-# (retrieval.hybrid_rank_fusion, tests/test_bm25.py), but round 11's gate
-# window had ZERO slack slots, so the contract entry waits for round 12's
-# one free slot (49 r09-age queries + 1). The query and oracle below are
-# the finished registration candidates — exercised against DuckDB directly
-# by tests/test_bm25.py::test_hybrid_fusion_contract_rehearsal so round 12
-# only has to add the two dict entries and rotate.
+# (retrieval.hybrid_rank_fusion, tests/test_bm25.py); the contract entry
+# was deferred one round (round 11's gate window had zero slack) and is
+# REGISTERED as of round 12 in the window's single slack slot
+# ("hybrid_rank_fusion"). tests/test_bm25.py::
+# test_hybrid_fusion_contract_rehearsal exercises this exact query/oracle
+# pair against DuckDB directly.
 
 HYBRID_DEPTH = 8  # per-list shortlist depth feeding the fusion
 HYBRID_RRF_K = 60
@@ -6829,78 +6829,20 @@ WINDOW_AGING_EXCEPTIONS: dict = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50
-        # entries in registration order. Round-11 window (derived
+        # entries in registration order. Round-12 window (derived
         # mechanically by tools/window_order.py --emit-order from the
-        # committed CORRECTNESS_r*.json evidence): ALL 50 slots are
-        # consumed by the 50 queries whose newest driver evidence is
-        # r08 (expires at round-11 close) -- ZERO slack slots this
-        # round. Consequence (binding for round 11): behavior-affecting
-        # changes are confined to these 50 in-window queries (their
-        # re-gate is free); result-affecting work on any OTHER query
-        # is deferred to round 12 (49 must-gate + 1 slack). The round-11
-        # semantic-decontamination extension therefore rides the
-        # IN-WINDOW `decontaminate` oracle (slot 30), not semantic_dedup
-        # (out of window at r10 age). Bit-identical refactors (e.g. the
-        # keyed-store auto-compaction trigger in the streaming ingests)
-        # carry regenerated both-SF local mirrors + local[7] runs per
-        # the house waiver discipline. Run `python tools/window_order.py
-        # --check` before committing any registration change. ===
-        "nullsafe_join": q_nullsafe_join,  # r08
-        "retention_cohorts": q_retention_cohorts,  # r08
-        "profile_stats": q_profile_stats,  # r08
-        "bitmap_distinct": q_bitmap_distinct,  # r08
-        "grouping_sets_revenue": q_grouping_sets_revenue,  # r08
-        "dedup_exact": q_dedup_exact,  # r08
-        "triangle_count": q_triangle_count,  # r08
-        "udtf_sentences": q_udtf_sentences,  # r08
-        "dup_spans_keep_first": q_dup_spans_keep_first,  # r08
-        "ann_quantized_ivf": q_ann_quantized_ivf,  # r08
-        "pii_redact": q_pii_redact,  # r08
-        "bigram_fluency": q_bigram_fluency,  # r08
-        "kmeans": q_kmeans,  # r08
-        "ann_ivf_trained": q_ann_ivf_trained,  # r08
-        "dup_spans": q_dup_spans,  # r08
-        "dup_spans_removed": q_dup_spans_removed,  # r08
-        "corpus_pipeline": q_corpus_pipeline,  # r08
-        "value_histogram": q_value_histogram,  # r08
-        "ewma": q_ewma,  # r08
-        "rolling_distinct_users": q_rolling_distinct_users,  # r08
-        "correlated_subquery": q_correlated_subquery,  # r08
-        "exists_subquery": q_exists_subquery,  # r08
-        "window_ignore_nulls": q_window_ignore_nulls,  # r08
-        "vintage_mob": q_vintage_mob,  # r08
-        "cure_rate": q_cure_rate,  # r08
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,  # r08
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # r08
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # r08
-        "dedup_clusters": q_dedup_clusters,  # r08
-        "decontaminate": q_decontaminate,  # r08
-        "stg_projection": q_stg_projection,  # r08
-        "bucket_case": q_bucket_case,  # r08
-        "conditional_agg": q_conditional_agg,  # r08
-        "filter_scan": q_filter_scan,  # r08
-        "join_dim_agg": q_join_dim_agg,  # r08
-        "anti_join": q_anti_join,  # r08
-        "semi_join": q_semi_join,  # r08
-        "month_end_snapshot": q_month_end_snapshot,  # r08
-        "coalesce_nullif_arith": q_coalesce_nullif_arith,  # r08
-        "bpe_training_manifest": q_bpe_training_manifest,  # r08
-        "ann_pq_refine": q_ann_pq_refine,  # r08
-        "bm25_topk": q_bm25_topk,  # r08
-        "audio_near_dups": q_audio_near_dups,  # r08
-        "stream_pq_ingest": q_stream_pq_ingest,  # r08
-        "stream_vocab_refresh": q_stream_vocab_refresh,  # r08
-        "unigram_train": q_unigram_train,  # r08
-        "epoch_shuffle": q_epoch_shuffle,  # r08
-        "ann_pq": q_ann_pq,  # r08
-        "ann_pq_residual": q_ann_pq_residual,  # r08
-        "ann_index_serve": q_ann_index_serve,  # r08
-        # ---- driver gate window (50) ends here ----
-        # CAPACITY NOTE (still binding): at 149 queries the 50-slot x
-        # 3-round rotation has AT MOST one slack slot per round (zero
-        # this round). Grow the contract surface by EXTENDING existing
-        # composite oracles (dsir_select's Gumbel extension, r10), not
-        # by adding entries, unless a slot is genuinely free.
+        # committed CORRECTNESS_r*.json evidence): the 49 queries whose
+        # newest driver evidence is r09 (expires at round-12 close) plus
+        # the ONE slack slot, cashed as planned for the round-11-built
+        # hybrid BM25+ANN RRF fusion operator — the only operator that
+        # lacked a contract entry. Consequence (binding for round 12):
+        # result-affecting work is confined to these 50 in-window
+        # queries; everything else rides existing in-window composite
+        # oracles or carries regenerated both-SF local mirrors +
+        # local[7] runs per the house waiver discipline. Run
+        # `python tools/window_order.py --check` before committing any
+        # registration change. ===
+        "hybrid_rank_fusion": q_hybrid_fusion,  # NEW (r12 slack slot)
         "asof_join": q_asof_join,  # r09
         "cube_revenue": q_cube_revenue,  # r09
         "grouped_pandas_stats": q_grouped_pandas_stats,  # r09
@@ -6950,6 +6892,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_hier": q_semantic_dedup_hier,  # r09
         "bm25_serve": q_bm25_serve,  # r09
         "stream_postings_ingest": q_stream_postings_ingest,  # r09
+        # ---- driver gate window (50) ends here ----
+        # CAPACITY NOTE (binding): at 150 queries the 50-slot x 3-round
+        # rotation now has ZERO slack slots in every round. Grow the
+        # contract surface ONLY by EXTENDING existing composite oracles
+        # (the dsir_select Gumbel extension r10, the decontaminate
+        # semantic extension r11) — a new entry would break the rotation.
         "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,  # r10
         "perplexity_filter": q_perplexity_filter,  # r10
         "dsir_select": q_dsir_select,  # r10
@@ -7000,6 +6948,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg_sorted": q_array_agg_sorted,  # r10
         "token_positions": q_token_positions,  # r10
         "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,  # r10
+        "nullsafe_join": q_nullsafe_join,  # r11
+        "retention_cohorts": q_retention_cohorts,  # r11
+        "profile_stats": q_profile_stats,  # r11
+        "bitmap_distinct": q_bitmap_distinct,  # r11
+        "grouping_sets_revenue": q_grouping_sets_revenue,  # r11
+        "dedup_exact": q_dedup_exact,  # r11
+        "triangle_count": q_triangle_count,  # r11
+        "udtf_sentences": q_udtf_sentences,  # r11
+        "dup_spans_keep_first": q_dup_spans_keep_first,  # r11
+        "ann_quantized_ivf": q_ann_quantized_ivf,  # r11
+        "pii_redact": q_pii_redact,  # r11
+        "bigram_fluency": q_bigram_fluency,  # r11
+        "kmeans": q_kmeans,  # r11
+        "ann_ivf_trained": q_ann_ivf_trained,  # r11
+        "dup_spans": q_dup_spans,  # r11
+        "dup_spans_removed": q_dup_spans_removed,  # r11
+        "corpus_pipeline": q_corpus_pipeline,  # r11
+        "value_histogram": q_value_histogram,  # r11
+        "ewma": q_ewma,  # r11
+        "rolling_distinct_users": q_rolling_distinct_users,  # r11
+        "correlated_subquery": q_correlated_subquery,  # r11
+        "exists_subquery": q_exists_subquery,  # r11
+        "window_ignore_nulls": q_window_ignore_nulls,  # r11
+        "vintage_mob": q_vintage_mob,  # r11
+        "cure_rate": q_cure_rate,  # r11
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,  # r11
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # r11
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # r11
+        "dedup_clusters": q_dedup_clusters,  # r11
+        "decontaminate": q_decontaminate,  # r11
+        "stg_projection": q_stg_projection,  # r11
+        "bucket_case": q_bucket_case,  # r11
+        "conditional_agg": q_conditional_agg,  # r11
+        "filter_scan": q_filter_scan,  # r11
+        "join_dim_agg": q_join_dim_agg,  # r11
+        "anti_join": q_anti_join,  # r11
+        "semi_join": q_semi_join,  # r11
+        "month_end_snapshot": q_month_end_snapshot,  # r11
+        "coalesce_nullif_arith": q_coalesce_nullif_arith,  # r11
+        "bpe_training_manifest": q_bpe_training_manifest,  # r11
+        "ann_pq_refine": q_ann_pq_refine,  # r11
+        "bm25_topk": q_bm25_topk,  # r11
+        "audio_near_dups": q_audio_near_dups,  # r11
+        "stream_pq_ingest": q_stream_pq_ingest,  # r11
+        "stream_vocab_refresh": q_stream_vocab_refresh,  # r11
+        "unigram_train": q_unigram_train,  # r11
+        "epoch_shuffle": q_epoch_shuffle,  # r11
+        "ann_pq": q_ann_pq,  # r11
+        "ann_pq_residual": q_ann_pq_residual,  # r11
+        "ann_index_serve": q_ann_index_serve,  # r11
     }
 
 
@@ -7472,6 +7470,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_fluency": _bigram_fluency_oracle(),
         "bm25_topk": _bm25_topk_oracle(),
         "bm25_serve": _bm25_serve_oracle(),
+        "hybrid_rank_fusion": _hybrid_fusion_oracle(),
         "stream_postings_ingest": _stream_postings_ingest_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
         "bpe_pack": _bpe_pack_oracle(),

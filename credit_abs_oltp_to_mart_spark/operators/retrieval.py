@@ -590,7 +590,9 @@ def hybrid_rank_fusion(
     (the house rule every scoring kernel here follows).
 
     Inputs are the two probes' shortlists normalized to
-    (query_id, doc_id, rank) with dense ranks in [1, ``max_rank``]
+    (query_id, doc_id, rank) with consecutive ``row_number`` ranks in
+    [1, ``max_rank``] — each probe breaks score ties by doc_id, so the
+    ranks are a strict 1..depth sequence per query
     (``bm25_topk``/``bm25_store_probe`` emit that shape directly;
     ``ann.ivf_index_probe`` after renaming neighbor_id). RRF score of a
     doc is sum over lists of 1/(rrf_k + rank) — a rational. Instead of
@@ -629,6 +631,19 @@ def hybrid_rank_fusion(
         raise ValueError(
             "hybrid_rank_fusion: weights must be non-negative integers"
             " with a positive sum"
+        )
+    # rrf_k < 1 (or fractional) could zero/negate a denominator; Spark's
+    # integer `div` by zero yields NULL, which would silently sort the doc
+    # LAST instead of failing — guard loudly like every other precondition
+    if not isinstance(rrf_k, int) or isinstance(rrf_k, bool) or rrf_k < 1:
+        raise ValueError(
+            "hybrid_rank_fusion: rrf_k must be an integer >= 1 — a"
+            " non-positive rrf_k can zero/negate an RRF denominator and"
+            " Spark's div-by-zero NULL would mis-rank silently"
+        )
+    if not isinstance(max_rank, int) or max_rank < 1:
+        raise ValueError(
+            "hybrid_rank_fusion: max_rank must be an integer >= 1"
         )
     if (w_lex + w_sem) * (rrf_k + max_rank) ** 5 >= 2**63:
         raise ValueError(

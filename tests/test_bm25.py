@@ -572,11 +572,29 @@ def test_hybrid_fusion_rank_guard_fails_loudly(spark):
         hybrid_rank_fusion(lex, sem, k=2, max_rank=2000)
 
 
+def test_hybrid_fusion_rrf_k_guard_fails_loudly(spark):
+    """rrf_k < 1 (or fractional) can zero/negate an RRF denominator and
+    Spark's integer-div-by-zero NULL would silently sort the doc LAST —
+    the constructor must reject it before any plan is built."""
+    import pytest as _pytest
+
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+    )
+
+    lex = _shortlist(spark, [(1, 10, 1)])
+    sem = _shortlist(spark, [(1, 11, 1)])
+    for bad in (0, -61, 1.5, True):
+        with _pytest.raises(ValueError, match="rrf_k"):
+            hybrid_rank_fusion(lex, sem, k=2, rrf_k=bad)
+    with _pytest.raises(ValueError, match="max_rank must"):
+        hybrid_rank_fusion(lex, sem, k=2, max_rank=0)
+
+
 def test_hybrid_fusion_contract_rehearsal(spark):
-    """The round-12 registration candidates (q_hybrid_fusion +
-    _hybrid_fusion_oracle, deferred from r11 because the window had zero
-    slack) compared the exact way the driver gate will compare them:
-    sorted columns, per-row values. Round 12 only adds the dict entries."""
+    """The registered contract pair (q_hybrid_fusion / "hybrid_rank_fusion"
+    in the round-12 window's slack slot) compared the exact way the driver
+    gate compares them: sorted columns, per-row values."""
     import duckdb
 
     import __spark_entry__ as entry_mod
