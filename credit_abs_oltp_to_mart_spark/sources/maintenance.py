@@ -16,6 +16,7 @@ rewrite is atomic per directory via write-to-temp + rename.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import re
@@ -99,6 +100,28 @@ def _fs_names(fs, jvm_path, path: str) -> list[str]:
     return [s.getPath().getName() for s in fs.listStatus(p)]
 
 
+def _fs_write_text(fs, jvm_path, path: str, text: str) -> None:
+    """Tiny-file write via the Hadoop FS (works on any scheme the cluster
+    knows): create-overwrite, write UTF-8 bytes, close."""
+    out = fs.create(jvm_path(path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, fs, jvm_path, path: str) -> str:
+    """Read a tiny UTF-8 file via the Hadoop FS (commons-io ships with
+    Spark; compaction manifests are a few hundred bytes)."""
+    inp = fs.open(jvm_path(path))
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            inp, "UTF-8"
+        )
+    finally:
+        inp.close()
+
+
 def resume_pending_compaction(spark: SparkSession, store_dir: str) -> dict | None:
     """Heal a signature store left mid-compaction by a crash; None if no
     ``.compact-*`` dir is pending.
@@ -110,9 +133,10 @@ def resume_pending_compaction(spark: SparkSession, store_dir: str) -> dict | Non
     * a hidden dir WITHOUT ``_SUCCESS`` is a crashed step-1 write — the
       partitions are untouched, so the partial dir is simply deleted;
     * a hidden dir WITH ``_SUCCESS`` is the single source of truth for
-      batches <= its id (the partition deletes may be anywhere between
-      not-started and done) — finish the swap: delete the remaining
-      merged partitions, rename the hidden dir into place.
+      the partitions its sidecar MANIFEST names (subset folds from the
+      tiered trigger; legacy hidden dirs without a manifest subsume
+      every batch <= their id) — finish the swap: delete the remaining
+      source partitions, rename the hidden dir into place.
 
     ``stream_dedup_ingest`` calls this before starting, so an ingest
     restarted over a half-swapped store repairs it instead of silently
@@ -124,7 +148,16 @@ def resume_pending_compaction(spark: SparkSession, store_dir: str) -> dict | Non
         for n in _fs_names(fs, jvm_path, store_dir)
         if re.fullmatch(r"\.compact-\d+", n)
     )
+    manifests = sorted(
+        int(re.fullmatch(r"\.compact-(\d+)\.manifest\.json", n).group(1))
+        for n in _fs_names(fs, jvm_path, store_dir)
+        if re.fullmatch(r"\.compact-\d+\.manifest\.json", n)
+    )
     if not pending:
+        # a manifest with no hidden dir is a crash between the manifest
+        # write and the merge write — sources untouched, drop the sidecar
+        for cid in manifests:
+            fs.delete(jvm_path(_manifest_path(store_dir, cid)), False)
         return None
     result = {"resumed": False, "dropped_partials": []}
     complete = [
@@ -137,19 +170,49 @@ def resume_pending_compaction(spark: SparkSession, store_dir: str) -> dict | Non
             # crashed mid-write (partitions intact), or superseded by a
             # newer complete attempt — never partition-deleted, safe to drop
             fs.delete(jvm_path(f"{store_dir}/.compact-{cid}"), True)
+            if cid in manifests:
+                fs.delete(jvm_path(_manifest_path(store_dir, cid)), False)
             if cid not in complete:
                 result["dropped_partials"].append(cid)
     if complete:
         cid = max(complete)
+        if cid in manifests:
+            sources = set(
+                json.loads(
+                    _fs_read_text(
+                        spark, fs, jvm_path, _manifest_path(store_dir, cid)
+                    )
+                )["sources"]
+            )
+        else:
+            sources = None  # legacy prefix fold: everything <= cid
         for n in _fs_names(fs, jvm_path, store_dir):
-            if re.fullmatch(r"batch=\d+", n) and int(n.split("=", 1)[1]) <= cid:
+            if not re.fullmatch(r"batch=\d+", n):
+                continue
+            bid = int(n.split("=", 1)[1])
+            if (sources is None and bid <= cid) or (
+                sources is not None and bid in sources
+            ):
                 fs.delete(jvm_path(f"{store_dir}/{n}"), True)
         fs.rename(
             jvm_path(f"{store_dir}/.compact-{cid}"),
             jvm_path(f"{store_dir}/batch={cid}"),
         )
+        if cid in manifests:
+            fs.delete(jvm_path(_manifest_path(store_dir, cid)), False)
         result.update(resumed=True, merged_upto=cid)
+    # drop any manifest left orphaned by the partial-drops above
+    for mid in manifests:
+        mp = jvm_path(_manifest_path(store_dir, mid))
+        if fs.exists(mp) and not fs.exists(
+            jvm_path(f"{store_dir}/.compact-{mid}")
+        ):
+            fs.delete(mp, False)
     return result
+
+
+def _manifest_path(store_dir: str, cid: int) -> str:
+    return f"{store_dir}/.compact-{cid}.manifest.json"
 
 
 def compact_keyed_store(
@@ -159,6 +222,7 @@ def compact_keyed_store(
     upto: int,
     target_files: int = 8,
     dedup_cols: list[str] | None = None,
+    source_ids: list[int] | None = None,
 ) -> dict:
     """Crash-safe hidden-dir compaction of ANY ``batch=<id>``-partitioned
     parquet store — the protocol ``compact_signature_store`` pioneered,
@@ -167,11 +231,23 @@ def compact_keyed_store(
     audited implementation:
 
       1. heal any pending swap (``resume_pending_compaction``);
-      2. write partitions with id <= ``upto`` merged (optionally
-         deduplicated on ``dedup_cols`` — cross-batch appends of a
-         set-semantics store repeat keys, and compaction is exactly the
-         moment to fold them) into a hidden ``.compact-<upto>`` dir;
-      3. delete the sources, rename the hidden dir to ``batch=<upto>``.
+      2. write a sidecar MANIFEST (``.compact-<upto>.manifest.json``)
+         naming exactly the source partition ids about to fold;
+      3. write those partitions merged (optionally deduplicated on
+         ``dedup_cols`` — cross-batch appends of a set-semantics store
+         repeat keys, and compaction is exactly the moment to fold them)
+         into a hidden ``.compact-<upto>`` dir;
+      4. delete the sources, rename the hidden dir to ``batch=<upto>``,
+         drop the manifest.
+
+    ``source_ids=None`` folds every partition with id <= ``upto`` (the
+    original prefix fold); an explicit list folds exactly that SUBSET —
+    the primitive the tiered trigger (``maybe_compact_keyed_store``)
+    uses to avoid re-reading the whole store every fold. Subset folds
+    must include their own max id as ``upto`` so the destination rename
+    never collides with a live partition. Crash healing stays exact in
+    both modes: the manifest pins which partitions the hidden dir
+    subsumes, and a pre-manifest crash leaves sources untouched.
 
     The caller decides ``upto`` = the highest batch id that can never be
     rewritten (for a streaming sink: the checkpoint's max committed id;
@@ -193,18 +269,38 @@ def compact_keyed_store(
         for n in _fs_names(fs, jvm_path, store_dir)
         if re.fullmatch(r"batch=\d+", n)
     )
-    merge = [n for n in parts if n <= upto]
+    if source_ids is None:
+        merge = [n for n in parts if n <= upto]
+    else:
+        merge = sorted(set(source_ids) & set(parts))
+        if merge and max(merge) != upto:
+            raise ValueError(
+                "compact_keyed_store: subset folds must rename onto their"
+                f" own max id (upto={upto}, max(source_ids)={max(merge)})"
+                " — anything else collides with or shadows a live"
+                " partition"
+            )
     stats["partitions_before"] = len(parts)
     if len(merge) < 2:
         return stats
     merged = (
         spark.read.parquet(store_dir)
-        .where(F.col("batch") <= upto)
+        .where(F.col("batch").isin([int(n) for n in merge]))
         .drop("batch")
     )
     if dedup_cols is not None:
         merged = merged.dropDuplicates(dedup_cols)
     merged = merged.repartition(target_files)
+    # manifest BEFORE the data write: healing trusts a completed hidden
+    # dir's manifest for the exact source set; with no manifest it falls
+    # back to the legacy prefix rule, which is only correct for prefix
+    # folds — so subset folds must never reach _SUCCESS without one
+    _fs_write_text(
+        fs,
+        jvm_path,
+        _manifest_path(store_dir, upto),
+        json.dumps({"upto": upto, "sources": [int(n) for n in merge]}),
+    )
     hidden = f"{store_dir}/.compact-{upto}"
     merged.write.mode("overwrite").parquet(hidden)
     # the deletes below are ONLY safe once the hidden dir is provably
@@ -219,6 +315,7 @@ def compact_keyed_store(
     for n in merge:
         fs.delete(jvm_path(f"{store_dir}/batch={n}"), True)
     fs.rename(jvm_path(hidden), jvm_path(f"{store_dir}/batch={upto}"))
+    fs.delete(jvm_path(_manifest_path(store_dir, upto)), False)
     stats.update(
         compacted=True,
         resumed=resumed,
@@ -237,6 +334,7 @@ def maybe_compact_keyed_store(
     max_partitions: int,
     target_files: int = 8,
     dedup_cols: list[str] | None = None,
+    tier_ratio: float = 2.0,
 ) -> dict:
     """Partition-count-triggered compaction for a RUNNING ingest loop —
     the automatic form of ``compact_keyed_store`` the streaming ingests
@@ -246,10 +344,23 @@ def maybe_compact_keyed_store(
     the existing compaction).
 
     Fires only when the store's ``batch=`` partition count EXCEEDS
-    ``max_partitions``; folds exactly the partitions whose batch id is
-    committed in the stream checkpoint (``commits_dir`` = its
-    ``commits/``). Why this is safe INSIDE ``foreachBatch`` (after the
-    batch's own sinks are written, which is where the ingests call it):
+    ``max_partitions``, and folds a SIZE-TIERED subset of the committed
+    partitions, not always everything: candidates sort by on-disk bytes
+    ascending and the fold set grows greedily while the next partition is
+    at most ``tier_ratio`` x the bytes already gathered. Small fresh
+    partitions fold together cheaply every trigger; an older merged tier
+    is re-folded only once the accumulated smalls rival it in size, so a
+    long ingest's cumulative rewrite I/O amortizes to O(N log N) instead
+    of the O(N^2) an always-full fold costs (each byte re-folds only when
+    the fold's output is >= ~(1+1/tier_ratio) x its previous tier). When
+    only ONE partition qualifies under the ratio (a lone fresh batch next
+    to a big tier) the trigger is a no-op rather than a full rewrite —
+    the store may sit above ``max_partitions`` by the O(log N) tier
+    count, which is exactly the listing cost the threshold tolerates.
+    Folds only partitions whose batch id is committed in the stream
+    checkpoint (``commits_dir`` = its ``commits/``). Why this is safe
+    INSIDE ``foreachBatch`` (after the batch's own sinks are written,
+    which is where the ingests call it):
 
     * ``upto`` = max COMMITTED id, and the in-flight batch has no commit
       yet — its ``batch=<id>`` partition is never folded, so a crash
@@ -287,12 +398,40 @@ def maybe_compact_keyed_store(
     ]
     if not committed:
         return stats
+    upto = max(committed)
+    cand = sorted(n for n in parts if n <= upto)
+    if len(cand) < 2:
+        return stats
+    # size-tiered fold-set selection (see docstring): smallest-first
+    # greedy, admit the next partition only while it is <= tier_ratio x
+    # the bytes already gathered — never rewrite a big tier to absorb a
+    # trickle of fresh batches
+    sized = sorted(
+        (
+            fs.getContentSummary(
+                jvm_path(f"{store_dir}/batch={n}")
+            ).getLength(),
+            n,
+        )
+        for n in cand
+    )
+    fold = [sized[0][1]]
+    gathered = sized[0][0]
+    for size, n in sized[1:]:
+        if size > tier_ratio * max(gathered, 1):
+            break
+        fold.append(n)
+        gathered += size
+    if len(fold) < 2:
+        stats["skipped"] = "single-partition tier — nothing to amortize"
+        return stats
     return compact_keyed_store(
         spark,
         store_dir,
-        upto=max(committed),
+        upto=max(fold),
         target_files=target_files,
         dedup_cols=dedup_cols,
+        source_ids=fold,
     )
 
 

@@ -113,3 +113,170 @@ def test_compact_with_clustering_restores_sorted_layout(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+
+# ---------------------------------------------------------------------------
+# Tiered keyed-store compaction (size-aware trigger + manifest crash-healing)
+# ---------------------------------------------------------------------------
+
+def _mk_store(spark, root, sizes):
+    """batch=<i> partitions with ``sizes[i]`` rows each + a commits dir
+    marking every batch committed. Row payload carries (doc_id,
+    ingest_batch) so fold-invariance is checkable row-exactly."""
+    store = os.path.join(str(root), "store")
+    commits = os.path.join(str(root), "commits")
+    os.makedirs(commits, exist_ok=True)
+    base = 0
+    for i, n in enumerate(sizes):
+        # payload defeats columnar compression so on-disk bytes actually
+        # track row counts (the tier policy sizes by bytes)
+        spark.range(base, base + n).select(
+            F.col("id").alias("doc_id"),
+            F.lit(i).cast("int").alias("ingest_batch"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{store}/batch={i}"
+        )
+        base += n
+        with open(os.path.join(commits, str(i)), "w") as f:
+            f.write("{}")
+    return store, commits
+
+
+def _store_rows(spark, store):
+    return {
+        (r["doc_id"], r["ingest_batch"])
+        for r in spark.read.parquet(store)
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+
+
+def _parts(store):
+    return sorted(
+        d for d in os.listdir(store) if d.startswith("batch=")
+    )
+
+
+def test_tiered_trigger_skips_lone_fresh_batch(spark, tmp_path):
+    """One big merged tier + ONE fresh small batch: folding would rewrite
+    the whole store to absorb a trickle — the size-tiered trigger must
+    no-op instead (the O(N^2) cumulative-I/O failure mode)."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
+    )
+
+    store, commits = _mk_store(spark, tmp_path, [4000, 10])
+    before = _store_rows(spark, store)
+    stats = maybe_compact_keyed_store(
+        spark, store, commits_dir=commits, max_partitions=1
+    )
+    assert not stats["compacted"] and "skipped" in stats
+    assert _parts(store) == ["batch=0", "batch=1"]
+    assert _store_rows(spark, store) == before
+
+
+def test_tiered_trigger_folds_small_tier_without_touching_base(
+    spark, tmp_path
+):
+    """Several fresh small batches next to a big tier fold TOGETHER while
+    the big tier's files stay byte-untouched — the amortizing partial
+    fold (subset source_ids + manifest protocol)."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
+    )
+
+    store, commits = _mk_store(spark, tmp_path, [4000, 10, 10, 10])
+    before = _store_rows(spark, store)
+    base_files = sorted(os.listdir(f"{store}/batch=0"))
+    stats = maybe_compact_keyed_store(
+        spark, store, commits_dir=commits, max_partitions=2
+    )
+    assert stats["compacted"] and stats["partitions_merged"] == 3
+    assert stats["merged_upto"] == 3
+    assert _parts(store) == ["batch=0", "batch=3"]
+    assert sorted(os.listdir(f"{store}/batch=0")) == base_files
+    assert _store_rows(spark, store) == before
+    # no manifest left behind after a completed swap
+    assert not [f for f in os.listdir(store) if "manifest" in f]
+
+
+def test_tiered_full_fold_once_smalls_rival_base(spark, tmp_path):
+    """When the accumulated small tier is within tier_ratio of the base,
+    the greedy admits the base too — the geometric full fold that keeps
+    tier count O(log N)."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
+    )
+
+    store, commits = _mk_store(spark, tmp_path, [20, 10, 10])
+    before = _store_rows(spark, store)
+    stats = maybe_compact_keyed_store(
+        spark, store, commits_dir=commits, max_partitions=1
+    )
+    assert stats["compacted"] and stats["partitions_merged"] == 3
+    assert _parts(store) == ["batch=2"]
+    assert _store_rows(spark, store) == before
+
+
+def test_subset_fold_requires_own_max_as_upto(spark, tmp_path):
+    import pytest as _pytest
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        compact_keyed_store,
+    )
+
+    store, _ = _mk_store(spark, tmp_path, [10, 10, 10])
+    with _pytest.raises(ValueError, match="max id"):
+        compact_keyed_store(spark, store, upto=2, source_ids=[0, 1])
+
+
+def test_subset_fold_crash_heal_deletes_only_manifest_sources(
+    spark, tmp_path
+):
+    """Crash window between a subset fold's _SUCCESS and its partition
+    deletes: healing must delete EXACTLY the manifest's sources and keep
+    the big base partition — the legacy prefix rule would eat it."""
+    import json as _json
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        resume_pending_compaction,
+    )
+
+    store, _ = _mk_store(spark, tmp_path, [4000, 10, 10])
+    before = _store_rows(spark, store)
+    # hand-craft the post-_SUCCESS pre-delete state of fold [1, 2]
+    merged = (
+        spark.read.parquet(store)
+        .where(F.col("batch").isin([1, 2]))
+        .drop("batch")
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{store}/.compact-2"
+    )
+    with open(f"{store}/.compact-2.manifest.json", "w") as f:
+        _json.dump({"upto": 2, "sources": [1, 2]}, f)
+    healed = resume_pending_compaction(spark, store)
+    assert healed is not None and healed["resumed"] is True
+    assert _parts(store) == ["batch=0", "batch=2"]
+    assert not os.path.exists(f"{store}/.compact-2.manifest.json")
+    assert _store_rows(spark, store) == before
+
+
+def test_stray_manifest_without_hidden_dir_is_dropped(spark, tmp_path):
+    """Crash between the manifest write and the merge write: sources are
+    untouched, so healing just removes the sidecar."""
+    import json as _json
+
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        resume_pending_compaction,
+    )
+
+    store, _ = _mk_store(spark, tmp_path, [10, 10])
+    before = _store_rows(spark, store)
+    with open(f"{store}/.compact-1.manifest.json", "w") as f:
+        _json.dump({"upto": 1, "sources": [0, 1]}, f)
+    assert resume_pending_compaction(spark, store) is None
+    assert not os.path.exists(f"{store}/.compact-1.manifest.json")
+    assert _parts(store) == ["batch=0", "batch=1"]
+    assert _store_rows(spark, store) == before
