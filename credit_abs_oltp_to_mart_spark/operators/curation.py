@@ -400,6 +400,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     target_block_rows: int = 4096,
     broadcast_eval: bool = True,
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """Per-TRAIN-vector semantic decontamination verdicts against an eval
     set: (vec_id, cluster, n_eval_hits, max_eval_cosine, dropped) — the
@@ -410,7 +411,16 @@ def semantic_decontaminate(
     (hits all sit at >= threshold > 0, so 0.0 is unambiguous). Callers
     keep ``where(~dropped)`` — same consumption shape as
     ``decontaminate_against_store``, so an ingest can run both gates and
-    union the drop sets."""
+    union the drop sets.
+
+    ``broadcast_hits=True`` (default) ships the per-train-doc hit
+    aggregate to every executor — right when contamination is the rare
+    case it should be. On an ADVERSARIALLY contaminated corpus ``hits``
+    is sized by the number of contaminated train docs (unbounded), so
+    ``broadcast_hits=False`` falls back to a plain shuffled join — the
+    same dual-mode escape every sibling gate has (eval-gram store,
+    incremental dedup). Output is identical either way (plan-gated in
+    test_semantic_decontam)."""
     pairs = semantic_contamination_pairs(
         train_emb,
         eval_emb,
@@ -424,11 +434,13 @@ def semantic_decontaminate(
         F.count(F.lit(1)).cast("int").alias("n_eval_hits"),
         F.max("cosine").alias("max_eval_cosine"),
     )
+    if broadcast_hits:
+        hits = F.broadcast(hits)
     return (
         assignments.join(
             train_emb.select("vec_id"), "vec_id", "left_semi"
         )
-        .join(F.broadcast(hits), "vec_id", "left")
+        .join(hits, "vec_id", "left")
         .select(
             "vec_id",
             "cluster",

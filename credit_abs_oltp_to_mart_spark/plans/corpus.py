@@ -28,7 +28,9 @@ the scan.
 
 from __future__ import annotations
 
+import math
 import sys
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -219,6 +221,9 @@ def build_corpus(
     semantic_threshold: float = 0.4,
     semantic_init_ids: list[int] | None = None,
     semantic_iterations: int = 2,
+    semantic_assign: str = "flat",
+    semantic_sub_k: int | None = None,
+    semantic_hier_k_threshold: int = 64,
 ) -> dict[str, DataFrame]:
     """Full pipeline; returns every stage so callers can write or audit any
     of them. ``packed`` is the trainer-facing output: train-split chunks
@@ -243,7 +248,29 @@ def build_corpus(
     (``curation.semantic_decontaminate``) — the paraphrase-leakage gate
     the n-gram overlap provably misses. Docs WITHOUT an embedding pass
     the gate untouched (they cannot be semantically checked; the n-gram
-    gate already judged them). Stage key: ``semclean``."""
+    gate already judged them). Stage key: ``semclean``. If NO surviving
+    doc has an embedding, the gate is a logged no-op (nothing can drop)
+    rather than training an empty codebook into an opaque failure.
+
+    ``semantic_assign`` picks the codebook-assignment kernel feeding the
+    gate: ``"flat"`` (default, ``kmeans_assign`` — exact O(N*k*dim),
+    right for the small fixed codebooks the contract query uses),
+    ``"hier"`` (``kmeans_assign_hier`` — two-level O(N*(sqrt(k)+sub_k)*
+    dim); the 100 TB path when k scales with the corpus per SemDeDup's
+    own recipe: the r11 embeddings-axis probe read FLAT at 13.34x for
+    20x data vs 0.91x for the hier composition), or ``"auto"`` (hier
+    once ``len(semantic_init_ids) > semantic_hier_k_threshold``, flat
+    below it). Under hier the flat request of k = len(init_ids) seeds is
+    split into ceil(k/sub_k) coarse seeds (the first ids) x ``sub_k``
+    sub-centroids per cell (``semantic_sub_k``, default ceil(sqrt(k))),
+    keeping the total leaf count ~= the flat request — cluster labels
+    stay vec_ids either way, so ``semantic_decontaminate`` is agnostic
+    to which kernel produced them."""
+    if semantic_assign not in ("flat", "hier", "auto"):
+        raise ValueError(
+            "build_corpus: semantic_assign must be 'flat', 'hier' or"
+            f" 'auto', got {semantic_assign!r}"
+        )
     # persisted BEFORE dedup: the dedup stage eagerly materializes its
     # verified pair set (localCheckpoint inside dedup_documents), which
     # would otherwise re-run the full regex-heavy filter gate once for the
@@ -285,6 +312,7 @@ def build_corpus(
         )
         from credit_abs_oltp_to_mart_spark.operators.kmeans import (
             kmeans_assign,
+            kmeans_assign_hier,
         )
 
         emb = embeddings.select("vec_id", "embedding")
@@ -306,33 +334,71 @@ def build_corpus(
                 .limit(8)
                 .collect()
             ]
-        assign = kmeans_assign(
-            pool,
-            init_ids=semantic_init_ids,
-            iterations=semantic_iterations,
-        )
-        train_emb = pool.join(
-            clean.where(F.col("split") == "train").select(
-                F.col("doc_id").alias("vec_id")
-            ),
-            "vec_id",
-            "left_semi",
-        )
-        eval_emb = pool.join(
-            clean.where(F.col("split") != "train").select(
-                F.col("doc_id").alias("vec_id")
-            ),
-            "vec_id",
-            "left_semi",
-        )
-        verdicts = semantic_decontaminate(
-            train_emb, eval_emb, assign, threshold=semantic_threshold
-        )
-        sem_drop = verdicts.where(F.col("dropped")).select(
-            F.col("vec_id").alias("doc_id")
-        )
-        clean = clean.join(F.broadcast(sem_drop), "doc_id", "left_anti")
-        stages["semclean"] = clean
+        elif pool.limit(1).count() == 0:
+            semantic_init_ids = []
+        if not semantic_init_ids:
+            # no surviving doc has an embedding: the gate can drop
+            # nothing by definition — skip it loudly instead of training
+            # an empty codebook into an opaque downstream failure
+            warnings.warn(
+                "build_corpus: embeddings were supplied but no surviving"
+                " doc has one — the semantic decontamination gate is a"
+                " no-op for this corpus",
+                stacklevel=2,
+            )
+            pool.unpersist()
+            stages["semclean"] = clean
+        else:
+            k_req = len(semantic_init_ids)
+            use_hier = semantic_assign == "hier" or (
+                semantic_assign == "auto"
+                and k_req > semantic_hier_k_threshold
+            )
+            if use_hier:
+                sub_k = semantic_sub_k or math.ceil(math.sqrt(k_req))
+                n_coarse = max(1, math.ceil(k_req / sub_k))
+                assign = kmeans_assign_hier(
+                    pool,
+                    coarse_init_ids=semantic_init_ids[:n_coarse],
+                    sub_k=sub_k,
+                    coarse_iterations=semantic_iterations,
+                    sub_iterations=semantic_iterations,
+                )
+            else:
+                assign = kmeans_assign(
+                    pool,
+                    init_ids=semantic_init_ids,
+                    iterations=semantic_iterations,
+                )
+            train_emb = pool.join(
+                clean.where(F.col("split") == "train").select(
+                    F.col("doc_id").alias("vec_id")
+                ),
+                "vec_id",
+                "left_semi",
+            )
+            eval_emb = pool.join(
+                clean.where(F.col("split") != "train").select(
+                    F.col("doc_id").alias("vec_id")
+                ),
+                "vec_id",
+                "left_semi",
+            )
+            verdicts = semantic_decontaminate(
+                train_emb, eval_emb, assign, threshold=semantic_threshold
+            )
+            # the drop list is contaminated-train-doc-sized; materialize it
+            # eagerly so the pool's cache (which the whole verdict chain
+            # reads) can be released before the caller materializes
+            # downstream stages
+            sem_drop = (
+                verdicts.where(F.col("dropped"))
+                .select(F.col("vec_id").alias("doc_id"))
+                .localCheckpoint(eager=True)
+            )
+            pool.unpersist()
+            clean = clean.join(F.broadcast(sem_drop), "doc_id", "left_anti")
+            stages["semclean"] = clean
     train = clean.where(F.col("split") == "train")
     packed = pack_chunks(
         train, chunk_tokens=chunk_tokens, bin_tokens=bin_tokens, shards=shards

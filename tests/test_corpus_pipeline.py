@@ -253,3 +253,77 @@ def test_semantic_gate_drops_planted_paraphrase(spark, docs):
     assert gated["packed"].where(F.col("doc_id") == planted).count() == 0
     # docs WITHOUT an embedding pass the gate untouched (most of the
     # corpus here) — already implied by kept == base_kept - {planted}
+
+
+def test_semantic_gate_hier_assign_drops_planted_paraphrase(spark, docs):
+    """semantic_assign="hier" routes the gate's codebook through
+    kmeans_assign_hier (the O(sqrt(k)) scale path; flat read 13.34x at
+    the 20x embeddings probe with corpus-scaled k, hier 0.91x): the same
+    planted paraphrase drops — the near-identical train/eval pair lands
+    in one leaf under any sane assignment — and "auto" past the k
+    threshold makes the identical decision."""
+    from credit_abs_oltp_to_mart_spark.operators.curation import split_expr
+
+    base = build_corpus(docs)
+    clean = base["clean"].select("doc_id", "split")
+    train_ids = [r["doc_id"] for r in clean.where(
+        F.col("split") == "train").orderBy("doc_id").limit(3).collect()]
+    eval_ids = [r["doc_id"] for r in clean.where(
+        F.col("split") != "train").orderBy("doc_id").limit(2).collect()]
+    planted, anchor, bystander = train_ids[0], eval_ids[0], train_ids[1]
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        return v
+
+    # planted == anchor EXACTLY: identical vectors score identically
+    # against any codebook, so they share a leaf under flat, hier and
+    # auto alike — the test pins the knob, not k-means geometry
+    rows = [(planted, vec(0)), (anchor, vec(0))]
+    rows += [(i, vec(2 + (j % 5))) for j, i in enumerate(
+        train_ids[1:] + eval_ids[1:])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    kw = dict(
+        embeddings=emb,
+        semantic_threshold=0.95,
+        semantic_init_ids=[planted, anchor, bystander],
+    )
+    hier = build_corpus(docs, semantic_assign="hier", **kw)
+    base_kept = {r["doc_id"] for r in clean.collect()}
+    kept = {r["doc_id"] for r in hier["semclean"].select("doc_id").collect()}
+    assert kept == base_kept - {planted}
+    # "auto" past the threshold = the hier decision, below it = flat
+    auto = build_corpus(
+        docs, semantic_assign="auto", semantic_hier_k_threshold=2, **kw
+    )
+    assert kept == {
+        r["doc_id"] for r in auto["semclean"].select("doc_id").collect()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="semantic_assign"):
+        build_corpus(docs, semantic_assign="bogus", **kw)
+
+
+def test_semantic_gate_empty_embedding_pool_is_logged_noop(spark, docs):
+    """Embeddings supplied but NO surviving doc has one: the gate cannot
+    drop anything by definition — it must warn and no-op instead of
+    training an empty codebook into an opaque downstream failure."""
+    import warnings as _warnings
+
+    emb = spark.createDataFrame(
+        [(10**15 + i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        gated = build_corpus(docs, embeddings=emb)
+        n_clean = gated["clean"].count()
+        n_sem = gated["semclean"].count()
+    assert n_sem == n_clean > 0
+    assert any("semantic decontamination" in str(w.message) for w in caught)

@@ -157,3 +157,40 @@ def test_plan_never_all_pairs_and_eval_broadcast(spark):
     rows = pairs.collect()
     for r in rows:
         assert r["cosine"] >= 0.4
+
+
+def test_broadcast_hits_dual_mode_parity_and_plan(spark):
+    """broadcast_hits=False is the adversarially-contaminated-corpus
+    escape: the per-train-doc hit aggregate is UNBOUNDED there, so the
+    verdict join must be able to run as a plain shuffled join. Verdicts
+    are identical in both modes, and the mode actually changes the plan:
+    the single LeftOuter join (hits onto the train assignments) is a
+    BroadcastHashJoin under the default and NOT under the fallback."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assign = kmeans_assign(emb, init_ids=[10, 20, 30, 40], iterations=1)
+    from credit_abs_oltp_to_mart_spark.operators.curation import split_bucket
+
+    b = split_bucket(F.col("vec_id"), "split:")
+    train, ev = emb.where(b < 80), emb.where(b >= 80)
+
+    def _left_outer_lines(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in p.splitlines() if "LeftOuter" in ln]
+
+    bcast = semantic_decontaminate(train, ev, assign, threshold=0.4)
+    merge = semantic_decontaminate(
+        train, ev, assign, threshold=0.4, broadcast_hits=False
+    )
+    lb, lm = _left_outer_lines(bcast), _left_outer_lines(merge)
+    assert lb and all("BroadcastHashJoin" in ln for ln in lb)
+    assert lm and not any("BroadcastHashJoin" in ln for ln in lm)
+
+    def _rows(df):
+        return {
+            (r["vec_id"], r["cluster"], r["n_eval_hits"],
+             r["max_eval_cosine"], r["dropped"])
+            for r in df.collect()
+        }
+
+    rb = _rows(bcast)
+    assert rb == _rows(merge) and rb
