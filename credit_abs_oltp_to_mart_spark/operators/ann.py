@@ -491,6 +491,38 @@ def assign_against_codebook(
     return src.select("vec_id", cluster.alias("cluster"))
 
 
+def assign_against_hier_codebook(
+    batch: DataFrame,
+    coarse_cents: dict[int, list[int]],
+    sub: dict[int, dict[int, list[int]]],
+    *,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) for NEW vectors against a FIXED trained TWO-LEVEL
+    codebook — the online half of ``kmeans.hier_train`` exactly as
+    ``assign_against_codebook`` is the online half of ``kmeans_train``.
+    The scale path for a continuously-served semantic gate whose leaf
+    count k scales with the corpus (SemDeDup's recipe): scoring is
+    O(coarse + nprobe*sub_k) per vector ~ O(sqrt(k)) instead of the flat
+    O(k), with identical (score, id) tiebreaks to ``kmeans_assign_hier``
+    so an online assignment matches what retraining-side serve would
+    emit. Map-only: the two-level codebook ships as one broadcast row."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        FP_SCALE,
+        _hier_cand_scores_expr,
+        _hier_frame,
+        _to_fp,
+    )
+
+    src = batch.select("vec_id", _to_fp(vec_col, FP_SCALE).alias("a"))
+    frame = _hier_frame(batch.sparkSession, coarse_cents, sub)
+    best = F.array_min(_hier_cand_scores_expr("a", nprobe))
+    return src.crossJoin(F.broadcast(frame)).select(
+        "vec_id", best["scid"].alias("cluster")
+    )
+
+
 def load_index_codebook(
     spark: SparkSession, index_dir: str
 ) -> dict[int, list[int]]:

@@ -888,13 +888,19 @@ def stream_corpus_ingest(
     docs look up their embeddings in the pinned ``semantic_doc_
     embeddings`` frame (doc_id-keyed; docs without one pass untouched);
     both sides assign map-only against the FIXED trained
-    ``semantic_centroids`` codebook (``ann.assign_against_codebook`` —
-    the same offline-train / online-assign regime as
-    ``stream_ann_ingest``), and batch docs within
+    ``semantic_centroids`` codebook — a flat ``{cid: centroid}`` dict
+    (``ann.assign_against_codebook``, O(k) per vector) or the two-level
+    ``{"coarse": ..., "sub": ...}`` form from ``kmeans.hier_train``
+    (``ann.assign_against_hier_codebook``, O(sqrt(k)) — the scale form
+    once the leaf count grows with the corpus); the same offline-train /
+    online-assign regime as ``stream_ann_ingest``. Batch docs within
     ``semantic_threshold`` cosine of a same-cluster eval vector drop
-    (``curation.semantic_decontaminate``). All gate state is fixed or
-    strictly-pinned, so crash replays re-derive identical admitted sets
-    (the mid-run suite-addition caveat above applies unchanged)."""
+    (``curation.semantic_decontaminate``). Batch doc_ids and eval
+    vec_ids must be DISJOINT id spaces (validated per batch, fail-loud:
+    a collision would cross-tag vectors across the union's cluster
+    restriction). All gate state is fixed or strictly-pinned, so crash
+    replays re-derive identical admitted sets (the mid-run
+    suite-addition caveat above applies unchanged)."""
     from pyspark.errors import AnalysisException
 
     from credit_abs_oltp_to_mart_spark.operators import dedup as D
@@ -980,12 +986,32 @@ def stream_corpus_ingest(
         if sem_armed
         else None
     )
+    # ``semantic_centroids`` is either a FLAT codebook ({cid: centroid},
+    # assign_against_codebook — O(k) per vector) or a TWO-LEVEL one
+    # ({"coarse": {...}, "sub": {ccl: {scid: ...}}} from
+    # ``kmeans.hier_train`` — assign_against_hier_codebook, O(sqrt(k));
+    # the scale form once the leaf count grows with the corpus). Both
+    # are map-only against one broadcast/literal codebook; the dispatch
+    # is shared by the eval-store pin and the per-batch candidate side
+    # so both sets always assign under the same rule.
+    sem_hier = sem_armed and set(semantic_centroids) == {"coarse", "sub"}
+
+    def _sem_assign(frame: DataFrame) -> DataFrame:
+        from credit_abs_oltp_to_mart_spark.operators import ann as A
+
+        if sem_hier:
+            return A.assign_against_hier_codebook(
+                frame,
+                semantic_centroids["coarse"],
+                semantic_centroids["sub"],
+            )
+        return A.assign_against_codebook(frame, semantic_centroids)
+
     sem_pinned: dict = {"sig": None, "emb": None, "assign": None}
 
     def _pin_eval_embeddings(sess: SparkSession):
         if not sem_armed:
             return None, None
-        from credit_abs_oltp_to_mart_spark.operators import ann as A
 
         raw = sess.read.parquet(semantic_eval_store)
         sig = tuple(sorted(raw.inputFiles()))
@@ -994,9 +1020,9 @@ def stream_corpus_ingest(
                 eager=True
             )
             sem_pinned["emb"] = emb
-            sem_pinned["assign"] = A.assign_against_codebook(
-                emb, semantic_centroids
-            ).localCheckpoint(eager=True)
+            sem_pinned["assign"] = _sem_assign(emb).localCheckpoint(
+                eager=True
+            )
             sem_pinned["sig"] = sig
         return sem_pinned["emb"], sem_pinned["assign"]
 
@@ -1114,9 +1140,6 @@ def stream_corpus_ingest(
             else:
                 admitted = survivors
             if sem_armed:
-                from credit_abs_oltp_to_mart_spark.operators import (
-                    ann as A,
-                )
                 from credit_abs_oltp_to_mart_spark.operators.curation import (
                     semantic_decontaminate,
                 )
@@ -1129,9 +1152,32 @@ def stream_corpus_ingest(
                     "vec_id",
                     "left_semi",
                 )
-                assignments = A.assign_against_codebook(
-                    cand_vecs, semantic_centroids
-                ).unionByName(ev_assign)
+                # the union below treats batch doc_ids and eval vec_ids
+                # as ONE id space; a collision would cross-tag a vector
+                # with the other set's cluster, inflating candidate
+                # pairs and duplicating verdict rows — fail loudly
+                # instead (broadcast semi-join against the pinned eval
+                # ids + limit(1): map-only, early-exit)
+                collided = (
+                    cand_vecs.select("vec_id")
+                    .join(
+                        F.broadcast(ev_emb.select("vec_id")),
+                        "vec_id",
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if collided:
+                    raise ValueError(
+                        "stream_corpus_ingest: batch doc_id"
+                        f" {collided[0]['vec_id']} collides with an eval"
+                        " vec_id in the semantic eval store — the two id"
+                        " spaces must be disjoint (namespace one of them"
+                        " upstream) or the cluster restriction would"
+                        " cross-tag vectors"
+                    )
+                assignments = _sem_assign(cand_vecs).unionByName(ev_assign)
                 sem_drop = (
                     semantic_decontaminate(
                         cand_vecs,

@@ -324,3 +324,30 @@ def test_hier_soft_prune_actually_fires(spark, emb):
     # some vectors sit near a cell boundary (must probe), but the bulk
     # of a clustered corpus must prune — require BOTH behaviors present
     assert 0 < probed["probed"] < probed["n"]
+
+
+def test_assign_against_hier_codebook_matches_training_serve(spark, emb):
+    """The FIXED-two-level-codebook online assignment (the streaming
+    semantic gate's scale form) is bit-identical to the trained serve:
+    same kernel, same (score, scid) tiebreaks — an ingested vector lands
+    exactly where the codebook's own retrain-side serve would put it."""
+    from credit_abs_oltp_to_mart_spark.operators.ann import (
+        assign_against_hier_codebook,
+    )
+
+    v, coarse_cents, sub = hier_train(emb, **HIER_KW)
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign_hier(emb, nprobe=1, **HIER_KW).collect()
+    }
+    got_df = assign_against_hier_codebook(
+        emb, coarse_cents, sub, nprobe=1
+    )
+    got = {(r["vec_id"], r["cluster"]) for r in got_df.collect()}
+    assert got == want and got
+    # map-only plan gate, like the trained serve: one broadcast frame,
+    # no vector-side shuffle
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan

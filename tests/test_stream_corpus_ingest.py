@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import time as _time
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -676,3 +677,100 @@ def test_streaming_semantic_gate_drops_planted_paraphrase(spark, tmp_path):
     if os.path.exists(crc):
         os.remove(crc)
     assert run() == {12, 13}
+
+
+def test_streaming_semantic_gate_rejects_id_collision(spark, tmp_path):
+    """Batch doc_ids and eval vec_ids feed ONE unioned id space in the
+    gate's cluster restriction — a collision would cross-tag vectors and
+    duplicate verdicts, so it must fail loudly at the batch, not blur."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+
+    def vec(axis):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        return v
+
+    ev_store = str(tmp_path / "collide_eval_emb")
+    # eval vec_id 1 COLLIDES with arriving doc_id 1
+    spark.createDataFrame(
+        [(1, vec(0))], "vec_id long, embedding array<double>"
+    ).write.parquet(ev_store)
+    doc_emb = spark.createDataFrame(
+        [(1, vec(2))], "vec_id long, embedding array<double>"
+    )
+    pool = spark.createDataFrame(
+        [(1, vec(0)), (12, vec(2))],
+        "vec_id long, embedding array<double>",
+    )
+    _, cents = kmeans_train(pool, init_ids=[1, 12], iterations=1)
+
+    src = tmp_path / "collide_slices"
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [Row(doc_id=1, text=GOOD_A)], t0)
+    out = str(tmp_path / "collide_out")
+    with pytest.raises(Exception, match="collides with an eval"):
+        streaming.stream_corpus_ingest(
+            spark, f"{src}/b*", out, schema=schema,
+            gram_store_path=None, min_est=0.25, chunk_tokens=8,
+            semantic_eval_store=ev_store,
+            semantic_doc_embeddings=doc_emb,
+            semantic_centroids=cents,
+            semantic_threshold=0.95,
+        ).collect()
+
+
+def test_streaming_semantic_gate_hier_codebook(spark, tmp_path):
+    """semantic_centroids in the two-level {"coarse", "sub"} form routes
+    both the eval-store pin and the batch side through
+    ann.assign_against_hier_codebook (the O(sqrt(k)) scale form): the
+    planted paraphrase still drops, bystanders still pass."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import hier_train
+
+    schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = eps
+        return v
+
+    ev_store = str(tmp_path / "hier_eval_emb")
+    spark.createDataFrame(
+        [(900, vec(0)), (901, vec(1))],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(ev_store)
+    doc_emb = spark.createDataFrame(
+        [(1, vec(0)), (12, vec(2))],
+        "vec_id long, embedding array<double>",
+    )
+    pool = spark.createDataFrame(
+        [(900, vec(0)), (901, vec(1)), (12, vec(2)), (14, vec(3))],
+        "vec_id long, embedding array<double>",
+    )
+    _, coarse, sub = hier_train(
+        pool, coarse_init_ids=[900, 12], sub_k=2,
+        coarse_iterations=1, sub_iterations=1,
+    )
+
+    src = tmp_path / "hier_slices"
+    t0 = _time.time() - 120
+    _land(spark, src, schema, 0, [
+        Row(doc_id=1, text=GOOD_A),      # identical to eval 900 -> drops
+        Row(doc_id=12, text=FRESH),      # far vector -> admitted
+        Row(doc_id=13, text=EVAL_DOC),   # no embedding -> admitted
+    ], t0)
+    out = str(tmp_path / "hier_out")
+    got = {
+        r["doc_id"]
+        for r in streaming.stream_corpus_ingest(
+            spark, f"{src}/b*", out, schema=schema,
+            gram_store_path=None, min_est=0.25, chunk_tokens=8,
+            semantic_eval_store=ev_store,
+            semantic_doc_embeddings=doc_emb,
+            semantic_centroids={"coarse": coarse, "sub": sub},
+            semantic_threshold=0.95,
+        ).collect()
+    }
+    assert got == {12, 13}
