@@ -334,12 +334,13 @@ def build_corpus(
                 .limit(8)
                 .collect()
             ]
-        elif pool.limit(1).count() == 0:
-            semantic_init_ids = []
         if not semantic_init_ids:
-            # no surviving doc has an embedding: the gate can drop
-            # nothing by definition — skip it loudly instead of training
-            # an empty codebook into an opaque downstream failure
+            # no surviving doc has an embedding (the default-init collect
+            # above came back empty — for explicit init_ids the caller
+            # owns seed validity and no extra eager job is spent here):
+            # the gate can drop nothing by definition — skip it loudly
+            # instead of training an empty codebook into an opaque
+            # downstream failure
             warnings.warn(
                 "build_corpus: embeddings were supplied but no surviving"
                 " doc has one — the semantic decontamination gate is a"

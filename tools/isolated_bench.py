@@ -187,6 +187,33 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _calibration() -> float:
+        """min-of-3 wall for the 10M-row range sum in a FRESH child JVM —
+        the same machine yardstick bench.py brackets its run with, so the
+        isolated floors carry their own contention evidence."""
+        code = (
+            f"import sys, time; sys.path.insert(0, {repo!r})\n"
+            "from credit_abs_oltp_to_mart_spark.session import get_spark\n"
+            "import pyspark.sql.functions as F\n"
+            "spark = get_spark(app_name='isolated-calibration')\n"
+            "best = float('inf')\n"
+            "for _ in range(3):\n"
+            "    t0 = time.perf_counter()\n"
+            "    spark.range(10_000_000).select(F.sum('id')).collect()\n"
+            "    best = min(best, time.perf_counter() - t0)\n"
+            "print('ISOLATED_RESULT', best)\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=repo,
+        )
+        for ln in out.stdout.splitlines():
+            if ln.startswith("ISOLATED_RESULT"):
+                return round(float(ln.split()[1]), 4)
+        return float("nan")
+
+    calib_start = _calibration()
     results: dict[str, float] = {}
     stages: dict[str, dict] = {}
     for name in args.queries.split(","):
@@ -196,6 +223,12 @@ def main() -> int:
             code = _CHILD_REFERENCE_CHAIN.format(repo=repo, mult=1)
         elif name == "reference_chain_e2e_10x":
             code = _CHILD_REFERENCE_CHAIN.format(repo=repo, mult=10)
+        elif name == "reference_chain_e2e_100x":
+            # r12: 100x the reference volumes (200k borrowers / 300k
+            # applications / 150k loans, ~50M arrears rows) — the axis a
+            # real credit-ABS user scales on; extends the 36.7 -> 64.8 s
+            # curve a decade further
+            code = _CHILD_REFERENCE_CHAIN.format(repo=repo, mult=100)
         elif name == "stream_corpus_ingest_stages":
             code = _CHILD_CORPUS_STAGES.format(repo=repo, sf_dir=args.sf_dir)
         else:
@@ -218,7 +251,10 @@ def main() -> int:
             if ln.startswith("ISOLATED_STAGES"):
                 stages[name] = json.loads(ln.split(" ", 1)[1])
         print(name, results[name], stages.get(name, ""), flush=True)
+    calib_end = _calibration()
     doc = {"sf_dir": args.sf_dir, "min_of": 3, "fresh_session": True,
+           "calibration_range_sum_sec_start": calib_start,
+           "calibration_range_sum_sec_end": calib_end,
            "isolated_sec": results}
     if stages:
         doc["stage_decomposition"] = stages
