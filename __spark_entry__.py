@@ -2270,13 +2270,20 @@ HYBRID_RRF_K = 60
 HYBRID_MAX_RANK = 1000
 
 
+HYBRID_WEIGHTS = [(1, 1), (2, 1)]  # unweighted + lexical-leaning weighted
+
+
 def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval serving: the BM25 lexical shortlist and the exact
     cosine semantic shortlist for the same query ids, fused by
     reciprocal-rank fusion in EXACT integer arithmetic
     (``retrieval.hybrid_rank_fusion`` — the RRF rational is materialized
     as a separating fixed point whose int64 ordering provably equals the
-    rational ordering; no float enters the ranking)."""
+    rational ordering; no float enters the ranking). One fusion per
+    ``HYBRID_WEIGHTS`` config, tagged by (w_lex, w_sem) — so the single
+    gate verdict covers the unweighted AND the integer-weighted
+    separating fixed point (weighted numerators don't loosen the
+    separation bound, only the int64 envelope; see the operator proof)."""
     from credit_abs_oltp_to_mart_spark.operators import ann, retrieval
 
     docs = _t(spark, sf_dir, "documents")
@@ -2287,9 +2294,22 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         [qid for qid, _ in BM25_QUERIES],
         k=HYBRID_DEPTH,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
-    return retrieval.hybrid_rank_fusion(
-        lex, sem, k=ANN_K, rrf_k=HYBRID_RRF_K, max_rank=HYBRID_MAX_RANK
-    )
+    out = None
+    for w_lex, w_sem in HYBRID_WEIGHTS:
+        fused = retrieval.hybrid_rank_fusion(
+            lex,
+            sem,
+            k=ANN_K,
+            rrf_k=HYBRID_RRF_K,
+            max_rank=HYBRID_MAX_RANK,
+            weights=(w_lex, w_sem),
+        ).select(
+            F.lit(w_lex).cast("int").alias("w_lex"),
+            F.lit(w_sem).cast("int").alias("w_sem"),
+            "*",
+        )
+        out = fused if out is None else out.unionByName(fused)
+    return out
 
 
 def _hybrid_fusion_oracle() -> str:
@@ -2357,23 +2377,44 @@ def _hybrid_fusion_oracle() -> str:
              l.rank::bigint as lex_rank, s.rank::bigint as sem_rank
       from lex l full join sem s
         on l.query_id = s.query_id and l.doc_id = s.doc_id),
-    fusedk as (
+    {",".join(_hybrid_fused_blocks())}
+    {" union all ".join(_hybrid_final_selects())}
+    """
+
+
+def _hybrid_fused_blocks() -> list[str]:
+    """One weighted fusedk/ranked CTE pair per HYBRID_WEIGHTS config —
+    weighted RRF num = w_lex*(K+sem_rank) + w_sem*(K+lex_rank) over the
+    shared full-outer ``joined`` CTE, same separating scale."""
+    scale = (HYBRID_RRF_K + HYBRID_MAX_RANK) ** 4
+    blocks = []
+    for i, (w_lex, w_sem) in enumerate(HYBRID_WEIGHTS):
+        blocks.append(f"""
+    fused_{i} as (
       select query_id, doc_id, lex_rank, sem_rank,
              ((case when lex_rank is not null
-                    then coalesce({HYBRID_RRF_K} + sem_rank, 1)
+                    then {w_lex} * coalesce({HYBRID_RRF_K} + sem_rank, 1)
                     else 0 end
                + case when sem_rank is not null
-                      then coalesce({HYBRID_RRF_K} + lex_rank, 1)
+                      then {w_sem} * coalesce({HYBRID_RRF_K} + lex_rank, 1)
                       else 0 end) * {scale})
              // (coalesce({HYBRID_RRF_K} + lex_rank, 1)
                  * coalesce({HYBRID_RRF_K} + sem_rank, 1)) as fused_fp
-      from joined)
-    select query_id, doc_id, lex_rank, sem_rank, fused_fp::bigint as fused_fp,
-           rank::int as rank
-    from (select *, row_number() over (partition by query_id
-            order by fused_fp desc, doc_id asc) as rank from fusedk) z
-    where rank <= {ANN_K}
-    """
+      from joined),
+    ranked_{i} as (
+      select *, row_number() over (partition by query_id
+        order by fused_fp desc, doc_id asc) as rank from fused_{i})""")
+    return blocks
+
+
+def _hybrid_final_selects() -> list[str]:
+    return [
+        f"""
+    select {w_lex}::int as w_lex, {w_sem}::int as w_sem, query_id, doc_id,
+           lex_rank, sem_rank, fused_fp::bigint as fused_fp, rank::int as rank
+    from ranked_{i} where rank <= {ANN_K}"""
+        for i, (w_lex, w_sem) in enumerate(HYBRID_WEIGHTS)
+    ]
 
 
 def q_stream_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

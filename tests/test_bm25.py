@@ -610,9 +610,9 @@ def test_hybrid_fusion_contract_rehearsal(spark):
     want = con.execute(entry_mod._hybrid_fusion_oracle()).fetchdf()
     assert sorted(got.columns) == sorted(want.columns)
     g = got[sorted(got.columns)].sort_values(
-        ["query_id", "rank"]).reset_index(drop=True)
+        ["w_lex", "query_id", "rank"]).reset_index(drop=True)
     w = want[sorted(want.columns)].sort_values(
-        ["query_id", "rank"]).reset_index(drop=True)
+        ["w_lex", "query_id", "rank"]).reset_index(drop=True)
     assert len(g) == len(w) > 0
     for col in g.columns:
         gv, wv = g[col].tolist(), w[col].tolist()
