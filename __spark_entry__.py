@@ -2268,9 +2268,22 @@ def _bm25_serve_oracle() -> str:
 HYBRID_DEPTH = 8  # per-list shortlist depth feeding the fusion
 HYBRID_RRF_K = 60
 HYBRID_MAX_RANK = 1000
+# deep-shortlist config (r13 oracle extension, capacity rule: extends the
+# EXISTING composite oracle, no new contract entry): depth-64 shortlists
+# fused under max_rank 10_000 via the decimal(38,0) carrier — the scale
+# S = (60 + 10^4)^4 ~ 1.02e16 pushes num * S past int64, so this config
+# exercises the decimal escape end-to-end against a DuckDB HUGEINT replay
+HYBRID_DEPTH_DEEP = 64
+HYBRID_MAX_RANK_DEEP = 10_000
 
 
-HYBRID_WEIGHTS = [(1, 1), (2, 1)]  # unweighted + lexical-leaning weighted
+# (w_lex, w_sem, depth, max_rank, decimal_scores) — weight pairs are
+# distinct across configs because they tag the output rows
+HYBRID_CONFIGS = [
+    (1, 1, HYBRID_DEPTH, HYBRID_MAX_RANK, False),
+    (2, 1, HYBRID_DEPTH, HYBRID_MAX_RANK, False),
+    (3, 2, HYBRID_DEPTH_DEEP, HYBRID_MAX_RANK_DEEP, True),
+]
 
 
 def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2280,29 +2293,38 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``retrieval.hybrid_rank_fusion`` — the RRF rational is materialized
     as a separating fixed point whose int64 ordering provably equals the
     rational ordering; no float enters the ranking). One fusion per
-    ``HYBRID_WEIGHTS`` config, tagged by (w_lex, w_sem) — so the single
-    gate verdict covers the unweighted AND the integer-weighted
-    separating fixed point (weighted numerators don't loosen the
-    separation bound, only the int64 envelope; see the operator proof)."""
+    ``HYBRID_CONFIGS`` entry, tagged by (w_lex, w_sem) — so the single
+    gate verdict covers the unweighted, the integer-weighted, AND (r13)
+    the DEEP-SHORTLIST decimal(38,0) separating fixed point: the third
+    config fuses depth-64 shortlists under max_rank 10_000, whose scale
+    S = (60 + 10^4)^4 pushes num * S past int64, so it runs on the
+    decimal carrier end-to-end against a DuckDB HUGEINT replay (weighted
+    numerators and the carrier type don't loosen the separation bound,
+    only the envelope; see the operator proof)."""
     from credit_abs_oltp_to_mart_spark.operators import ann, retrieval
 
     docs = _t(spark, sf_dir, "documents")
     qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
-    lex = retrieval.bm25_topk(docs, qs, k=HYBRID_DEPTH)
-    sem = ann.brute_force_topk(
-        _t(spark, sf_dir, "embeddings"),
-        [qid for qid, _ in BM25_QUERIES],
-        k=HYBRID_DEPTH,
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [qid for qid, _ in BM25_QUERIES]
+    lists = {}
+    for depth in sorted({cfg[2] for cfg in HYBRID_CONFIGS}):
+        lex = retrieval.bm25_topk(docs, qs, k=depth)
+        sem = ann.brute_force_topk(emb, qids, k=depth).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        lists[depth] = (lex, sem)
     out = None
-    for w_lex, w_sem in HYBRID_WEIGHTS:
+    for w_lex, w_sem, depth, max_rank, dec in HYBRID_CONFIGS:
+        lex, sem = lists[depth]
         fused = retrieval.hybrid_rank_fusion(
             lex,
             sem,
             k=ANN_K,
             rrf_k=HYBRID_RRF_K,
-            max_rank=HYBRID_MAX_RANK,
+            max_rank=max_rank,
             weights=(w_lex, w_sem),
+            decimal_scores=dec,
         ).select(
             F.lit(w_lex).cast("int").alias("w_lex"),
             F.lit(w_sem).cast("int").alias("w_sem"),
@@ -2313,10 +2335,13 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_fusion_oracle() -> str:
-    """BM25 replay (depth HYBRID_DEPTH) + exact-cosine replay (same query
-    ids) + the integer separating-fixed-point RRF key: fused_fp =
-    num * (rrf_k + max_rank)^4 // den over the full-outer-joined
-    shortlists, rank by (fused_fp desc, doc_id asc)."""
+    """BM25 replay (one shortlist per distinct ``HYBRID_CONFIGS`` depth)
+    + exact-cosine replay (same query ids) + the separating-fixed-point
+    RRF key per config: fused_fp = num * (rrf_k + max_rank)^4 // den over
+    the full-outer-joined shortlists, rank by (fused_fp desc, doc_id
+    asc). The deep config's scale exceeds int64, so its block computes
+    the product in DuckDB HUGEINT (int128) — exact integer arithmetic
+    either way, mirroring the engine's bigint/decimal(38,0) carriers."""
     k1n, k1d, bn, bd, fp_scale = 6, 5, 3, 4, 10**6
     qrows = ", ".join(
         f"({qid}::bigint, '{term}')"
@@ -2325,7 +2350,19 @@ def _hybrid_fusion_oracle() -> str:
     )
     ids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
     cos = _COSINE.format(a="qv", b="nv")
-    scale = (HYBRID_RRF_K + HYBRID_MAX_RANK) ** 4
+    depths = sorted({cfg[2] for cfg in HYBRID_CONFIGS})
+    shortlists = ",".join(
+        f"""
+    lex_{d} as (select query_id, doc_id, rank from lexr where rank <= {d}),
+    sem_{d} as (select query_id, doc_id, rank from semr where rank <= {d}),
+    joined_{d} as (
+      select coalesce(l.query_id, s.query_id) as query_id,
+             coalesce(l.doc_id, s.doc_id) as doc_id,
+             l.rank::bigint as lex_rank, s.rank::bigint as sem_rank
+      from lex_{d} l full join sem_{d} s
+        on l.query_id = s.query_id and l.doc_id = s.doc_id)"""
+        for d in depths
+    )
     return f"""
     with tk as (
       select doc_id,
@@ -2357,38 +2394,37 @@ def _hybrid_fusion_oracle() -> str:
            from cand),
     agg as (select query_id, doc_id, sum(contrib)::bigint as score_fp
             from sc group by 1, 2),
-    lex as (select query_id, doc_id, rank from (
-              select *, row_number() over (partition by query_id
-                order by score_fp desc, doc_id asc) as rank from agg) z
-            where rank <= {HYBRID_DEPTH}),
+    lexr as (select query_id, doc_id,
+               row_number() over (partition by query_id
+                 order by score_fp desc, doc_id asc) as rank from agg),
     q2 as (select vec_id as query_id, embedding::DOUBLE[] as qv
            from embeddings where vec_id in ({ids})),
     n2 as (select vec_id as doc_id, embedding::DOUBLE[] as nv
            from embeddings),
     scored as (select query_id, doc_id, {cos} as cosine
                from q2, n2 where doc_id <> query_id),
-    sem as (select query_id, doc_id, rank from (
-              select *, row_number() over (partition by query_id
-                order by cosine desc, doc_id asc) as rank from scored) z
-            where rank <= {HYBRID_DEPTH}),
-    joined as (
-      select coalesce(l.query_id, s.query_id) as query_id,
-             coalesce(l.doc_id, s.doc_id) as doc_id,
-             l.rank::bigint as lex_rank, s.rank::bigint as sem_rank
-      from lex l full join sem s
-        on l.query_id = s.query_id and l.doc_id = s.doc_id),
+    semr as (select query_id, doc_id,
+               row_number() over (partition by query_id
+                 order by cosine desc, doc_id asc) as rank from scored),
+    {shortlists},
     {",".join(_hybrid_fused_blocks())}
     {" union all ".join(_hybrid_final_selects())}
     """
 
 
 def _hybrid_fused_blocks() -> list[str]:
-    """One weighted fusedk/ranked CTE pair per HYBRID_WEIGHTS config —
-    weighted RRF num = w_lex*(K+sem_rank) + w_sem*(K+lex_rank) over the
-    shared full-outer ``joined`` CTE, same separating scale."""
-    scale = (HYBRID_RRF_K + HYBRID_MAX_RANK) ** 4
+    """One weighted fusedk/ranked CTE pair per HYBRID_CONFIGS entry —
+    weighted RRF num = w_lex*(K+sem_rank) + w_sem*(K+lex_rank) over that
+    config's full-outer ``joined_<depth>`` CTE, separating scale
+    S = (rrf_k + max_rank)^4. Configs whose num * S product exceeds
+    int64 (the deep max_rank = 10_000 one) compute it in HUGEINT —
+    DuckDB's exact int128 — and the final fused_fp::bigint cast is safe
+    because the quotient is bounded by w_sum * S / (rrf_k + 1) (the
+    operator's decimal-mode envelope check)."""
     blocks = []
-    for i, (w_lex, w_sem) in enumerate(HYBRID_WEIGHTS):
+    for i, (w_lex, w_sem, depth, max_rank, dec) in enumerate(HYBRID_CONFIGS):
+        scale = (HYBRID_RRF_K + max_rank) ** 4
+        cast = "::hugeint" if dec else ""
         blocks.append(f"""
     fused_{i} as (
       select query_id, doc_id, lex_rank, sem_rank,
@@ -2397,10 +2433,10 @@ def _hybrid_fused_blocks() -> list[str]:
                     else 0 end
                + case when sem_rank is not null
                       then {w_sem} * coalesce({HYBRID_RRF_K} + lex_rank, 1)
-                      else 0 end) * {scale})
+                      else 0 end){cast} * {scale}{cast})
              // (coalesce({HYBRID_RRF_K} + lex_rank, 1)
-                 * coalesce({HYBRID_RRF_K} + sem_rank, 1)) as fused_fp
-      from joined),
+                 * coalesce({HYBRID_RRF_K} + sem_rank, 1)){cast} as fused_fp
+      from joined_{depth}),
     ranked_{i} as (
       select *, row_number() over (partition by query_id
         order by fused_fp desc, doc_id asc) as rank from fused_{i})""")
@@ -2413,7 +2449,7 @@ def _hybrid_final_selects() -> list[str]:
     select {w_lex}::int as w_lex, {w_sem}::int as w_sem, query_id, doc_id,
            lex_rank, sem_rank, fused_fp::bigint as fused_fp, rank::int as rank
     from ranked_{i} where rank <= {ANN_K}"""
-        for i, (w_lex, w_sem) in enumerate(HYBRID_WEIGHTS)
+        for i, (w_lex, w_sem, _d, _m, _dec) in enumerate(HYBRID_CONFIGS)
     ]
 
 
@@ -6870,75 +6906,16 @@ WINDOW_AGING_EXCEPTIONS: dict = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50
-        # entries in registration order. Round-12 window (derived
+        # entries in registration order. Round-13 window (derived
         # mechanically by tools/window_order.py --emit-order from the
-        # committed CORRECTNESS_r*.json evidence): the 49 queries whose
-        # newest driver evidence is r09 (expires at round-12 close) plus
-        # the ONE slack slot, cashed as planned for the round-11-built
-        # hybrid BM25+ANN RRF fusion operator — the only operator that
-        # lacked a contract entry. Consequence (binding for round 12):
-        # result-affecting work is confined to these 50 in-window
-        # queries; everything else rides existing in-window composite
-        # oracles or carries regenerated both-SF local mirrors +
-        # local[7] runs per the house waiver discipline. Run
-        # `python tools/window_order.py --check` before committing any
-        # registration change. ===
-        "hybrid_rank_fusion": q_hybrid_fusion,  # NEW (r12 slack slot)
-        "asof_join": q_asof_join,  # r09
-        "cube_revenue": q_cube_revenue,  # r09
-        "grouped_pandas_stats": q_grouped_pandas_stats,  # r09
-        "grouped_pandas_wavg": q_grouped_pandas_wavg,  # r09
-        "json_extract": q_json_extract,  # r09
-        "pagerank": q_pagerank,  # r09
-        "pivot_monthly": q_pivot_monthly,  # r09
-        "pricing_summary": q_pricing_summary,  # r09
-        "range_window": q_range_window,  # r09
-        "region_revenue": q_region_revenue,  # r09
-        "rollup_revenue": q_rollup_revenue,  # r09
-        "running_total": q_running_total,  # r09
-        "set_ops": q_set_ops,  # r09
-        "skew_salted_agg": q_skew_salted_agg,  # r09
-        "stream_distinct_keys": q_stream_distinct_keys,  # r09
-        "stream_enriched_agg": q_stream_enriched_agg,  # r09
-        "stream_session_window": q_stream_session_window,  # r09
-        "stream_stream_join": q_stream_stream_join,  # r09
-        "stream_windowed_agg": q_stream_windowed_agg,  # r09
-        "top_revenue_orders": q_top_revenue_orders,  # r09
-        "topk_per_group": q_topk_per_group,  # r09
-        "value_percentiles": q_value_percentiles,  # r09
-        "window_variety": q_window_variety,  # r09
-        "image_near_dups": q_image_near_dups,  # r09
-        "bpe_pack": q_bpe_pack,  # r09
-        "quality_classifier": q_quality_classifier,  # r09
-        "simhash_pairs": q_simhash_pairs,  # r09
-        "mixture_weights": q_mixture_weights,  # r09
-        "pack_chunks": q_pack_chunks,  # r09
-        "bpe_segment": q_bpe_segment,  # r09
-        "bpe_merges": q_bpe_merges,  # r09
-        "stream_dedup_ingest": q_stream_dedup_ingest,  # r09
-        "mixture_apply": q_mixture_apply,  # r09
-        "stream_bpe_ingest": q_stream_bpe_ingest,  # r09
-        "pack_manifest": q_pack_manifest,  # r09
-        "cdc_upsert": q_cdc_upsert,  # r09
-        "gap_fill_daily": q_gap_fill_daily,  # r09
-        "full_outer_recon": q_full_outer_recon,  # r09
-        "fuzzy_name_match": q_fuzzy_name_match,  # r09
-        "dedup_incremental": q_dedup_incremental,  # r09
-        "funnel_stages": q_funnel_stages,  # r09
-        "median_mode": q_median_mode,  # r09
-        "simhash": q_simhash,  # r09
-        "decontaminate_store": q_decontaminate_store,  # r09
-        "cluster_sample": q_cluster_sample,  # r09
-        "token_budget_sample": q_token_budget_sample,  # r09
-        "semantic_dedup_hier": q_semantic_dedup_hier,  # r09
-        "bm25_serve": q_bm25_serve,  # r09
-        "stream_postings_ingest": q_stream_postings_ingest,  # r09
-        # ---- driver gate window (50) ends here ----
-        # CAPACITY NOTE (binding): at 150 queries the 50-slot x 3-round
-        # rotation now has ZERO slack slots in every round. Grow the
-        # contract surface ONLY by EXTENDING existing composite oracles
-        # (the dsir_select Gumbel extension r10, the decontaminate
-        # semantic extension r11) — a new entry would break the rotation.
+        # committed CORRECTNESS_r*.json evidence): the 50 queries whose
+        # newest driver evidence is r10 (expires at round-13 close).
+        # Consequence (binding for round 13): result-affecting work is
+        # confined to these 50 in-window queries; everything else rides
+        # existing in-window composite oracles or carries regenerated
+        # both-SF local mirrors + local[7] runs per the house waiver
+        # discipline. Run `python tools/window_order.py --check` before
+        # committing any registration change. ===
         "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,  # r10
         "perplexity_filter": q_perplexity_filter,  # r10
         "dsir_select": q_dsir_select,  # r10
@@ -6989,6 +6966,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg_sorted": q_array_agg_sorted,  # r10
         "token_positions": q_token_positions,  # r10
         "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,  # r10
+        # ---- driver gate window (50) ends here ----
+        # CAPACITY NOTE (binding): at 150 queries the 50-slot x 3-round
+        # rotation has ZERO slack slots in every round. Grow the
+        # contract surface ONLY by EXTENDING existing composite oracles
+        # (the dsir_select Gumbel extension r10, the decontaminate
+        # semantic extension r11, the hybrid_rank_fusion deep-rank
+        # extension r13) — a new entry would break the rotation.
         "nullsafe_join": q_nullsafe_join,  # r11
         "retention_cohorts": q_retention_cohorts,  # r11
         "profile_stats": q_profile_stats,  # r11
@@ -7039,6 +7023,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,  # r11
         "ann_pq_residual": q_ann_pq_residual,  # r11
         "ann_index_serve": q_ann_index_serve,  # r11
+        "hybrid_rank_fusion": q_hybrid_fusion,  # r12
+        "asof_join": q_asof_join,  # r12
+        "cube_revenue": q_cube_revenue,  # r12
+        "grouped_pandas_stats": q_grouped_pandas_stats,  # r12
+        "grouped_pandas_wavg": q_grouped_pandas_wavg,  # r12
+        "json_extract": q_json_extract,  # r12
+        "pagerank": q_pagerank,  # r12
+        "pivot_monthly": q_pivot_monthly,  # r12
+        "pricing_summary": q_pricing_summary,  # r12
+        "range_window": q_range_window,  # r12
+        "region_revenue": q_region_revenue,  # r12
+        "rollup_revenue": q_rollup_revenue,  # r12
+        "running_total": q_running_total,  # r12
+        "set_ops": q_set_ops,  # r12
+        "skew_salted_agg": q_skew_salted_agg,  # r12
+        "stream_distinct_keys": q_stream_distinct_keys,  # r12
+        "stream_enriched_agg": q_stream_enriched_agg,  # r12
+        "stream_session_window": q_stream_session_window,  # r12
+        "stream_stream_join": q_stream_stream_join,  # r12
+        "stream_windowed_agg": q_stream_windowed_agg,  # r12
+        "top_revenue_orders": q_top_revenue_orders,  # r12
+        "topk_per_group": q_topk_per_group,  # r12
+        "value_percentiles": q_value_percentiles,  # r12
+        "window_variety": q_window_variety,  # r12
+        "image_near_dups": q_image_near_dups,  # r12
+        "bpe_pack": q_bpe_pack,  # r12
+        "quality_classifier": q_quality_classifier,  # r12
+        "simhash_pairs": q_simhash_pairs,  # r12
+        "mixture_weights": q_mixture_weights,  # r12
+        "pack_chunks": q_pack_chunks,  # r12
+        "bpe_segment": q_bpe_segment,  # r12
+        "bpe_merges": q_bpe_merges,  # r12
+        "stream_dedup_ingest": q_stream_dedup_ingest,  # r12
+        "mixture_apply": q_mixture_apply,  # r12
+        "stream_bpe_ingest": q_stream_bpe_ingest,  # r12
+        "pack_manifest": q_pack_manifest,  # r12
+        "cdc_upsert": q_cdc_upsert,  # r12
+        "gap_fill_daily": q_gap_fill_daily,  # r12
+        "full_outer_recon": q_full_outer_recon,  # r12
+        "fuzzy_name_match": q_fuzzy_name_match,  # r12
+        "dedup_incremental": q_dedup_incremental,  # r12
+        "funnel_stages": q_funnel_stages,  # r12
+        "median_mode": q_median_mode,  # r12
+        "simhash": q_simhash,  # r12
+        "decontaminate_store": q_decontaminate_store,  # r12
+        "cluster_sample": q_cluster_sample,  # r12
+        "token_budget_sample": q_token_budget_sample,  # r12
+        "semantic_dedup_hier": q_semantic_dedup_hier,  # r12
+        "bm25_serve": q_bm25_serve,  # r12
+        "stream_postings_ingest": q_stream_postings_ingest,  # r12
     }
 
 

@@ -452,6 +452,14 @@ def load_store_totals(spark: SparkSession, store_dir: str) -> dict:
     }
 
 
+BM25_DIST_PRUNE_QUERY_ROWS = 5000
+"""Query-batch size past which ``bm25_store_probe``'s ``"auto"`` prune
+mode stops collecting distinct terms through the driver (watch item r12:
+a 10^6-query batch would bloat the plan with `isin` literal lists) and
+switches to the broadcast-join prune — the DPP shape the ANN refine
+serve already uses."""
+
+
 def bm25_store_probe(
     queries: DataFrame,
     store_dir: str,
@@ -462,13 +470,22 @@ def bm25_store_probe(
     fp_scale: int = BM25_SCALE,
     include_incremental: bool = False,
     decimal_scores: bool | str = "auto",
+    distributed_prune: bool | str = "auto",
 ) -> DataFrame:
     """SERVE-many half: answer ``queries`` from cold reads of the store —
-    no tokenization of the corpus, no postings rebuild. The query terms
-    are collected driver-side (the query frame is small by contract, like
-    the ANN probe sets), their buckets computed with the store's hash,
-    and the postings scan FILTERED ON THE PARTITION COLUMN — the plan
-    prunes to the matched buckets (gated in tests). With
+    no tokenization of the corpus, no postings rebuild. For a SMALL query
+    batch (the interactive serving shape) the query terms are collected
+    driver-side, their buckets computed with the store's hash, and the
+    postings scan FILTERED ON THE PARTITION COLUMN — the plan prunes to
+    the matched buckets (gated in tests). For a LARGE batch
+    (``distributed_prune=True``, or ``"auto"`` past
+    ``BM25_DIST_PRUNE_QUERY_ROWS`` query rows) nothing moves through the
+    driver: the distinct-term frame carries its own store-hash bucket
+    column and is BROADCAST-JOINED against the postings on
+    (bucket, term), so Spark's dynamic partition pruning restricts the
+    scan to the matched buckets at runtime — the same DPP shape the ANN
+    refine serve uses, plan-gated in tests, bit-identical results in
+    both modes. With
     ``include_incremental`` the probe unions the streamed overlay
     (read-your-latest on (term, doc_id): latest ingest_batch wins, base
     counts as batch -1) and adds the per-batch totals deltas; df counts
@@ -488,30 +505,58 @@ def bm25_store_probe(
     qterms = queries.select(
         "query_id", F.explode(ws_tokens(F.col("query"))).alias("term")
     )
-    terms = sorted(
-        {r["term"] for r in qterms.select("term").distinct().collect()}
-    )
-    if not terms:
-        return spark.createDataFrame(
-            [], "query_id bigint, doc_id bigint, rank int, score_fp bigint"
-        )
-    buckets = sorted(
-        {
-            int(r["b"])
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(term_bucket(F.col("term"), n_buckets).alias("b"))
+    if distributed_prune == "auto":
+        use_dist = queries.count() > BM25_DIST_PRUNE_QUERY_ROWS
+    else:
+        use_dist = bool(distributed_prune)
+    if use_dist:
+        # broadcast-join prune: the distinct terms stay distributed,
+        # tagged with the store's own bucket hash; DPP restricts the
+        # partitioned postings scan to the matched buckets at runtime.
+        # The length predicate is semantics-preserving (the store never
+        # holds empty terms) and load-bearing: Spark's PartitionPruning
+        # rule requires a SELECTIVE filter on the build side — a bare
+        # distinct doesn't qualify (see the dpp_marts plan-gate test)
+        tdf = (
+            qterms.select("term")
+            .where(F.length("term") > 0)
             .distinct()
-            .collect()
-        }
-    )
-    base = (
-        spark.read.parquet(f"{store_dir}/postings")
-        .where(F.col("bucket").isin(buckets))  # partition-prunes the scan
-        .where(F.col("term").isin(terms))
-        .select("term", "doc_id", "tf", "dl",
-                F.lit(-1).cast("long").alias("ingest_batch"))
+            .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+        )
+
+        def _prune(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(tdf), ["bucket", "term"])
+
+    else:
+        terms = sorted(
+            {r["term"] for r in qterms.select("term").distinct().collect()}
+        )
+        if not terms:
+            return spark.createDataFrame(
+                [],
+                "query_id bigint, doc_id bigint, rank int, score_fp bigint",
+            )
+        buckets = sorted(
+            {
+                int(r["b"])
+                for r in spark.createDataFrame(
+                    [(t,) for t in terms], "term string"
+                )
+                .select(term_bucket(F.col("term"), n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            }
+        )
+
+        def _prune(df: DataFrame) -> DataFrame:
+            return (
+                df.where(F.col("bucket").isin(buckets))  # partition-prunes
+                .where(F.col("term").isin(terms))
+            )
+
+    base = _prune(spark.read.parquet(f"{store_dir}/postings")).select(
+        "term", "doc_id", "tf", "dl",
+        F.lit(-1).cast("long").alias("ingest_batch")
     )
     n_docs, n_toks = totals["n_docs"], totals["n_toks"]
     max_dl = totals["max_dl"]
@@ -531,11 +576,8 @@ def bm25_store_probe(
         # half-swapped totals compaction before reading
         resume_pending_compaction(spark, f"{store_dir}/totals_inc")
         try:
-            inc = (
-                spark.read.parquet(inc_dir)
-                .where(F.col("bucket").isin(buckets))
-                .where(F.col("term").isin(terms))
-                .select("term", "doc_id", "tf", "dl", "ingest_batch")
+            inc = _prune(spark.read.parquet(inc_dir)).select(
+                "term", "doc_id", "tf", "dl", "ingest_batch"
             )
             matched = base.unionByName(inc)
             for r in spark.read.parquet(f"{store_dir}/totals_inc").collect():
@@ -583,6 +625,7 @@ def hybrid_rank_fusion(
     rrf_k: int = 60,
     max_rank: int = 1000,
     weights: tuple[int, int] = (1, 1),
+    decimal_scores: bool = False,
 ) -> DataFrame:
     """Exact-arithmetic reciprocal-rank fusion of a lexical (BM25) and a
     semantic (ANN) shortlist — the standard hybrid-RAG serving pattern,
@@ -601,6 +644,21 @@ def hybrid_rank_fusion(
     materialized as the SEPARATING fixed point
 
         fused_fp = num * S div den,   S = (rrf_k + max_rank)^4
+
+    ``decimal_scores=False`` (default) computes num * S in int64, which
+    caps max_rank at 1000; ``decimal_scores=True`` lifts the product to
+    decimal(38,0) — the same deep-corpus escape hatch ``bm25_topk``
+    has — admitting deep-shortlist fusion (re-ranking top-10k and far
+    beyond). The separation proof is UNCHANGED in decimal mode: it
+    depends only on S >= (product of any two distinct rationals'
+    denominators), never on the carrier type; what moves is the
+    envelope. Product bound: num <= (w_lex + w_sem)(rrf_k + max_rank),
+    so num * S <= (w_lex + w_sem)(rrf_k + max_rank)^5 must fit 38
+    digits (checked, loud). Quotient bound: the true RRF score is
+    <= (w_lex + w_sem)/(rrf_k + 1), so fused_fp = floor(num * S / den)
+    <= (w_lex + w_sem) * S / (rrf_k + 1) must fit int64 (``div`` on
+    decimals still returns bigint; checked, loud) — at rrf_k = 60 that
+    admits max_rank up to ~10^6 before either bound binds.
 
     Two distinct two-list RRF rationals have denominators bounded by
     (rrf_k + max_rank)^2, so they differ by at least 1/S; scaling by S
@@ -627,6 +685,18 @@ def hybrid_rank_fusion(
     extension of the reference surface is lost by exactness: integer
     Borda is the degenerate rrf_k -> infinity limit of the same key."""
     w_lex, w_sem = weights
+    # integrality is load-bearing, not a style check: F.lit(0.6) cast to
+    # long silently truncates to 0, so a float weight would zero every
+    # fused_fp and degenerate the ranking to doc_id order without any
+    # error — mirror the rrf_k guard and fail loudly instead
+    for side, w in (("lexical", w_lex), ("semantic", w_sem)):
+        if not isinstance(w, int) or isinstance(w, bool):
+            raise ValueError(
+                f"hybrid_rank_fusion: {side} weight {w!r} is not an"
+                " integer — fractional weights would truncate to 0 in the"
+                " long cast and silently mis-rank; scale both weights to"
+                " integers (RRF ordering only depends on their ratio)"
+            )
     if w_lex < 0 or w_sem < 0 or w_lex + w_sem == 0:
         raise ValueError(
             "hybrid_rank_fusion: weights must be non-negative integers"
@@ -645,17 +715,37 @@ def hybrid_rank_fusion(
         raise ValueError(
             "hybrid_rank_fusion: max_rank must be an integer >= 1"
         )
-    if (w_lex + w_sem) * (rrf_k + max_rank) ** 5 >= 2**63:
-        raise ValueError(
-            "hybrid_rank_fusion: weight sum * (rrf_k+max_rank)^5 overflows"
-            " the separating fixed point's int64 envelope — lower the"
-            " weights or max_rank"
-        )
-    if max_rank > 1000:
-        raise ValueError(
-            "hybrid_rank_fusion: max_rank > 1000 overflows the separating "
-            "fixed point's int64 envelope (num * S < 2*(rrf_k+max_rank)^5)"
-        )
+    if decimal_scores:
+        # decimal(38,0) envelope (see docstring): the num * S product
+        # must fit 38 digits, and the `div` quotient — still a BIGINT in
+        # Spark even for decimal operands — must fit int64
+        if (w_lex + w_sem) * (rrf_k + max_rank) ** 5 >= 10**38:
+            raise ValueError(
+                "hybrid_rank_fusion: weight sum * (rrf_k+max_rank)^5"
+                " overflows the decimal(38,0) envelope — lower the"
+                " weights or max_rank"
+            )
+        if (w_lex + w_sem) * (rrf_k + max_rank) ** 4 // (rrf_k + 1) >= 2**63:
+            raise ValueError(
+                "hybrid_rank_fusion: weight sum * (rrf_k+max_rank)^4 /"
+                " (rrf_k+1) overflows the bigint `div` quotient — lower"
+                " the weights or max_rank"
+            )
+    else:
+        if (w_lex + w_sem) * (rrf_k + max_rank) ** 5 >= 2**63:
+            raise ValueError(
+                "hybrid_rank_fusion: weight sum * (rrf_k+max_rank)^5"
+                " overflows the separating fixed point's int64 envelope —"
+                " lower the weights or max_rank, or pass"
+                " decimal_scores=True"
+            )
+        if max_rank > 1000:
+            raise ValueError(
+                "hybrid_rank_fusion: max_rank > 1000 overflows the"
+                " separating fixed point's int64 envelope (num * S <"
+                " 2*(rrf_k+max_rank)^5) — pass decimal_scores=True for"
+                " deep-shortlist fusion"
+            )
     lex = lex_hits.select(
         "query_id", "doc_id", F.col("rank").cast("long").alias("lex_rank")
     )
@@ -670,7 +760,8 @@ def hybrid_rank_fusion(
             F.lit(
                 f"hybrid_rank_fusion: rank beyond max_rank={max_rank} — "
                 "the separating-scale exactness proof no longer holds; "
-                "raise max_rank (<= 1000) to cover the shortlist depth"
+                "raise max_rank to cover the shortlist depth (past 1000, "
+                "pass decimal_scores=True)"
             )
         ).cast("long"),
     )
@@ -689,10 +780,34 @@ def hybrid_rank_fusion(
     )
     den = F.coalesce(a, F.lit(1)) * F.coalesce(b, F.lit(1))
     scale = (rrf_k + max_rank) ** 4
-    fused = both.withColumn("__num", num).withColumn("__den", den).withColumn(
+    if decimal_scores:
+        # lift the product to decimal(38,0) — S can exceed int64 here, so
+        # it rides in as a STRING cast (a >19-digit bare literal would
+        # not parse as bigint); `div` stays Spark's exact integral
+        # division and its bigint result fits per the envelope check
+        # above. Both operands are scale-0 decimals, so no fractional
+        # rounding can enter under allowPrecisionLoss — the only failure
+        # mode is overflow-to-null, guarded loudly below.
+        fp_expr = F.expr(
+            f"(cast(__num as decimal(38,0))"
+            f" * cast('{scale}' as decimal(38,0))) div __den"
+        )
+        fp_expr = F.coalesce(
+            fp_expr,
+            F.raise_error(
+                F.lit(
+                    "hybrid_rank_fusion: decimal(38,0) overflow — the"
+                    " num * S product exceeded 38 digits despite the"
+                    " envelope check (rank data violates the max_rank"
+                    " contract)"
+                )
+            ).cast("long"),
+        )
+    else:
         # `div` is Spark SQL's INTEGER division on longs — exact, no float
-        "fused_fp",
-        F.expr(f"(__num * {scale}L) div __den"),
+        fp_expr = F.expr(f"(__num * {scale}L) div __den")
+    fused = both.withColumn("__num", num).withColumn("__den", den).withColumn(
+        "fused_fp", fp_expr
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("fused_fp").desc(), F.col("doc_id").asc()

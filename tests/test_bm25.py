@@ -147,6 +147,59 @@ def test_store_probe_no_matching_terms(spark, tmp_path):
         [(9, "kumquat zebra")], "query_id long, query string"
     )
     assert retrieval.bm25_store_probe(qs, store, k=3).count() == 0
+    # distributed mode serves the same empty result without the literal
+    # path's early return
+    assert (
+        retrieval.bm25_store_probe(
+            qs, store, k=3, distributed_prune=True
+        ).count()
+        == 0
+    )
+
+
+def test_store_probe_distributed_prune_matches_literal_mode(spark, tmp_path):
+    """Watch item r12: past BM25_DIST_PRUNE_QUERY_ROWS the probe must
+    stop collecting distinct terms through the driver. The broadcast-join
+    prune mode must (a) serve bit-identical rows, (b) carry a DPP
+    subquery on the postings scan's bucket partition column instead of
+    `isin` literal lists, and (c) never collect terms driver-side."""
+    docs, store = _store(spark, tmp_path)
+    qs = spark.createDataFrame(QUERIES, "query_id long, query string")
+    lit_rows = {
+        tuple(r)
+        for r in retrieval.bm25_store_probe(
+            qs, store, k=3, distributed_prune=False
+        ).collect()
+    }
+    dist = retrieval.bm25_store_probe(qs, store, k=3, distributed_prune=True)
+    assert {tuple(r) for r in dist.collect()} == lit_rows and lit_rows
+    p = dist._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in p.lower(), p
+    assert "CartesianProduct" not in p
+    # the term restriction rides the broadcast join, not driver literals
+    assert " IN (" not in p.split("FileScan")[0], p
+
+
+def test_store_probe_distributed_prune_with_incremental(spark, tmp_path):
+    """The dual-mode contract holds through the streamed overlay path
+    too: base + incremental serve is identical under both prune modes."""
+    _, store, _, _ = _ingest(spark, tmp_path)
+    qs = spark.createDataFrame(QUERIES, "query_id long, query string")
+    lit_rows = {
+        tuple(r)
+        for r in retrieval.bm25_store_probe(
+            qs, store, k=3, include_incremental=True,
+            distributed_prune=False,
+        ).collect()
+    }
+    dist_rows = {
+        tuple(r)
+        for r in retrieval.bm25_store_probe(
+            qs, store, k=3, include_incremental=True,
+            distributed_prune=True,
+        ).collect()
+    }
+    assert dist_rows == lit_rows and lit_rows
 
 
 def _ingest(spark, tmp_path):
@@ -654,6 +707,129 @@ def test_hybrid_fusion_weighted_matches_fraction_reference(spark):
         hybrid_rank_fusion(l_df, s_df, weights=(0, 0))
     with _pytest.raises(ValueError, match="envelope"):
         hybrid_rank_fusion(l_df, s_df, weights=(10**6, 1))
+
+
+def test_hybrid_fusion_rejects_fractional_weights(spark):
+    """ADVICE r12: weights=(0.6, 0.4) used to pass validation (sum > 0,
+    non-negative) but F.lit(0.6).cast('long') truncates to 0, zeroing
+    every fused_fp and silently degenerating the ranking to doc_id
+    order. Fractional weights must fail LOUDLY at plan-build time."""
+    import pytest as _pytest
+
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+    )
+
+    l_df = _shortlist(spark, [(1, 10, 1), (1, 11, 2)])
+    s_df = _shortlist(spark, [(1, 11, 1), (1, 12, 2)])
+    for bad in ((0.6, 0.4), (1, 0.5), (0.5, 1), (True, 1), (1, False)):
+        with _pytest.raises(ValueError, match="not an integer"):
+            hybrid_rank_fusion(l_df, s_df, weights=bad)
+    # integer-valued floats are still floats — same silent-truncation
+    # class, same loud failure
+    with _pytest.raises(ValueError, match="not an integer"):
+        hybrid_rank_fusion(l_df, s_df, weights=(2.0, 1))
+
+
+def test_hybrid_fusion_decimal_deep_shortlist_matches_fraction(spark):
+    """The decimal(38,0) escape hatch (r13): deep-shortlist fusion at
+    max_rank = 10_000 — where the int64 path's envelope check refuses —
+    must order exactly like the rational RRF score (fractions.Fraction),
+    weighted and unweighted, with ranks probing the full [1, 10_000]
+    depth. S = (60 + 10_000)^4 ~ 1.02e16, so num * S ~ 5e20 only fits
+    the decimal carrier; the quotient stays inside int64 per the
+    envelope proof in the operator docstring."""
+    from fractions import Fraction
+
+    import pytest as _pytest
+
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+    )
+
+    n, rrf_k, k = 10_000, 60, 25
+    # deterministic partial overlap: lexical list ranks doc i at i;
+    # semantic list ranks doc (i * 7919) mod (n + 500) at i — some docs
+    # in both lists (often at wildly different depths), some in one
+    lex = [(1, d, d) for d in range(1, n + 1)]
+    sem = [(1, (r * 7919) % (n + 500), r) for r in range(1, n + 1)]
+    l_df, s_df = _shortlist(spark, lex), _shortlist(spark, sem)
+
+    with _pytest.raises(ValueError, match="decimal_scores=True"):
+        hybrid_rank_fusion(l_df, s_df, k=k, max_rank=n)
+
+    for w in ((1, 1), (3, 2)):
+        got = sorted(
+            hybrid_rank_fusion(
+                l_df, s_df, k=k, rrf_k=rrf_k, max_rank=n,
+                weights=w, decimal_scores=True,
+            ).collect(),
+            key=lambda r: r["rank"],
+        )
+        scores: dict = {}
+        for _, d, r in lex:
+            scores[d] = scores.get(d, Fraction(0)) + Fraction(w[0], rrf_k + r)
+        for _, d, r in sem:
+            scores[d] = scores.get(d, Fraction(0)) + Fraction(w[1], rrf_k + r)
+        want = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], w
+        # strict rational order => strict fixed-point order; exact ties
+        # (if any) => equal fixed points
+        by_doc = {r["doc_id"]: r["fused_fp"] for r in got}
+        ds = [d for d, _ in want]
+        for x, y in zip(ds, ds[1:]):
+            if scores[x] > scores[y]:
+                assert by_doc[x] > by_doc[y]
+            else:
+                assert by_doc[x] == by_doc[y]
+
+
+def test_hybrid_fusion_decimal_and_bigint_paths_agree_in_range(spark):
+    """Inside the int64 envelope the two carriers compute the SAME
+    floor(num * S / den) — fused_fp must be bit-identical, not merely
+    order-identical (the bm25 decimal/bigint agreement precedent)."""
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+    )
+
+    lex = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)]
+    sem = [(1, 12, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)]
+    l_df, s_df = _shortlist(spark, lex), _shortlist(spark, sem)
+    a = hybrid_rank_fusion(l_df, s_df, k=5, weights=(2, 1)).collect()
+    b = hybrid_rank_fusion(
+        l_df, s_df, k=5, weights=(2, 1), decimal_scores=True
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hybrid_fusion_decimal_envelope_guards(spark):
+    """The decimal path's own two envelope checks fail loudly: 38-digit
+    product overflow and bigint quotient overflow. The in-plan rank
+    guard stays live in decimal mode too."""
+    import pytest as _pytest
+
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+    )
+
+    l_df = _shortlist(spark, [(1, 10, 1)])
+    s_df = _shortlist(spark, [(1, 11, 1)])
+    with _pytest.raises(ValueError, match="decimal"):
+        hybrid_rank_fusion(
+            l_df, s_df, max_rank=10**8, decimal_scores=True
+        )
+    # product fits 38 digits (2001 * (1+1e4)^5 ~ 2e23) but the bigint
+    # quotient bound 2001 * (1+1e4)^4 / 2 ~ 1.0e19 exceeds 2^63
+    with _pytest.raises(ValueError, match="quotient"):
+        hybrid_rank_fusion(
+            l_df, s_df, max_rank=10**4, rrf_k=1,
+            weights=(2000, 1), decimal_scores=True,
+        )
+    deep = _shortlist(spark, [(1, 12, 1500)])
+    with _pytest.raises(Exception, match="beyond max_rank"):
+        hybrid_rank_fusion(
+            l_df, deep, k=2, max_rank=1400, decimal_scores=True
+        ).collect()
 
 
 def test_hybrid_fusion_store_backed_serving(spark, tmp_path):
