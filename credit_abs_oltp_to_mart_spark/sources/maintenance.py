@@ -352,11 +352,17 @@ def maybe_compact_keyed_store(
     is re-folded only once the accumulated smalls rival it in size, so a
     long ingest's cumulative rewrite I/O amortizes to O(N log N) instead
     of the O(N^2) an always-full fold costs (each byte re-folds only when
-    the fold's output is >= ~(1+1/tier_ratio) x its previous tier). When
-    only ONE partition qualifies under the ratio (a lone fresh batch next
-    to a big tier) the trigger is a no-op rather than a full rewrite —
-    the store may sit above ``max_partitions`` by the O(log N) tier
-    count, which is exactly the listing cost the threshold tolerates.
+    the fold's output is >= ~(1+1/tier_ratio) x its previous tier). The
+    greedy restarts from the next-smallest ANCHOR whenever it stalls at a
+    single partition (ADVICE r12: a lone footer-only partition must not
+    pin the trigger into a forever-no-op while same-sized batches
+    accumulate); partitions smaller than the winning anchor ride along in
+    the fold for free. Only when EVERY anchor stalls (a lone fresh batch
+    next to a big tier) is the trigger a no-op rather than a full
+    rewrite — the store may sit above ``max_partitions`` by the O(log N)
+    tier count, which is exactly the listing cost the threshold
+    tolerates, and the skip is surfaced in stats with the candidate
+    count so a stuck store is visible.
     Folds only partitions whose batch id is committed in the stream
     checkpoint (``commits_dir`` = its ``commits/``). Why this is safe
     INSIDE ``foreachBatch`` (after the batch's own sinks are written,
@@ -415,15 +421,34 @@ def maybe_compact_keyed_store(
         )
         for n in cand
     )
-    fold = [sized[0][1]]
-    gathered = sized[0][0]
-    for size, n in sized[1:]:
-        if size > tier_ratio * max(gathered, 1):
+    # ADVICE r12: anchoring only on the single smallest partition can
+    # stall forever — one footer-only partition (an all-duplicates batch)
+    # makes every admission test `size > tier_ratio * gathered` fail, and
+    # the store's partition count then grows unboundedly. If the greedy
+    # stalls at length 1, RESTART it from the next-smallest anchor; any
+    # skipped smaller partitions then ride along in the fold for free
+    # (they are strictly smaller than the anchor, so absorbing them adds
+    # negligible rewrite bytes and can only improve the fold).
+    fold: list[int] = []
+    for anchor in range(len(sized) - 1):
+        fold = [sized[anchor][1]]
+        gathered = sized[anchor][0]
+        for size, n in sized[anchor + 1:]:
+            if size > tier_ratio * max(gathered, 1):
+                break
+            fold.append(n)
+            gathered += size
+        if len(fold) >= 2:
+            fold = [n for _, n in sized[:anchor]] + fold
             break
-        fold.append(n)
-        gathered += size
+        fold = []
     if len(fold) < 2:
-        stats["skipped"] = "single-partition tier — nothing to amortize"
+        # surface the skip loudly enough to spot a stuck store: the
+        # partition count is the number a monitoring loop should alarm on
+        stats["skipped"] = (
+            "single-partition tier at every anchor — nothing to amortize"
+        )
+        stats["candidates"] = len(cand)
         return stats
     return compact_keyed_store(
         spark,

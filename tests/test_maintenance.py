@@ -201,6 +201,51 @@ def test_tiered_trigger_folds_small_tier_without_touching_base(
     assert not [f for f in os.listdir(store) if "manifest" in f]
 
 
+def test_tiered_trigger_restarts_anchor_past_footer_only_partition(
+    spark, tmp_path
+):
+    """ADVICE r12 regression: a footer-only partition (an all-duplicates
+    batch wrote zero rows) used to anchor the greedy and stall it forever
+    — every later admission test `size > tier_ratio * gathered` failed,
+    so foldable same-sized batches accumulated unboundedly. The greedy
+    must RESTART from the next-smallest anchor, fold the same-sized
+    batches, absorb the empty partition for free, and leave the big tier
+    byte-untouched."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
+    )
+
+    store, commits = _mk_store(spark, tmp_path, [4000, 0, 200, 200, 200])
+    before = _store_rows(spark, store)
+    base_files = sorted(os.listdir(f"{store}/batch=0"))
+    stats = maybe_compact_keyed_store(
+        spark, store, commits_dir=commits, max_partitions=2
+    )
+    assert stats["compacted"], stats
+    assert stats["partitions_merged"] == 4
+    assert _parts(store) == ["batch=0", "batch=4"]
+    assert sorted(os.listdir(f"{store}/batch=0")) == base_files
+    assert _store_rows(spark, store) == before
+
+
+def test_tiered_trigger_surfaces_candidate_count_on_total_stall(
+    spark, tmp_path
+):
+    """When EVERY anchor stalls (big tier + one trickle batch) the no-op
+    stats must carry the candidate partition count — the number a
+    monitoring loop alarms on to spot a stuck store."""
+    from credit_abs_oltp_to_mart_spark.sources.maintenance import (
+        maybe_compact_keyed_store,
+    )
+
+    store, commits = _mk_store(spark, tmp_path, [4000, 10])
+    stats = maybe_compact_keyed_store(
+        spark, store, commits_dir=commits, max_partitions=1
+    )
+    assert not stats["compacted"] and "skipped" in stats
+    assert stats["candidates"] == 2
+
+
 def test_tiered_full_fold_once_smalls_rival_base(spark, tmp_path):
     """When the accumulated small tier is within tier_ratio of the base,
     the greedy admits the base too — the geometric full fold that keeps
