@@ -506,7 +506,12 @@ def bm25_store_probe(
         "query_id", F.explode(ws_tokens(F.col("query"))).alias("term")
     )
     if distributed_prune == "auto":
-        use_dist = queries.count() > BM25_DIST_PRUNE_QUERY_ROWS
+        # limit(N+1).count() bounds the decision cost: a 10^9-row query
+        # frame must not pay a full scan just to learn it is large
+        use_dist = (
+            queries.limit(BM25_DIST_PRUNE_QUERY_ROWS + 1).count()
+            > BM25_DIST_PRUNE_QUERY_ROWS
+        )
     else:
         use_dist = bool(distributed_prune)
     if use_dist:

@@ -180,6 +180,26 @@ def test_store_probe_distributed_prune_matches_literal_mode(spark, tmp_path):
     assert " IN (" not in p.split("FileScan")[0], p
 
 
+def test_store_probe_auto_flips_to_distributed_past_threshold(
+    spark, tmp_path
+):
+    """auto mode: a query batch past BM25_DIST_PRUNE_QUERY_ROWS must take
+    the broadcast-join prune (DPP subquery in the plan), and the flip
+    decision itself is bounded (limit(N+1).count(), not a full scan)."""
+    from pyspark.sql import functions as F
+
+    _, store = _store(spark, tmp_path)
+    n = retrieval.BM25_DIST_PRUNE_QUERY_ROWS + 1
+    big = spark.range(n).select(
+        F.col("id").alias("query_id"),
+        F.concat(F.lit("apple banana q"), F.col("id")).alias("query"),
+    )
+    out = retrieval.bm25_store_probe(big, store, k=2)
+    assert out.where(F.col("rank") == 1).count() == n  # every query served
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in p.lower(), p
+
+
 def test_store_probe_distributed_prune_with_incremental(spark, tmp_path):
     """The dual-mode contract holds through the streamed overlay path
     too: base + incremental serve is identical under both prune modes."""
