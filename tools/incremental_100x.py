@@ -11,9 +11,11 @@ prices, min-of-2 each:
 
   * ``full_rebuild``  — the whole 7-mart pipeline (what the reference's
     dbt full-refresh does every run);
-  * ``incremental``   — refresh ONE month (the latest) of
-    fct_npl_monthly + fct_roll_rate_monthly in place via dynamic
-    partition overwrite, the nightly shape.
+  * ``incremental``   — ``refresh_month``: ONE month (the latest)
+    refreshed across ALL 7 marts in place via dynamic partition
+    overwrite — the real nightly shape, including the vintage
+    key-merge path (quarter cohorts mix three snapshot months per
+    cell, so vintage refreshes through a +-2-month window).
 
 Correctness assert (the roll-rate lookback): the refreshed roll-rate
 month slice must row-equal the full build's slice — month M's
@@ -88,15 +90,15 @@ def main() -> int:
 
     # ---- one-month incremental refresh, min-of-2 (idempotent:
     # dynamic-partition-overwrite rewrites the same month slice) -------
-    wall_inc = float("inf")
+    wall_inc, inc_frames = float("inf"), None
     for _ in range(2):
         t0 = time.perf_counter()
-        incremental.refresh_npl_monthly(spark, oltp, marts_dir, [target])
-        inc_roll = incremental.refresh_roll_rate_monthly(
+        inc_frames = incremental.refresh_month(
             spark, oltp, marts_dir, [target]
         )
         wall_inc = min(wall_inc, time.perf_counter() - t0)
         spark.catalog.clearCache()
+    inc_roll = inc_frames["fct_roll_rate_monthly"]
 
     # ---- roll-rate lookback correctness: refreshed slice == full ------
     cols = ["month", "from_bucket", "to_bucket"]
@@ -128,11 +130,28 @@ def main() -> int:
     )
     assert inc_roll.count() == len(exp_rows)
 
+    # vintage key-merge correctness: the refreshed cells must equal the
+    # full build's rows for the same (cohort_q, mob) keys
+    cells = inc_frames["fct_vintage_mob"]
+    vfull = frames["fct_vintage_mob"]
+    vexp = sorted(
+        tuple(r)
+        for r in vfull.join(
+            F.broadcast(cells.select("cohort_q", "mob")),
+            ["cohort_q", "mob"],
+            "left_semi",
+        ).collect()
+    )
+    vgot = sorted(tuple(r) for r in cells.select(*vfull.columns).collect())
+    vintage_ok = vexp == vgot
+    assert vintage_ok, (len(vexp), len(vgot))
+
     results = {
         "task": (
-            f"r13 incremental month-partition refresh vs full 7-mart"
-            f" rebuild at {args.mult}x reference volumes"
+            f"r13 incremental month refresh (refresh_month, ALL 7 marts)"
+            f" vs full 7-mart rebuild at {args.mult}x reference volumes"
         ),
+        "marts_refreshed": 7,
         "volumes": {
             "borrowers": cfg.n_borrowers,
             "applications": cfg.n_applications,
@@ -145,6 +164,7 @@ def main() -> int:
         "wall_incremental_one_month_min2": round(wall_inc, 2),
         "speedup_full_over_incremental": round(wall_full / wall_inc, 1),
         "roll_rate_lookback_slice_equal": lookback_ok,
+        "vintage_key_merge_cells_equal": vintage_ok,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
