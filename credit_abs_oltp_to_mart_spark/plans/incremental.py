@@ -44,7 +44,21 @@ from credit_abs_oltp_to_mart_spark.sources.readers import read_oltp_table
 
 
 def _month_filter(col: str, months: list[dt.date]):
-    return F.trunc(F.col(col), "month").isin([m.replace(day=1) for m in months])
+    """OR of per-month DATE RANGES, not trunc(col).isin(...): a predicate
+    on a FUNCTION of the column cannot reach the parquet reader, so the
+    isin form scans every row group of a 100 TB arrears table just to
+    refresh one month. Plain range comparisons push down
+    (``PushedFilters: [GreaterThanOrEqual(as_of_date,...), LessThan(...)]``,
+    plan-gated in test_plan_quality) and row-group min/max stats prune
+    the scan to the refreshed months."""
+    pred = None
+    for m in months:
+        lo = m.replace(day=1)
+        clause = (F.col(col) >= F.lit(lo)) & (
+            F.col(col) < F.lit(_shift_month(lo, 1))
+        )
+        pred = clause if pred is None else pred | clause
+    return pred if pred is not None else F.lit(False)
 
 
 def _shift_month(m: dt.date, delta: int) -> dt.date:
@@ -226,9 +240,17 @@ def refresh_writeoff_recovery_monthly(
 ) -> DataFrame:
     """The mart groups by month(coalesce(recovery_date, writeoff_date)) —
     the refresh filter applies the same coalesce so a row lands in the
-    month the AGGREGATION will put it in, not its writeoff month."""
+    month the AGGREGATION will put it in, not its writeoff month. A
+    coalesce predicate cannot reach the parquet reader, so a pushable
+    SUPERSET filter (either raw date column in range) prunes row groups
+    first; the exact coalesce filter then narrows in-memory."""
+    superset = _month_filter("recovery_date", months) | _month_filter(
+        "writeoff_date", months
+    )
     wr = S.stg_writeoff_recovery(
-        read_oltp_table(spark, src_dir, "write_off_and_recovery")
+        read_oltp_table(spark, src_dir, "write_off_and_recovery").where(
+            superset
+        )
     ).where(
         F.trunc(F.coalesce("recovery_date", "writeoff_date"), "month").isin(
             [m.replace(day=1) for m in months]

@@ -668,3 +668,28 @@ def test_graph_bfs_checkpoints_truncate_lineage(spark):
     assert "ExistingRDD" in p or "LocalTableScan" in p, p
     n = p.count("Exchange hashpartitioning")
     assert n <= 2, f"graph_bfs final plan has {n} hash exchanges"
+
+
+def test_incremental_month_filter_pushes_to_parquet_scan(spark, oltp_dir):
+    """The refresh path's month filter must reach the arrears parquet
+    reader as plain date-range comparisons (row-group pruning at 100 TB)
+    — trunc(col).isin(...) would silently scan every row group."""
+    import datetime as dt
+
+    from credit_abs_oltp_to_mart_spark.plans import incremental as inc
+    from credit_abs_oltp_to_mart_spark.sources.readers import read_oltp_table
+
+    df = read_oltp_table(spark, oltp_dir, "arrears_dpd_status").where(
+        inc._month_filter("as_of_date", [dt.date(2025, 5, 15)])
+    )
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in p, p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "GreaterThanOrEqual(as_of_date" in ln and "LessThan(as_of_date" in ln
+        for ln in pushed
+    ), p
