@@ -622,6 +622,167 @@ def bm25_store_probe(
     )
 
 
+def rank_fusion(
+    hits: list[DataFrame],
+    *,
+    k: int = 5,
+    rrf_k: int = 60,
+    max_rank: int = 1000,
+    weights: tuple[int, ...] | None = None,
+    decimal_scores: bool = False,
+) -> DataFrame:
+    """Exact-arithmetic reciprocal-rank fusion of L >= 2 shortlists — the
+    generalized kernel under ``hybrid_rank_fusion`` (which delegates its
+    2-list case here, so the registered contract gate exercises this code
+    path). The L-list shape is the standard multi-signal serving pattern:
+    BM25 over the body x BM25 over a second field x a dense-embedding
+    probe, each contributing 1/(rrf_k + rank).
+
+    Proof sketch (the 2-list argument generalizes verbatim): the RRF
+    score is the rational num/den with den = product of the PRESENT
+    lists' (rrf_k + rank) factors (missing lists contribute factor 1 in
+    both num and den, which cancels), so den <= (rrf_k + max_rank)^L.
+    Two distinct L-list rationals differ by at least
+    1 / (rrf_k + max_rank)^(2L) = 1/S, so the fixed point
+
+        fused_fp = num * S div den,   S = (rrf_k + max_rank)^(2L)
+
+    orders exactly like the rationals. Envelopes: num <= w_sum *
+    (rrf_k + max_rank)^(L-1), so the product num * S needs
+    w_sum * (rrf_k + max_rank)^(3L-1) digits of headroom — int64 for
+    small L/max_rank, decimal(38,0) via ``decimal_scores=True`` beyond
+    (for L = 3 the decimal carrier is needed even at max_rank 1000);
+    the ``div`` quotient is bounded by w_sum * S / (rrf_k + 1) and must
+    fit int64 in either carrier (checked, loud — at L = 3 that admits
+    max_rank up to ~2000; deeper multi-list fusion would need a decimal
+    quotient, refused rather than rounded).
+
+    Returns (query_id, doc_id, rank_0..rank_{L-1}, fused_fp, rank) for
+    the fused top ``k`` per query; rank_i is NULL where list i missed
+    the doc."""
+    L = len(hits)
+    if L < 2:
+        raise ValueError("rank_fusion: need at least 2 shortlists")
+    ws = tuple(weights) if weights is not None else (1,) * L
+    if len(ws) != L:
+        raise ValueError(
+            f"rank_fusion: {len(ws)} weights for {L} shortlists"
+        )
+    for i, w in enumerate(ws):
+        if not isinstance(w, int) or isinstance(w, bool):
+            raise ValueError(
+                f"rank_fusion: weight {w!r} (list {i}) is not an integer —"
+                " fractional weights would truncate to 0 in the long cast"
+                " and silently mis-rank; scale all weights to integers"
+            )
+    if any(w < 0 for w in ws) or sum(ws) == 0:
+        raise ValueError(
+            "rank_fusion: weights must be non-negative integers with a"
+            " positive sum"
+        )
+    if not isinstance(rrf_k, int) or isinstance(rrf_k, bool) or rrf_k < 1:
+        raise ValueError("rank_fusion: rrf_k must be an integer >= 1")
+    if not isinstance(max_rank, int) or max_rank < 1:
+        raise ValueError("rank_fusion: max_rank must be an integer >= 1")
+    w_sum = sum(ws)
+    base = rrf_k + max_rank
+    scale = base ** (2 * L)
+    if decimal_scores:
+        if w_sum * base ** (3 * L - 1) >= 10**38:
+            raise ValueError(
+                "rank_fusion: weight sum * (rrf_k+max_rank)^(3L-1)"
+                " overflows the decimal(38,0) envelope — lower the"
+                " weights, max_rank, or list count"
+            )
+        if w_sum * scale // (rrf_k + 1) >= 2**63:
+            raise ValueError(
+                "rank_fusion: weight sum * (rrf_k+max_rank)^(2L) /"
+                " (rrf_k+1) overflows the bigint `div` quotient — lower"
+                " the weights or max_rank"
+            )
+    else:
+        if w_sum * base ** (3 * L - 1) >= 2**63:
+            raise ValueError(
+                "rank_fusion: weight sum * (rrf_k+max_rank)^(3L-1)"
+                " overflows the separating fixed point's int64 envelope —"
+                " lower the weights or max_rank, or pass"
+                " decimal_scores=True"
+            )
+    frames = [
+        h.select(
+            "query_id", "doc_id",
+            F.col("rank").cast("long").alias(f"rank_{i}"),
+        )
+        for i, h in enumerate(hits)
+    ]
+    both = frames[0]
+    for f2 in frames[1:]:
+        both = both.join(f2, ["query_id", "doc_id"], "full_outer")
+    rank_cols = [F.col(f"rank_{i}") for i in range(L)]
+    over = None
+    for rc in rank_cols:
+        c = F.coalesce(rc, F.lit(1)) > max_rank
+        over = c if over is None else (over | c)
+    guard = F.when(
+        over,
+        F.raise_error(
+            F.lit(
+                f"rank_fusion: rank beyond max_rank={max_rank} — the"
+                " separating-scale exactness proof no longer holds; raise"
+                " max_rank to cover the shortlist depth"
+            )
+        ).cast("long"),
+    )
+    terms = [F.lit(rrf_k).cast("long") + rc for rc in rank_cols]
+    den = None
+    for t in terms:
+        f3 = F.coalesce(t, F.lit(1))
+        den = f3 if den is None else den * f3
+    num = None
+    for i in range(L):
+        others = None
+        for j in range(L):
+            if j == i:
+                continue
+            f3 = F.coalesce(terms[j], F.lit(1))
+            others = f3 if others is None else others * f3
+        part = F.when(
+            rank_cols[i].isNotNull(),
+            F.lit(ws[i]).cast("long") * others,
+        ).otherwise(F.lit(0))
+        num = part if num is None else num + part
+    num = F.coalesce(guard, num)
+    if decimal_scores:
+        fp_expr = F.expr(
+            f"(cast(__num as decimal(38,0))"
+            f" * cast('{scale}' as decimal(38,0))) div __den"
+        )
+        fp_expr = F.coalesce(
+            fp_expr,
+            F.raise_error(
+                F.lit(
+                    "rank_fusion: decimal(38,0) overflow — the num * S"
+                    " product exceeded 38 digits despite the envelope"
+                    " check (rank data violates the max_rank contract)"
+                )
+            ).cast("long"),
+        )
+    else:
+        fp_expr = F.expr(f"(__num * {scale}L) div __den")
+    fused = both.withColumn("__num", num).withColumn("__den", den).withColumn(
+        "fused_fp", fp_expr
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fused_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id",
+                *[f"rank_{i}" for i in range(L)], "fused_fp", "rank")
+    )
+
+
 def hybrid_rank_fusion(
     lex_hits: DataFrame,
     sem_hits: DataFrame,
@@ -751,75 +912,21 @@ def hybrid_rank_fusion(
                 " 2*(rrf_k+max_rank)^5) — pass decimal_scores=True for"
                 " deep-shortlist fusion"
             )
-    lex = lex_hits.select(
-        "query_id", "doc_id", F.col("rank").cast("long").alias("lex_rank")
-    )
-    sem = sem_hits.select(
-        "query_id", "doc_id", F.col("rank").cast("long").alias("sem_rank")
-    )
-    both = lex.join(sem, ["query_id", "doc_id"], "full_outer")
-    guard = F.when(
-        (F.coalesce(F.col("lex_rank"), F.lit(1)) > max_rank)
-        | (F.coalesce(F.col("sem_rank"), F.lit(1)) > max_rank),
-        F.raise_error(
-            F.lit(
-                f"hybrid_rank_fusion: rank beyond max_rank={max_rank} — "
-                "the separating-scale exactness proof no longer holds; "
-                "raise max_rank to cover the shortlist depth (past 1000, "
-                "pass decimal_scores=True)"
-            )
-        ).cast("long"),
-    )
-    a = F.lit(rrf_k).cast("long") + F.col("lex_rank")  # null when lex missed
-    b = F.lit(rrf_k).cast("long") + F.col("sem_rank")
-    num = F.coalesce(
-        guard,
-        F.when(
-            F.col("lex_rank").isNotNull(),
-            F.lit(w_lex).cast("long") * F.coalesce(b, F.lit(1)),
-        ).otherwise(F.lit(0))
-        + F.when(
-            F.col("sem_rank").isNotNull(),
-            F.lit(w_sem).cast("long") * F.coalesce(a, F.lit(1)),
-        ).otherwise(F.lit(0)),
-    )
-    den = F.coalesce(a, F.lit(1)) * F.coalesce(b, F.lit(1))
-    scale = (rrf_k + max_rank) ** 4
-    if decimal_scores:
-        # lift the product to decimal(38,0) — S can exceed int64 here, so
-        # it rides in as a STRING cast (a >19-digit bare literal would
-        # not parse as bigint); `div` stays Spark's exact integral
-        # division and its bigint result fits per the envelope check
-        # above. Both operands are scale-0 decimals, so no fractional
-        # rounding can enter under allowPrecisionLoss — the only failure
-        # mode is overflow-to-null, guarded loudly below.
-        fp_expr = F.expr(
-            f"(cast(__num as decimal(38,0))"
-            f" * cast('{scale}' as decimal(38,0))) div __den"
-        )
-        fp_expr = F.coalesce(
-            fp_expr,
-            F.raise_error(
-                F.lit(
-                    "hybrid_rank_fusion: decimal(38,0) overflow — the"
-                    " num * S product exceeded 38 digits despite the"
-                    " envelope check (rank data violates the max_rank"
-                    " contract)"
-                )
-            ).cast("long"),
-        )
-    else:
-        # `div` is Spark SQL's INTEGER division on longs — exact, no float
-        fp_expr = F.expr(f"(__num * {scale}L) div __den")
-    fused = both.withColumn("__num", num).withColumn("__den", den).withColumn(
-        "fused_fp", fp_expr
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("fused_fp").desc(), F.col("doc_id").asc()
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "lex_rank", "sem_rank",
-                "fused_fp", "rank")
+    # the generalized L-list kernel computes the identical fixed point
+    # for L = 2 (S = (rrf_k+max_rank)^4, same num/den construction), so
+    # the registered contract gate exercises rank_fusion's code path
+    return rank_fusion(
+        [lex_hits, sem_hits],
+        k=k,
+        rrf_k=rrf_k,
+        max_rank=max_rank,
+        weights=(w_lex, w_sem),
+        decimal_scores=decimal_scores,
+    ).select(
+        "query_id",
+        "doc_id",
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("sem_rank"),
+        "fused_fp",
+        "rank",
     )

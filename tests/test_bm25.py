@@ -852,6 +852,97 @@ def test_hybrid_fusion_decimal_envelope_guards(spark):
         ).collect()
 
 
+def test_rank_fusion_three_lists_matches_fraction_reference(spark):
+    """The generalized L-list kernel (r13): three shortlists (the BM25
+    body x BM25 title x dense-probe shape) fused under the L = 3
+    separating scale S = (rrf_k+max_rank)^6 must order exactly like the
+    weighted Fraction RRF — including docs present in 1, 2, or all 3
+    lists. L = 3 at max_rank 1000 needs the decimal carrier (num * S ~
+    (1060)^8 > int64), so this also pins the decimal envelope for L > 2;
+    the int64 path is exercised at a small max_rank."""
+    from fractions import Fraction
+
+    import pytest as _pytest
+
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import rank_fusion
+
+    lists = [
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        [(1, 12, 1), (1, 13, 2), (1, 10, 3), (2, 21, 1)],
+        [(1, 13, 1), (1, 14, 2), (2, 20, 2), (2, 22, 1)],
+    ]
+    dfs = [_shortlist(spark, rows) for rows in lists]
+    rrf_k, k = 60, 6
+    for w, max_rank, dec in (
+        ((1, 1, 1), 1000, True),
+        ((3, 2, 1), 1000, True),
+        ((1, 2, 4), 100, False),  # int64 path: 7*(160)^8 ~ 3e18 < 2^63
+    ):
+        got = rank_fusion(
+            dfs, k=k, rrf_k=rrf_k, max_rank=max_rank, weights=w,
+            decimal_scores=dec,
+        ).collect()
+        for q in (1, 2):
+            scores: dict = {}
+            for i, rows in enumerate(lists):
+                for qq, d, r in rows:
+                    if qq == q:
+                        scores[d] = scores.get(d, Fraction(0)) + Fraction(
+                            w[i], rrf_k + r
+                        )
+            want = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+            rows_q = sorted(
+                (r for r in got if r["query_id"] == q),
+                key=lambda r: r["rank"],
+            )
+            assert [r["doc_id"] for r in rows_q] == [d for d, _ in want], (
+                w, q,
+            )
+            by_doc = {r["doc_id"]: r["fused_fp"] for r in rows_q}
+            ds = [d for d, _ in want]
+            for x, y in zip(ds, ds[1:]):
+                if scores[x] > scores[y]:
+                    assert by_doc[x] > by_doc[y]
+                else:
+                    assert by_doc[x] == by_doc[y]
+    # per-list NULL bookkeeping: doc 14 is only in list 2
+    got = rank_fusion(dfs, k=6, decimal_scores=True).collect()
+    r14 = next(r for r in got if r["doc_id"] == 14)
+    assert (r14["rank_0"], r14["rank_1"], r14["rank_2"]) == (None, None, 2)
+    # guards: int64 path at L=3/max_rank 1000 must refuse loudly
+    with _pytest.raises(ValueError, match="decimal_scores=True"):
+        rank_fusion(dfs, max_rank=1000)
+    with _pytest.raises(ValueError, match="quotient"):
+        rank_fusion(dfs, max_rank=10**4, decimal_scores=True)
+    with _pytest.raises(ValueError, match="at least 2"):
+        rank_fusion(dfs[:1])
+    with _pytest.raises(ValueError, match="3 weights for"):
+        rank_fusion(dfs[:2], weights=(1, 1, 1))
+
+
+def test_rank_fusion_two_list_case_is_hybrid_fusion(spark):
+    """The delegation contract: hybrid_rank_fusion(a, b) ==
+    rank_fusion([a, b]) modulo the lex/sem column names, bit-for-bit."""
+    from credit_abs_oltp_to_mart_spark.operators.retrieval import (
+        hybrid_rank_fusion,
+        rank_fusion,
+    )
+
+    l_df = _shortlist(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    s_df = _shortlist(spark, [(1, 12, 1), (1, 13, 2), (1, 10, 3)])
+    a = hybrid_rank_fusion(l_df, s_df, k=5, weights=(2, 1)).collect()
+    b = rank_fusion([l_df, s_df], k=5, weights=(2, 1)).collect()
+    assert sorted(
+        (r["query_id"], r["doc_id"], r["lex_rank"], r["sem_rank"],
+         r["fused_fp"], r["rank"])
+        for r in a
+    ) == sorted(
+        (r["query_id"], r["doc_id"], r["rank_0"], r["rank_1"],
+         r["fused_fp"], r["rank"])
+        for r in b
+    )
+
+
 def test_hybrid_fusion_store_backed_serving(spark, tmp_path):
     """The full hybrid-RAG serving composition on PERSISTED state: the
     BM25 postings store and the IVF index both built once, both probed
