@@ -2307,13 +2307,25 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
     emb = _t(spark, sf_dir, "embeddings")
     qids = [qid for qid, _ in BM25_QUERIES]
-    lists = {}
-    for depth in sorted({cfg[2] for cfg in HYBRID_CONFIGS}):
-        lex = retrieval.bm25_topk(docs, qs, k=depth)
-        sem = ann.brute_force_topk(emb, qids, k=depth).select(
-            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    # ONE probe pair at the deepest depth serves every config: a
+    # row_number shortlist filtered to rank <= d is bit-identical to the
+    # depth-d probe (same ordering, same ranks 1..d), so the shallower
+    # configs are free
+    depths = sorted({cfg[2] for cfg in HYBRID_CONFIGS})
+    deepest = depths[-1]
+    lex_deep = retrieval.bm25_topk(docs, qs, k=deepest)
+    sem_deep = ann.brute_force_topk(emb, qids, k=deepest).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    lists = {
+        d: (
+            lex_deep.where(F.col("rank") <= d),
+            sem_deep.where(F.col("rank") <= d),
         )
-        lists[depth] = (lex, sem)
+        if d != deepest
+        else (lex_deep, sem_deep)
+        for d in depths
+    }
     out = None
     for w_lex, w_sem, depth, max_rank, dec in HYBRID_CONFIGS:
         lex, sem = lists[depth]
