@@ -31,6 +31,7 @@ from credit_abs_oltp_to_mart_spark.functions.similarity import (
     random_hyperplanes,
 )
 from credit_abs_oltp_to_mart_spark.functions.text import STOPWORDS, TOKEN_PATTERN
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
 from credit_abs_oltp_to_mart_spark.operators import (
     ann,
     curation,
@@ -2139,7 +2140,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from credit_abs_oltp_to_mart_spark.operators import retrieval
 
     docs = _t(spark, sf_dir, "documents")
-    qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    qs = local_rows(spark, BM25_QUERIES, "query_id long, query string")
     return retrieval.bm25_topk(docs, qs, k=BM25_K)
 
 
@@ -2239,7 +2240,7 @@ def q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from credit_abs_oltp_to_mart_spark.operators import retrieval
 
     docs = _t(spark, sf_dir, "documents")
-    qs = spark.createDataFrame(
+    qs = local_rows(spark, 
         BM25_SERVE_QUERIES, "query_id long, query string"
     )
     tmp = tempfile.mkdtemp(prefix="spark_bm25_store_")
@@ -2304,7 +2305,7 @@ def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from credit_abs_oltp_to_mart_spark.operators import ann, retrieval
 
     docs = _t(spark, sf_dir, "documents")
-    qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    qs = local_rows(spark, BM25_QUERIES, "query_id long, query string")
     emb = _t(spark, sf_dir, "embeddings")
     qids = [qid for qid, _ in BM25_QUERIES]
     # ONE probe pair at the deepest depth serves every config: a
@@ -2484,7 +2485,7 @@ def q_stream_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 4 != 3)
-    qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    qs = local_rows(spark, BM25_QUERIES, "query_id long, query string")
     tmp = tempfile.mkdtemp(prefix="spark_bm25_ingest_")
     try:
         store = os.path.join(tmp, "store")

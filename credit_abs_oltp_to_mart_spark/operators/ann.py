@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
+
 from credit_abs_oltp_to_mart_spark.functions.similarity import (
     cosine_similarity,
     hyperplane_sign_bits,
@@ -428,7 +430,7 @@ def build_ivf_index(
     cent_rows = [
         (int(cid), [int(x) for x in cents[cid]]) for cid in sorted(cents)
     ]
-    spark.createDataFrame(
+    local_rows(spark, 
         cent_rows, "cid bigint, cent array<bigint>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codes = quantize_embeddings(emb, vec_col=vec_col, levels=levels)
@@ -841,20 +843,98 @@ def pq_train_fp(
     """``pq_train`` over an ALREADY fixed-point (vec_id, __fa) frame —
     the entry point for residual encoding, where __fa holds the exact
     bigint residual v_fp - coarse_centroid_fp instead of the raw
-    vector's fixed-point image."""
-    from credit_abs_oltp_to_mart_spark.operators.kmeans import kmeans_train
+    vector's fixed-point image.
+
+    The m sub-trainings are INDEPENDENT Lloyd loops over disjoint slices
+    of one checkpointed frame, so they are fused into one job per round
+    instead of m sequential ``kmeans_train`` calls (guide §1.2: fix the
+    distributed algorithm first — m*(iterations) barriers collapse to
+    (iterations)): ONE bounded collect fetches every subspace's init
+    centroids (slicing the fixed-point row driver-side is elementwise,
+    bit-identical to collecting pre-sliced columns), and each update
+    round computes every subspace's assignment map-side and unions the m
+    (subspace, cluster, d, val) branches into ONE partial-agg shuffle +
+    ONE k*dim-bounded collect. Assignment argmin, (score, cid) tiebreak,
+    truncating mean and empty-cluster carry-over are the exact
+    ``kmeans_train`` expressions, so the returned codebooks are
+    bit-identical to the sequential form (pinned by the ann_pq* oracle
+    gates and test_ann_recall)."""
+    from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        centroid_score_structs,
+        use_literal_codebook,
+    )
 
     dsub = dim // m
-    books: list[dict[int, list[int]]] = []
-    for s in range(m):
-        sub = v.select(
-            "vec_id",
-            F.slice(F.col("__fa"), s * dsub + 1, dsub).alias("embedding"),
+    init_rows = {
+        r["vec_id"]: list(r["__fa"])
+        for r in v.where(F.col("vec_id").isin(init_ids)).collect()
+    }
+    if len(init_rows) != len(init_ids):
+        missing = set(init_ids) - set(init_rows)
+        raise ValueError(f"init ids not found in input: {sorted(missing)}")
+    books: list[dict[int, list[int]]] = [
+        {vid: init_rows[vid][s * dsub : (s + 1) * dsub] for vid in init_ids}
+        for s in range(m)
+    ]
+    if not all(use_literal_codebook(b, None) for b in books):
+        # sub-codebooks past the literal plan-size envelope: fall back to
+        # the per-subspace broadcast-codebook trainer (same arithmetic)
+        from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+            kmeans_train,
         )
-        _, cents = kmeans_train(
-            sub, init_ids=init_ids, iterations=iterations, prescaled=True,
+
+        out: list[dict[int, list[int]]] = []
+        for s in range(m):
+            sub = v.select(
+                "vec_id",
+                F.slice(F.col("__fa"), s * dsub + 1, dsub).alias(
+                    "embedding"
+                ),
+            )
+            _, cents = kmeans_train(
+                sub, init_ids=init_ids, iterations=iterations,
+                prescaled=True,
+            )
+            out.append(cents)
+        return out
+    for _ in range(iterations - 1):
+        branches = None
+        for s in range(m):
+            arr = f"slice(__fa, {s * dsub + 1}, {dsub})"
+            cluster = F.array_min(
+                F.array(*centroid_score_structs(books[s], arr))
+            )["cid"]
+            # two-step select: a generator (posexplode) next to the
+            # struct-literal getField in ONE projection makes the
+            # analyzer re-derive the struct's field names as col1/col2
+            # (FIELD_NOT_FOUND) — split so the argmin resolves first
+            b = v.select(
+                F.lit(s).alias("__s"),
+                cluster.alias("cluster"),
+                F.expr(arr).alias("__sub"),
+            ).select("__s", "cluster", F.posexplode("__sub").alias("d", "val"))
+            branches = b if branches is None else branches.unionByName(b)
+        sums = (
+            branches.groupBy("__s", "cluster", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "__s",
+                "cluster",
+                "d",
+                # same truncating double->bigint mean as kmeans_train
+                F.expr("cast(cast(s as double) / n as bigint)").alias("c"),
+            )
+            .collect()
         )
-        books.append(cents)
+        new: list[dict[int, list[int]]] = [{} for _ in range(m)]
+        for r in sums:
+            new[r["__s"]].setdefault(r["cluster"], [0] * dsub)
+            new[r["__s"]][r["cluster"]][r["d"]] = r["c"]
+        # empty clusters keep their previous centroid, per subspace
+        books = [
+            {cid: new[s].get(cid, books[s][cid]) for cid in books[s]}
+            for s in range(m)
+        ]
     return books
 
 
@@ -972,7 +1052,7 @@ def build_pq_index(
     )
     if by_residual:
         cents_frame = F.broadcast(
-            spark.createDataFrame(
+            local_rows(spark, 
                 [
                     (int(cid), [int(x) for x in coarse[cid]])
                     for cid in sorted(coarse)
@@ -1001,11 +1081,11 @@ def build_pq_index(
         enc if by_residual else v,
         m=m, init_ids=pq_init_ids, iterations=pq_iterations, dim=dim,
     )
-    spark.createDataFrame(
+    local_rows(spark, 
         [(int(cid), [int(x) for x in coarse[cid]]) for cid in sorted(coarse)],
         "cid bigint, cent array<bigint>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    spark.createDataFrame(
+    local_rows(spark, 
         [
             (s, int(cid), [int(x) for x in books[s][cid]])
             for s in range(m)
@@ -1013,7 +1093,7 @@ def build_pq_index(
         ],
         "sub int, cid bigint, cent array<bigint>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
-    spark.createDataFrame(
+    local_rows(spark, 
         [
             (
                 bool(by_residual),
@@ -1181,7 +1261,7 @@ def pq_index_probe(
         ]
         qsrc = qsrc.crossJoin(
             F.broadcast(
-                spark.createDataFrame(
+                local_rows(spark, 
                     [(pq_row,)], "__pqcb array<array<array<bigint>>>"
                 )
             )
@@ -1447,7 +1527,7 @@ def pq_ingest_batch(
         )
     if bool(meta["by_residual"]):
         cents_frame = F.broadcast(
-            spark.createDataFrame(
+            local_rows(spark, 
                 [
                     (int(cid), [int(x) for x in coarse[cid]])
                     for cid in sorted(coarse)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
+
 from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
 from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
 
@@ -122,7 +124,7 @@ def bpe_train(
 
 def merges_frame(spark: SparkSession, merges: list[dict]) -> DataFrame:
     """The learned merge table as a DataFrame (training order)."""
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
             for m in merges

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
+
 from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
 from credit_abs_oltp_to_mart_spark.functions.text import (
     ws_token_count,
@@ -911,8 +913,9 @@ def epoch_shuffle(
         offsets.append((bkt, running))
         running += n
     off = F.broadcast(
-        manifest.sparkSession.createDataFrame(
-            offsets or [(0, 0)], "__bkt long, __off long"
+        local_rows(
+            manifest.sparkSession, offsets or [(0, 0)],
+            "__bkt long, __off long",
         )
     )
     w = Window.partitionBy("__bkt").orderBy(

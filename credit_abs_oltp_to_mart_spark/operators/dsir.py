@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
+
 from credit_abs_oltp_to_mart_spark.functions.similarity import md5_long
 from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
 
@@ -224,7 +226,7 @@ def dsir_select(
     r_counts = {r["bucket"]: r["r_cnt"] for r in dual}
     ev = dsir_evidence(t_counts, r_counts, buckets=buckets)
     # one-row broadcast map — the codebook transport (unigram._vmap_frame)
-    ev_frame = spark.createDataFrame(
+    ev_frame = local_rows(spark, 
         [({int(b): int(s) for b, s in ev.items()},)],
         "__ev map<int,bigint>",
     )

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
+
 COMPACT_VISITED_EVERY = 8
 
 
@@ -62,7 +64,7 @@ def bfs_distances(
     e = edges.select(
         F.col(src).alias("id"), F.col(dst).alias("to")
     ).localCheckpoint(eager=True)
-    frontier = spark.createDataFrame(
+    frontier = local_rows(spark, 
         [(int(s),) for s in sorted(set(sources))], "id bigint"
     ).localCheckpoint(eager=True)
     levels = [(0, frontier)]

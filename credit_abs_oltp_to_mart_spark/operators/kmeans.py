@@ -45,6 +45,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
+
 FP_SCALE = 10**6
 
 # literal-codebook ceiling: past ~4096 centroid VALUES (k * dim) the plan
@@ -151,7 +153,7 @@ def codebook_frame(
         (int(cid), int(sum(x * x for x in cents[cid])), [int(x) for x in cents[cid]])
         for cid in sorted(cents)
     ]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(row,)], "__cbk array<struct<cid:bigint,cc:bigint,arr:array<bigint>>>"
     )
 
@@ -292,7 +294,7 @@ def centroid_index_frame(spark: SparkSession, cells: list[dict]) -> DataFrame:
     rows = [
         (c["mcc"], c["marr"], c["rceil"], list(c["members"])) for c in cells
     ]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(rows,)],
         "__cbi array<struct<mcc:bigint,marr:array<bigint>,rceil:bigint,"
         "members:array<struct<cid:bigint,cc:bigint,arr:array<bigint>>>>>",
@@ -691,7 +693,7 @@ def _hier_frame(
         ]
         for ccl in sorted(coarse_cents)
     }
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(cbc, cbh)],
         "__cbc array<struct<ccl:bigint,cc:bigint,r:bigint,arr:array<bigint>>>,"
         "__cbh map<bigint,array<struct<scid:bigint,cc:bigint,arr:array<bigint>>>>",

@@ -63,6 +63,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
+
 from credit_abs_oltp_to_mart_spark.functions.text import ws_tokens
 
 BM25_SCALE = 10**6
@@ -544,8 +546,8 @@ def bm25_store_probe(
         buckets = sorted(
             {
                 int(r["b"])
-                for r in spark.createDataFrame(
-                    [(t,) for t in terms], "term string"
+                for r in local_rows(
+                    spark, [(t,) for t in terms], "term string"
                 )
                 .select(term_bucket(F.col("term"), n_buckets).alias("b"))
                 .distinct()

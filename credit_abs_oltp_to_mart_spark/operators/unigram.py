@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
+
 from credit_abs_oltp_to_mart_spark.operators.bpe import word_frequency_table
 
 UNIGRAM_SCALE = 10**6
@@ -112,7 +114,7 @@ def _vmap_frame(spark: SparkSession, weights: dict[str, int]) -> DataFrame:
     entries = [
         (p, int(UNIGRAM_SCALE - w)) for p, w in sorted(weights.items())
     ]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(dict(entries),)], "__vc map<string,bigint>"
     )
 
@@ -216,7 +218,7 @@ def unigram_train(
     rows = [
         (p, counts[p], weights[p]) for p in sorted(weights)
     ]
-    out = spark.createDataFrame(
+    out = local_rows(spark, 
         rows, "piece string, cnt bigint, weight bigint"
     )
     w = Window.orderBy(F.col("weight").desc(), F.col("piece").asc())

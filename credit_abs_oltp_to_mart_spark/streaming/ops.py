@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_SECONDS = 1800
@@ -1061,8 +1063,8 @@ def stream_corpus_ingest(
             _, wf_t = B.bpe_train(train, tokenizer_merges)
             wf_t.write.mode("overwrite").parquet(vdir)
             # consumer-facing pointer, re-pinned AFTER the publish
-            sess.createDataFrame(
-                [(int(version),)], "version int"
+            local_rows(
+                sess, [(int(version),)], "version int"
             ).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "vocab_current")
             )
@@ -1611,8 +1613,8 @@ def stream_vocab_refresh(
         )
         # consumer-facing pointer, re-pinned AFTER the publish (atomic
         # via the parquet commit protocol — readers see old or new)
-        spark.createDataFrame(
-            [(int(version),)], "version int"
+        local_rows(
+            spark, [(int(version),)], "version int"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "vocab_current")
         )
