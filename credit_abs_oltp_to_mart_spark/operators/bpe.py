@@ -184,8 +184,33 @@ def vocab_frame(word_frame: DataFrame) -> DataFrame:
     )
 
 
+def tokenizer_ids_table(word_frame: DataFrame) -> DataFrame:
+    """(word, ids) — each trained word's contiguous token-id sequence
+    (syms positions joined to ``vocab_frame`` ids): the broadcastable
+    per-word lookup table ``bpe_tokenize`` maps the corpus through.
+    Vocabulary-sized; pure function of the trained word frame, so
+    multi-batch callers compute it once per vocabulary generation."""
+    return (
+        word_frame.select("word", F.posexplode("syms").alias("pos", "sym"))
+        .join(F.broadcast(vocab_frame(word_frame)), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok_id")))
+                ),
+                lambda s: s["tok_id"],
+            ).alias("ids")
+        )
+    )
+
+
 def bpe_tokenize(
-    docs: DataFrame, word_frame: DataFrame, *, text_col: str = "text"
+    docs: DataFrame,
+    word_frame: DataFrame,
+    *,
+    text_col: str = "text",
+    ids_table: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc CONTIGUOUS BPE token-id sequence under a trained
     vocabulary — the tokenizer OUTPUT a pretraining pipeline packs, not
@@ -203,19 +228,17 @@ def bpe_tokenize(
     ``token_ids`` NULL (with ``n_unseen`` > 0) rather than a silently
     shortened sequence — the complement of ``bpe_segment_stats``'s
     seen-words-only counting. Docs with no tokens are excluded (no
-    sequence to emit)."""
+    sequence to emit).
+
+    ``ids_table``: a precomputed ``tokenizer_ids_table(word_frame)``
+    frame (ideally checkpointed). Callers that tokenize MANY batches
+    under one pinned vocabulary (streaming ingest) pass it so the
+    vocab_frame window + per-word roll-up is built once per vocabulary
+    generation instead of once per micro-batch — the same
+    pin-heavy-state-once rule as the vocab cache itself (guide §4.5
+    applied to plan subtrees)."""
     ids_per_word = (
-        word_frame.select("word", F.posexplode("syms").alias("pos", "sym"))
-        .join(F.broadcast(vocab_frame(word_frame)), "sym")
-        .groupBy("word")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("tok_id")))
-                ),
-                lambda s: s["tok_id"],
-            ).alias("ids")
-        )
+        tokenizer_ids_table(word_frame) if ids_table is None else ids_table
     )
     toks = docs.select(
         "doc_id",
@@ -261,6 +284,7 @@ def bpe_pack(
     bin_tokens: int = 256,
     shards: int = 8,
     text_col: str = "text",
+    ids_table: DataFrame | None = None,
 ) -> DataFrame:
     """Sequence-pack the TRAINED-TOKENIZER output — the last link of the
     raw-text → tokenizer → packed-shards chain: ``bpe_tokenize`` id
@@ -276,7 +300,9 @@ def bpe_pack(
     ``pack_chunks``. Docs with unseen words (null sequences) are
     excluded: packing silently-truncated sequences would corrupt
     training shards."""
-    t = bpe_tokenize(docs, word_frame, text_col=text_col).where(
+    t = bpe_tokenize(
+        docs, word_frame, text_col=text_col, ids_table=ids_table
+    ).where(
         F.col("token_ids").isNotNull() & (F.size("token_ids") > 0)
     )
     n = F.size("token_ids")

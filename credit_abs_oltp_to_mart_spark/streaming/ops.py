@@ -931,12 +931,22 @@ def stream_corpus_ingest(
             " exclusive: refresh mode derives its own word frames"
         )
     resume_pending_compaction(spark, store_dir)
+    from credit_abs_oltp_to_mart_spark.operators import bpe as B_bpe
+
     # the trained tokenizer is FIXED for the run: materialize the word
     # frame once (vocabulary-sized) so every batch's tokenize pass reads
     # the checkpoint, never re-derives it
     wf_pinned = (
         tokenizer_word_frame.localCheckpoint(eager=True)
         if tokenizer_word_frame is not None
+        else None
+    )
+    # same rule for the derived per-word id table: a pure function of the
+    # pinned word frame that every batch's pack pass would otherwise
+    # rebuild (vocab window + roll-up + broadcast) once per micro-batch
+    ids_pinned = (
+        B_bpe.tokenizer_ids_table(wf_pinned).localCheckpoint(eager=True)
+        if wf_pinned is not None
         else None
     )
     # the blocklist is pinned into the block manager (not re-scanned
@@ -1034,9 +1044,14 @@ def stream_corpus_ingest(
     # generation, derived BY RULE (version v trains on init + admitted
     # docs of batches < v*refresh_every — strictly-earlier partitions,
     # so replays re-derive byte-identical vocabularies); pinned per run
-    vocab_cache: dict[int, DataFrame] = {}
+    vocab_cache: dict[int, tuple[DataFrame, DataFrame]] = {}
 
-    def _vocab_for(sess: SparkSession, version: int) -> DataFrame:
+    def _vocab_for(
+        sess: SparkSession, version: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """(word frame, per-word id table) for a vocabulary generation,
+        both checkpointed once per generation — batches under the same
+        generation reuse the plans instead of re-deriving them."""
         if version in vocab_cache:
             return vocab_cache[version]
         from credit_abs_oltp_to_mart_spark.operators import bpe as B
@@ -1070,8 +1085,9 @@ def stream_corpus_ingest(
             )
             wf = sess.read.parquet(vdir)
         wf = wf.localCheckpoint(eager=True)
-        vocab_cache[version] = wf
-        return wf
+        ids = B_bpe.tokenizer_ids_table(wf).localCheckpoint(eager=True)
+        vocab_cache[version] = (wf, ids)
+        return wf, ids
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time_mod
@@ -1198,7 +1214,7 @@ def stream_corpus_ingest(
             # write below invalidates
             admitted = admitted.localCheckpoint(eager=True)
             t0 = _mark("decontam", t0)
-            wf_run = wf_pinned
+            wf_run, ids_run = wf_pinned, ids_pinned
             if tokenizer_refresh_init is not None:
                 from credit_abs_oltp_to_mart_spark.operators import bpe as B
 
@@ -1206,7 +1222,7 @@ def stream_corpus_ingest(
                 # vocab for THIS batch trains on strictly-earlier
                 # admitted partitions (bound v*refresh_every <= batch),
                 # so it must resolve BEFORE this batch's own writes
-                wf_run = _vocab_for(sess, v)
+                wf_run, ids_run = _vocab_for(sess, v)
                 (
                     admitted.select("doc_id", "text")
                     .write.mode("overwrite")
@@ -1233,6 +1249,7 @@ def stream_corpus_ingest(
                     chunk_tokens=chunk_tokens,
                     bin_tokens=bin_tokens,
                     shards=shards,
+                    ids_table=ids_run,
                 )
             else:
                 packed = pack_chunks(
