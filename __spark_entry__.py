@@ -276,6 +276,34 @@ def _week_end_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_slices(slices_dir: str, parts: list) -> None:
+    """Write a streaming query's input slice files CONCURRENTLY and stamp
+    strictly increasing mtimes in slice order (the file source's arrival
+    order, together with the lexicographic b0 < b1 < ... paths).
+
+    The slices are independent tiny writes whose wall cost is pure
+    per-job overhead; submitting them from a small driver thread pool
+    overlaps the jobs (guide §2.6) so setup costs max() instead of
+    sum(). parts: [(subdir, DataFrame), ...] in arrival order."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(item):
+        sub, df = item
+        d = os.path.join(slices_dir, sub)
+        df.coalesce(1).write.parquet(d)
+        return d
+
+    with ThreadPoolExecutor(max_workers=min(4, len(parts))) as pool:
+        dirs = list(pool.map(_one, parts))
+    now = _time.time()
+    for k, d in enumerate(dirs):
+        t = now - 10 * (len(dirs) - k)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(d, f), (t, t))
+
+
 def _transitions_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 at week grain: previous observed week's event_type per user (lag
     by row ordinal, not calendar week — reference roll-rate quirk,
@@ -920,16 +948,12 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_ingest_")
     try:
         slices = os.path.join(tmp, "slices")
-        now = _time.time()
-        for k in range(3):
-            d = os.path.join(slices, f"b{k}")
-            tagged.where(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(d)
-            # strictly increasing mtimes (and lexicographic paths) pin the
-            # file-source arrival order: batch k is exactly md5 bucket k
-            for f in os.listdir(d):
-                if f.endswith(".parquet"):
-                    t = now - 60 + 10 * k
-                    os.utime(os.path.join(d, f), (t, t))
+        # batch k is exactly md5 bucket k (arrival order pinned by mtime)
+        _write_slices(
+            slices,
+            [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
+             for k in range(3)],
+        )
         out = streaming.stream_dedup_ingest(
             spark,
             f"{slices}/b*",
@@ -980,14 +1004,11 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.where(F.col("split") != "train").drop("split")
         ).write.parquet(gram_store)
         slices = os.path.join(tmp, "slices")
-        now = _time.time()
-        for k in range(3):
-            d = os.path.join(slices, f"b{k}")
-            tagged.where(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(d)
-            for f in os.listdir(d):
-                if f.endswith(".parquet"):
-                    t = now - 60 + 10 * k
-                    os.utime(os.path.join(d, f), (t, t))
+        _write_slices(
+            slices,
+            [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
+             for k in range(3)],
+        )
         out = streaming.stream_corpus_ingest(
             spark,
             f"{slices}/b*",
@@ -1057,14 +1078,11 @@ def q_stream_bpe_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.where(F.col("split") != "train").drop("split")
         ).write.parquet(gram_store)
         slices = os.path.join(tmp, "slices")
-        now = _time.time()
-        for k in range(3):
-            d = os.path.join(slices, f"b{k}")
-            tagged.where(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(d)
-            for f2 in os.listdir(d):
-                if f2.endswith(".parquet"):
-                    t = now - 60 + 10 * k
-                    os.utime(os.path.join(d, f2), (t, t))
+        _write_slices(
+            slices,
+            [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
+             for k in range(3)],
+        )
         out = streaming.stream_corpus_ingest(
             spark,
             f"{slices}/b*",
@@ -1356,14 +1374,11 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             base, idx, init_ids=KMEANS_INIT_IDS, iterations=KMEANS_ITERS
         )
         slices = os.path.join(tmp, "slices")
-        now = _time.time()
-        for k, resid in enumerate([3, 7]):
-            d = os.path.join(slices, f"b{k}")
-            emb.where(F.col("vec_id") % 8 == resid).coalesce(1).write.parquet(d)
-            for f2 in os.listdir(d):
-                if f2.endswith(".parquet"):
-                    t = now - 60 + 10 * k
-                    os.utime(os.path.join(d, f2), (t, t))
+        _write_slices(
+            slices,
+            [(f"b{k}", emb.where(F.col("vec_id") % 8 == resid))
+             for k, resid in enumerate([3, 7])],
+        )
         streaming.stream_ann_ingest(
             spark, f"{slices}/b*", idx, schema=emb.schema
         )
@@ -2491,14 +2506,11 @@ def q_stream_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = os.path.join(tmp, "store")
         retrieval.build_postings_store(base, store)
         slices = os.path.join(tmp, "slices")
-        now = _time.time()
-        for kk, resid in enumerate([3, 7]):
-            d = os.path.join(slices, f"b{kk}")
-            docs.where(F.col("doc_id") % 8 == resid).coalesce(1).write.parquet(d)
-            for f2 in os.listdir(d):
-                if f2.endswith(".parquet"):
-                    t = now - 60 + 10 * kk
-                    os.utime(os.path.join(d, f2), (t, t))
+        _write_slices(
+            slices,
+            [(f"b{kk}", docs.where(F.col("doc_id") % 8 == resid))
+             for kk, resid in enumerate([3, 7])],
+        )
         streaming.stream_postings_ingest(
             spark, f"{slices}/b*", store, schema=docs.schema
         )
@@ -5799,19 +5811,20 @@ def q_stream_vocab_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_vocab_refresh_")
     try:
         slices = os.path.join(tmp, "slices")
-        now = _time.time()
-        for k in range(4):
-            d = os.path.join(slices, f"b{k}")
-            part = docs.where(
-                F.pmod(F.col("doc_id"), F.lit(16)).isin(
-                    [4 * k + 1, 4 * k + 2, 4 * k + 3]
+        _write_slices(
+            slices,
+            [
+                (
+                    f"b{k}",
+                    docs.where(
+                        F.pmod(F.col("doc_id"), F.lit(16)).isin(
+                            [4 * k + 1, 4 * k + 2, 4 * k + 3]
+                        )
+                    ),
                 )
-            )
-            part.coalesce(1).write.parquet(d)
-            for f2 in os.listdir(d):
-                if f2.endswith(".parquet"):
-                    t = now - 120 + 10 * k
-                    os.utime(os.path.join(d, f2), (t, t))
+                for k in range(4)
+            ],
+        )
         out = streaming.stream_vocab_refresh(
             spark,
             f"{slices}/b*",
@@ -5910,14 +5923,11 @@ def q_stream_corpus_vocab_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.where(F.col("split") != "train").drop("split")
         ).write.parquet(gram_store)
         slices = os.path.join(tmp, "slices")
-        now = _time.time()
-        for k in range(3):
-            d = os.path.join(slices, f"b{k}")
-            tagged.where(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(d)
-            for f2 in os.listdir(d):
-                if f2.endswith(".parquet"):
-                    t = now - 60 + 10 * k
-                    os.utime(os.path.join(d, f2), (t, t))
+        _write_slices(
+            slices,
+            [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
+             for k in range(3)],
+        )
         out = streaming.stream_corpus_ingest(
             spark,
             f"{slices}/b*",
@@ -6024,14 +6034,11 @@ def q_stream_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             pq_iterations=PQ_ITERS,
         )
         slices = os.path.join(tmp, "slices")
-        now = _time.time()
-        for k, resid in enumerate([3, 7]):
-            d = os.path.join(slices, f"b{k}")
-            emb.where(F.col("vec_id") % 8 == resid).coalesce(1).write.parquet(d)
-            for f2 in os.listdir(d):
-                if f2.endswith(".parquet"):
-                    t = now - 60 + 10 * k
-                    os.utime(os.path.join(d, f2), (t, t))
+        _write_slices(
+            slices,
+            [(f"b{k}", emb.where(F.col("vec_id") % 8 == resid))
+             for k, resid in enumerate([3, 7])],
+        )
         streaming.stream_pq_ingest(
             spark, f"{slices}/b*", idx, schema=emb.schema
         )
