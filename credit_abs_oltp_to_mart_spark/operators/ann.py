@@ -839,6 +839,7 @@ def pq_train_fp(
     init_ids: list[int],
     iterations: int = 2,
     dim: int = 64,
+    init_rows: dict[int, list[int]] | None = None,
 ) -> list[dict[int, list[int]]]:
     """``pq_train`` over an ALREADY fixed-point (vec_id, __fa) frame —
     the entry point for residual encoding, where __fa holds the exact
@@ -865,11 +866,12 @@ def pq_train_fp(
     )
 
     dsub = dim // m
-    init_rows = {
-        r["vec_id"]: list(r["__fa"])
-        for r in v.where(F.col("vec_id").isin(init_ids)).collect()
-    }
-    if len(init_rows) != len(init_ids):
+    if init_rows is None:
+        init_rows = {
+            r["vec_id"]: list(r["__fa"])
+            for r in v.where(F.col("vec_id").isin(init_ids)).collect()
+        }
+    if len(init_rows) != len(init_ids) or set(init_rows) != set(init_ids):
         missing = set(init_ids) - set(init_rows)
         raise ValueError(f"init ids not found in input: {sorted(missing)}")
     books: list[dict[int, list[int]]] = [
@@ -1042,6 +1044,16 @@ def build_pq_index(
     v = emb.select(
         "vec_id", _to_fp(vec_col, FP_SCALE).alias("__fa")
     ).localCheckpoint(eager=True)
+    # ONE bounded collect seeds BOTH trainings (raw mode): coarse and PQ
+    # init centroids are rows of the same checkpointed frame
+    seed_ids = sorted(set(coarse_init_ids) | set(pq_init_ids))
+    seed_rows = {
+        r["vec_id"]: list(r["__fa"])
+        for r in v.where(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    missing = set(seed_ids) - set(seed_rows)
+    if missing:
+        raise ValueError(f"init ids not found in input: {sorted(missing)}")
     assign, coarse = kmeans_train(
         v,
         init_ids=coarse_init_ids,
@@ -1049,6 +1061,7 @@ def build_pq_index(
         vec_col="__fa",
         codebook_as_literals=codebook_as_literals,
         prescaled=True,
+        init_cents={i: seed_rows[i] for i in coarse_init_ids},
     )
     if by_residual:
         cents_frame = F.broadcast(
@@ -1080,30 +1093,67 @@ def build_pq_index(
     books = pq_train_fp(
         enc if by_residual else v,
         m=m, init_ids=pq_init_ids, iterations=pq_iterations, dim=dim,
+        # residual seeds are rows of enc (v - coarse centroid), not v —
+        # let pq_train_fp collect those itself
+        init_rows=None if by_residual else {
+            i: seed_rows[i] for i in pq_init_ids
+        },
     )
-    local_rows(spark, 
-        [(int(cid), [int(x) for x in coarse[cid]]) for cid in sorted(coarse)],
-        "cid bigint, cent array<bigint>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    local_rows(spark, 
-        [
-            (s, int(cid), [int(x) for x in books[s][cid]])
-            for s in range(m)
-            for cid in sorted(books[s])
-        ],
-        "sub int, cid bigint, cent array<bigint>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
-    local_rows(spark, 
-        [
-            (
-                bool(by_residual),
-                int(m),
-                int(dim),
-                int(refine_levels) if with_refine else None,
+    # the three metadata artifacts are independent tiny writes — overlap
+    # them from a driver thread pool (guide §2.6) so they cost max(),
+    # not sum(), of the per-job floors
+    meta_writes = [
+        (
+            local_rows(
+                spark,
+                [
+                    (int(cid), [int(x) for x in coarse[cid]])
+                    for cid in sorted(coarse)
+                ],
+                "cid bigint, cent array<bigint>",
+            ),
+            f"{index_dir}/centroids",
+        ),
+        (
+            local_rows(
+                spark,
+                [
+                    (s, int(cid), [int(x) for x in books[s][cid]])
+                    for s in range(m)
+                    for cid in sorted(books[s])
+                ],
+                "sub int, cid bigint, cent array<bigint>",
+            ),
+            f"{index_dir}/pq_codebooks",
+        ),
+        (
+            local_rows(
+                spark,
+                [
+                    (
+                        bool(by_residual),
+                        int(m),
+                        int(dim),
+                        int(refine_levels) if with_refine else None,
+                    )
+                ],
+                "by_residual boolean, m int, dim int, refine_levels int",
+            ),
+            f"{index_dir}/pq_meta",
+        ),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                lambda dp: dp[0]
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(dp[1]),
+                meta_writes,
             )
-        ],
-        "by_residual boolean, m int, dim int, refine_levels int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_meta")
+        )
     # repartition by cluster BEFORE partitionBy: without it every write
     # task emits a file into every cluster directory it touches — up to
     # (shuffle partitions) tiny files per cluster, thousands at scaled k,

@@ -445,6 +445,7 @@ def kmeans_train(
     codebook_as_literals: bool | None = None,
     centroid_index: bool | None = None,
     prescaled: bool = False,
+    init_cents: dict[int, list[int]] | None = None,
 ) -> tuple[DataFrame, dict[int, list[int]]]:
     """``kmeans_assign`` plus the trained CODEBOOK: returns
     (assignments, {cluster_id: fixed-point centroid}) where the codebook
@@ -466,13 +467,23 @@ def kmeans_train(
         v = emb.select(
             F.col(id_col).alias("vid"), _to_fp(vec_col, fp_scale).alias("a")
         ).localCheckpoint(eager=True)
-    cents: dict[int, list[int]] = {
-        r["vid"]: list(r["a"])
-        for r in v.where(F.col("vid").isin(init_ids)).collect()
-    }
-    if len(cents) != len(init_ids):
-        missing = set(init_ids) - set(cents)
-        raise ValueError(f"init ids not found in input: {sorted(missing)}")
+    if init_cents is not None:
+        # caller already collected the seed rows (e.g. one shared collect
+        # covering several trainings); values MUST equal the input frame's
+        # fixed-point rows for those ids — same contract as prescaled
+        if set(init_cents) != set(init_ids):
+            raise ValueError("init_cents keys must equal init_ids")
+        cents: dict[int, list[int]] = {
+            int(k): list(v_) for k, v_ in init_cents.items()
+        }
+    else:
+        cents = {
+            r["vid"]: list(r["a"])
+            for r in v.where(F.col("vid").isin(init_ids)).collect()
+        }
+        if len(cents) != len(init_ids):
+            missing = set(init_ids) - set(cents)
+            raise ValueError(f"init ids not found in input: {sorted(missing)}")
 
     literals = use_literal_codebook(cents, codebook_as_literals)
     indexed = use_centroid_index(cents, codebook_as_literals, centroid_index)
