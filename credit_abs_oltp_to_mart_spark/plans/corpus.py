@@ -300,8 +300,22 @@ def build_corpus(
             .persist()
         )
         stages["spancut"] = gated
-    deduped = dedup_documents(gated)
-    clean = decontaminate_train(deduped)
+    # Lineage cuts (lazy localCheckpoint): by this point the logical tree
+    # under `deduped` carries the whole regex-heavy filter gate, the exact-dup
+    # window and the LSH pair chain. Left uncut, EVERY downstream DataFrame
+    # operation (mixture, packing, manifest, epoch orders, the entry-side
+    # audit branches) re-analyzes that tree from scratch — measured at ~10 s
+    # of pure driver time per composite invocation at sf0.1, dwarfing the
+    # executor work. The cut replaces the subtree with a LogicalRDD leaf so
+    # downstream analysis is O(downstream), and it also materializes `deduped`
+    # once per run where the previous plan recomputed it 3x inside
+    # decontaminate_train (tagged + the two gram consumers). eager=False: no
+    # extra job — the first real action populates it. Values are unchanged
+    # (checkpointing replays the identical deterministic plan); at 100 TB the
+    # same cut would be a durable-storage checkpoint of the post-dedup corpus,
+    # which a real ingest writes out at this stage anyway.
+    deduped = dedup_documents(gated).localCheckpoint(eager=False)
+    clean = decontaminate_train(deduped).localCheckpoint(eager=False)
     # "clean" stays the n-gram gate's output even when the semantic gate
     # runs after it — auditors diff the two stages to see what the
     # paraphrase gate caught that the verbatim gate missed
