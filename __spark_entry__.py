@@ -304,6 +304,21 @@ def _write_slices(slices_dir: str, parts: list) -> None:
                 os.utime(os.path.join(d, f), (t, t))
 
 
+def _overlap(*thunks):
+    """Run independent setup steps (each a zero-arg callable that submits
+    Spark jobs) from a small driver thread pool and return their results in
+    order — guide §2.6: a streaming query's timed region otherwise pays the
+    SUM of its setup steps' walls (gram-store build, input-slice writes,
+    offline index/tokenizer training) when the cluster could run them
+    side by side for the MAX. Exceptions propagate from the first failed
+    step."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _transitions_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 at week grain: previous observed week's event_type per user (lag
     by row ordinal, not calendar week — reference roll-rate quirk,
@@ -1000,14 +1015,18 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_corpus_ingest_")
     try:
         gram_store = os.path.join(tmp, "eval_grams")
-        curation.build_eval_gram_store(
-            docs.where(F.col("split") != "train").drop("split")
-        ).write.parquet(gram_store)
         slices = os.path.join(tmp, "slices")
-        _write_slices(
-            slices,
-            [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
-             for k in range(3)],
+        # the blocklist build and the input-slice writes are independent
+        # setup steps — overlap them (guide §2.6)
+        _overlap(
+            lambda: curation.build_eval_gram_store(
+                docs.where(F.col("split") != "train").drop("split")
+            ).write.parquet(gram_store),
+            lambda: _write_slices(
+                slices,
+                [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
+                 for k in range(3)],
+            ),
         )
         out = streaming.stream_corpus_ingest(
             spark,
@@ -1063,9 +1082,6 @@ def q_stream_bpe_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").withColumn("split", split_expr())
     train = docs.where(F.col("split") == "train").drop("split")
-    _, wf = bpe.bpe_train(
-        _t(spark, sf_dir, "documents"), n_merges=BPE_MERGES
-    )
     b = F.pmod(
         md5_long(F.concat(F.lit("ingest:"), F.col("doc_id").cast("string"))),
         F.lit(3),
@@ -1074,14 +1090,23 @@ def q_stream_bpe_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_bpe_ingest_")
     try:
         gram_store = os.path.join(tmp, "eval_grams")
-        curation.build_eval_gram_store(
-            docs.where(F.col("split") != "train").drop("split")
-        ).write.parquet(gram_store)
         slices = os.path.join(tmp, "slices")
-        _write_slices(
-            slices,
-            [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
-             for k in range(3)],
+        # tokenizer training, the blocklist build and the input-slice
+        # writes are mutually independent setup steps — overlap them
+        # (guide §2.6); bpe_train's sequential merge rounds run while the
+        # two write jobs occupy otherwise-idle cores
+        (_, wf), _, _ = _overlap(
+            lambda: bpe.bpe_train(
+                _t(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+            ),
+            lambda: curation.build_eval_gram_store(
+                docs.where(F.col("split") != "train").drop("split")
+            ).write.parquet(gram_store),
+            lambda: _write_slices(
+                slices,
+                [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
+                 for k in range(3)],
+            ),
         )
         out = streaming.stream_corpus_ingest(
             spark,
@@ -1370,14 +1395,19 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_ann_ingest_")
     try:
         idx = os.path.join(tmp, "index")
-        _ann.build_ivf_index(
-            base, idx, init_ids=KMEANS_INIT_IDS, iterations=KMEANS_ITERS
-        )
         slices = os.path.join(tmp, "slices")
-        _write_slices(
-            slices,
-            [(f"b{k}", emb.where(F.col("vec_id") % 8 == resid))
-             for k, resid in enumerate([3, 7])],
+        # the offline index build and the input-slice writes are
+        # independent setup steps — overlap them (guide §2.6)
+        _overlap(
+            lambda: _ann.build_ivf_index(
+                base, idx, init_ids=KMEANS_INIT_IDS,
+                iterations=KMEANS_ITERS,
+            ),
+            lambda: _write_slices(
+                slices,
+                [(f"b{k}", emb.where(F.col("vec_id") % 8 == resid))
+                 for k, resid in enumerate([3, 7])],
+            ),
         )
         streaming.stream_ann_ingest(
             spark, f"{slices}/b*", idx, schema=emb.schema
@@ -5919,14 +5949,17 @@ def q_stream_corpus_vocab_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_corpus_vocab_")
     try:
         gram_store = os.path.join(tmp, "eval_grams")
-        curation.build_eval_gram_store(
-            docs.where(F.col("split") != "train").drop("split")
-        ).write.parquet(gram_store)
         slices = os.path.join(tmp, "slices")
-        _write_slices(
-            slices,
-            [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
-             for k in range(3)],
+        # independent setup steps — overlap them (guide §2.6)
+        _overlap(
+            lambda: curation.build_eval_gram_store(
+                docs.where(F.col("split") != "train").drop("split")
+            ).write.parquet(gram_store),
+            lambda: _write_slices(
+                slices,
+                [(f"b{k}", tagged.where(F.col("__b") == k).drop("__b"))
+                 for k in range(3)],
+            ),
         )
         out = streaming.stream_corpus_ingest(
             spark,
@@ -6024,20 +6057,24 @@ def q_stream_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_pq_ingest_")
     try:
         idx = os.path.join(tmp, "index")
-        _ann.build_pq_index(
-            base,
-            idx,
-            coarse_init_ids=KMEANS_INIT_IDS,
-            pq_init_ids=STREAM_PQ_INIT_IDS,
-            m=PQ_M,
-            coarse_iterations=KMEANS_ITERS,
-            pq_iterations=PQ_ITERS,
-        )
         slices = os.path.join(tmp, "slices")
-        _write_slices(
-            slices,
-            [(f"b{k}", emb.where(F.col("vec_id") % 8 == resid))
-             for k, resid in enumerate([3, 7])],
+        # the offline index build and the input-slice writes are
+        # independent setup steps — overlap them (guide §2.6)
+        _overlap(
+            lambda: _ann.build_pq_index(
+                base,
+                idx,
+                coarse_init_ids=KMEANS_INIT_IDS,
+                pq_init_ids=STREAM_PQ_INIT_IDS,
+                m=PQ_M,
+                coarse_iterations=KMEANS_ITERS,
+                pq_iterations=PQ_ITERS,
+            ),
+            lambda: _write_slices(
+                slices,
+                [(f"b{k}", emb.where(F.col("vec_id") % 8 == resid))
+                 for k, resid in enumerate([3, 7])],
+            ),
         )
         streaming.stream_pq_ingest(
             spark, f"{slices}/b*", idx, schema=emb.schema

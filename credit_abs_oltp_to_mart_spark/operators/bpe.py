@@ -96,7 +96,8 @@ def bpe_train(
     wf = (
         word_frequency_table(docs, text_col)
         .withColumn("syms", _char_symbols("word"))
-        .localCheckpoint(eager=True)
+        # lazy like the per-round cuts: round 1's argmax materializes it
+        .localCheckpoint(eager=False)
     )
     merges: list[dict] = []
     for rank in range(1, n_merges + 1):
@@ -116,9 +117,13 @@ def bpe_train(
              "pair_count": c}
         )
         # checkpoint per round: the fold otherwise re-nests n_merges deep
-        # and every round's argmax would re-run the whole chain
+        # and every round's argmax would re-run the whole chain. LAZY on
+        # purpose — the next round's argmax (or the caller's first action)
+        # materializes it inside its own job, so each round costs ONE job
+        # instead of an argmax job plus a checkpoint job; the lineage cut
+        # itself happens at plan-build time either way
         wf = wf.withColumn("syms", _apply_merge(F.col("syms"), l, r)) \
-               .localCheckpoint(eager=True)
+               .localCheckpoint(eager=False)
     return merges, wf
 
 

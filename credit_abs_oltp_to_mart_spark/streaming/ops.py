@@ -1216,18 +1216,36 @@ def stream_corpus_ingest(
             t0 = _mark("decontam", t0)
             wf_run, ids_run = wf_pinned, ids_pinned
             if tokenizer_refresh_init is not None:
-                from credit_abs_oltp_to_mart_spark.operators import bpe as B
-
-                v = int(batch_id) // tokenizer_refresh_every
                 # vocab for THIS batch trains on strictly-earlier
                 # admitted partitions (bound v*refresh_every <= batch),
                 # so it must resolve BEFORE this batch's own writes
-                wf_run, ids_run = _vocab_for(sess, v)
+                wf_run, ids_run = _vocab_for(
+                    sess, int(batch_id) // tokenizer_refresh_every
+                )
+
+            # The batch's sink writes form INDEPENDENT chains once
+            # `admitted` is checkpointed and wf_run/ids_run are resolved:
+            # (packed -> offsets read-back), (signature store -> compact),
+            # and in refresh mode (admitted docs), (segment stats). Running
+            # them sequentially paid 4-6 parquet round-trips of pure job
+            # latency per micro-batch; a small driver pool overlaps the
+            # chains (guide §2.6) so the tail costs max() instead of
+            # sum(). Order WITHIN a chain is preserved (offsets read back
+            # the packed partition; compact folds the store only after
+            # this batch's partition lands). Attribution mode
+            # (stage_times set) stays sequential so the per-stage walls
+            # keep meaning what they say.
+            def _refresh_writes():
                 (
                     admitted.select("doc_id", "text")
                     .write.mode("overwrite")
                     .parquet(os.path.join(adm_docs_dir, f"batch={batch_id}"))
                 )
+
+            def _seg_writes():
+                from credit_abs_oltp_to_mart_spark.operators import bpe as B
+
+                v = int(batch_id) // tokenizer_refresh_every
                 (
                     B.bpe_segment_stats(
                         admitted.select("doc_id", "text"), wf_run
@@ -1238,88 +1256,130 @@ def stream_corpus_ingest(
                     .write.mode("overwrite")
                     .parquet(os.path.join(seg_dir, f"batch={batch_id}"))
                 )
-            if wf_run is not None:
-                from credit_abs_oltp_to_mart_spark.operators.bpe import (
-                    bpe_pack,
+
+            def _pack_chain():
+                if wf_run is not None:
+                    from credit_abs_oltp_to_mart_spark.operators.bpe import (
+                        bpe_pack,
+                    )
+
+                    packed = bpe_pack(
+                        admitted,
+                        wf_run,
+                        chunk_tokens=chunk_tokens,
+                        bin_tokens=bin_tokens,
+                        shards=shards,
+                        ids_table=ids_run,
+                    )
+                else:
+                    packed = pack_chunks(
+                        admitted,
+                        chunk_tokens=chunk_tokens,
+                        bin_tokens=bin_tokens,
+                        shards=shards,
+                    )
+                # per-shard running offsets from STRICTLY earlier batches
+                # (a replayed batch never sees its own prior write), so the
+                # stream's bin numbering continues where the last batch
+                # stopped — byte-compatible with one batch pack over the
+                # same docs in slice order
+                try:
+                    base = (
+                        sess.read.parquet(offsets_dir)
+                        .where(F.col("batch") < batch_id)
+                        .groupBy("shard")
+                        .agg(F.sum("batch_tokens").alias("__base"))
+                    )
+                except AnalysisException:
+                    base = None
+                if base is not None:
+                    packed_b = (
+                        packed.join(F.broadcast(base), "shard", "left")
+                        .withColumn(
+                            "start_tok",
+                            F.col("start_tok")
+                            + F.coalesce(F.col("__base"), F.lit(0)),
+                        )
+                        .withColumn(
+                            "bin", F.expr(f"start_tok div {bin_tokens}")
+                        )
+                        .drop("__base")
+                    )
+                else:
+                    packed_b = packed
+                packed_b.withColumn(
+                    "ingest_batch", F.lit(batch_id).cast("long")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(packed_dir, f"batch={batch_id}")
+                )
+                # record this batch's per-shard token totals for the next
+                # batch's offsets (read back from the sink: cheap, and the
+                # totals are crash-consistent with what was written)
+                (
+                    sess.read.parquet(
+                        os.path.join(packed_dir, f"batch={batch_id}")
+                    )
+                    .groupBy("shard")
+                    .agg(
+                        F.sum("n_tokens").cast("long").alias("batch_tokens")
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(offsets_dir, f"batch={batch_id}"))
                 )
 
-                packed = bpe_pack(
-                    admitted,
-                    wf_run,
-                    chunk_tokens=chunk_tokens,
-                    bin_tokens=bin_tokens,
-                    shards=shards,
-                    ids_table=ids_run,
-                )
-            else:
-                packed = pack_chunks(
-                    admitted,
-                    chunk_tokens=chunk_tokens,
-                    bin_tokens=bin_tokens,
-                    shards=shards,
-                )
-            # per-shard running offsets from STRICTLY earlier batches
-            # (a replayed batch never sees its own prior write), so the
-            # stream's bin numbering continues where the last batch
-            # stopped — byte-compatible with one batch pack over the
-            # same docs in slice order
-            try:
-                base = (
-                    sess.read.parquet(offsets_dir)
-                    .where(F.col("batch") < batch_id)
-                    .groupBy("shard")
-                    .agg(F.sum("batch_tokens").alias("__base"))
-                )
-            except AnalysisException:
-                base = None
-            if base is not None:
-                packed = (
-                    packed.join(F.broadcast(base), "shard", "left")
-                    .withColumn(
-                        "start_tok",
-                        F.col("start_tok")
-                        + F.coalesce(F.col("__base"), F.lit(0)),
+            def _store_chain():
+                adm_sigs = batch_sigs.join(
+                    admitted.select("doc_id"), "doc_id", "left_semi"
+                ).withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+                if store_prebanded:
+                    # bake the band explode into the store once at write
+                    # time — the same pre-banded layout as
+                    # stream_dedup_ingest
+                    adm_sigs = adm_sigs.select(
+                        "*", D._band_key_col(n_perm, bands)
                     )
-                    .withColumn("bin", F.expr(f"start_tok div {bin_tokens}"))
-                    .drop("__base")
+                adm_sigs.write.mode("overwrite").parquet(
+                    os.path.join(store_dir, f"batch={batch_id}")
                 )
-            packed.withColumn(
-                "ingest_batch", F.lit(batch_id).cast("long")
-            ).write.mode("overwrite").parquet(
-                os.path.join(packed_dir, f"batch={batch_id}")
-            )
-            # record this batch's per-shard token totals for the next
-            # batch's offsets (read back from the sink: cheap, and the
-            # totals are crash-consistent with what was written)
-            (
-                sess.read.parquet(os.path.join(packed_dir, f"batch={batch_id}"))
-                .groupBy("shard")
-                .agg(F.sum("n_tokens").cast("long").alias("batch_tokens"))
-                .write.mode("overwrite")
-                .parquet(os.path.join(offsets_dir, f"batch={batch_id}"))
-            )
-            t0 = _mark("pack", t0)
-            adm_sigs = batch_sigs.join(
-                admitted.select("doc_id"), "doc_id", "left_semi"
-            ).withColumn("ingest_batch", F.lit(batch_id).cast("long"))
-            if store_prebanded:
-                # bake the band explode into the store once at write time
-                # — the same pre-banded layout as stream_dedup_ingest
-                adm_sigs = adm_sigs.select(
-                    "*", D._band_key_col(n_perm, bands)
-                )
-            adm_sigs.write.mode("overwrite").parquet(
-                os.path.join(store_dir, f"batch={batch_id}")
-            )
-            t0 = _mark("store_write", t0)
-            if auto_compact_partitions is not None:
+
+            def _compact():
                 maybe_compact_keyed_store(
                     sess,
                     store_dir,
                     commits_dir=os.path.join(ck_dir, "commits"),
                     max_partitions=auto_compact_partitions,
                 )
-                t0 = _mark("auto_compact", t0)
+
+            chains = []
+            if tokenizer_refresh_init is not None:
+                chains.append(_refresh_writes)
+                chains.append(_seg_writes)
+            chains.append(_pack_chain)
+            if auto_compact_partitions is not None:
+                chains.append(lambda: (_store_chain(), _compact()))
+            else:
+                chains.append(_store_chain)
+            if stage_times is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(4, len(chains))
+                ) as pool:
+                    futures = [pool.submit(c) for c in chains]
+                    for fut in futures:
+                        fut.result()  # propagate the first failure
+            else:
+                for c in chains[:-1]:
+                    c()
+                t0 = _mark("pack", t0)
+                if auto_compact_partitions is not None:
+                    _store_chain()
+                    t0 = _mark("store_write", t0)
+                    _compact()
+                    t0 = _mark("auto_compact", t0)
+                else:
+                    _store_chain()
+                    t0 = _mark("store_write", t0)
             # between-batches hook: metrics, store compaction triggers,
             # or landing a new eval suite (add_eval_suite) that the NEXT
             # batch's re-pin picks up — runs after this batch's sinks
