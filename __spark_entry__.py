@@ -6605,11 +6605,18 @@ def q_bpe_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stride = 64
     docs = _t(spark, sf_dir, "documents")
-    _, wf = bpe.bpe_train(docs, n_merges=BPE_MERGES)
-    n_vocab = bpe.vocab_frame(wf).count()
+    # deferred tokenizer training: build_training_manifest trains it on a
+    # driver thread while the corpus-cleaning chain runs its eager dedup
+    # work (guide §2.6), and needs it only at the packing step
     stages = build_training_manifest(
-        docs, copy_id_stride=stride, tokenizer_word_frame=wf
+        docs,
+        copy_id_stride=stride,
+        tokenizer_word_frame=lambda: bpe.bpe_train(
+            docs, n_merges=BPE_MERGES
+        )[1],
     )
+    wf = stages["tokenizer_wf"]
+    n_vocab = bpe.vocab_frame(wf).count()
     train = stages["train"]
     weights, mixture = stages["weights"], stages["mixture"].persist()
     packed, manifest = stages["packed_mix"].persist(), stages["manifest"]

@@ -45,6 +45,47 @@ def local_rows(spark: SparkSession, data: list, schema: str) -> DataFrame:
     )
 
 
+# single-child operators a partition-count probe may walk THROUGH (none
+# changes the partitioning of its child), and the leaf relations whose
+# partition count the probe is actually about (file scans / local rows /
+# checkpointed RDDs — the "row-group-limited scan" case in the module
+# docstring)
+_PROBE_PASSTHRU = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "LocalLimit", "GlobalLimit"}
+)
+_PROBE_LEAVES = frozenset(
+    {
+        "LogicalRelation", "LogicalRDD", "LocalRelation",
+        "DataSourceV2Relation", "DataSourceV2ScanRelation",
+        "StreamingDataSourceV2Relation", "StreamingDataSourceV2ScanRelation",
+    }
+)
+
+
+def _narrow_scan_chain(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan is a pure narrow chain over a scan
+    leaf (Project/Filter/... over a relation). Only such plans are safe —
+    and useful — to probe with ``df.rdd.getNumPartitions()``: under AQE,
+    building the RDD of a plan that CONTAINS exchanges materializes every
+    upstream query stage (getFinalPhysicalPlan runs the shuffles), so a
+    probe on a join/window/aggregate input silently EXECUTES the upstream
+    once and throws the result away. Plans with an upstream shuffle get
+    their parallelism from shuffle.partitions/AQE already, which is
+    exactly the scale-adaptive behavior we want — no repartition needed."""
+    p = df._jdf.queryExecution().analyzed()
+    for _ in range(64):  # bounded walk; a scan chain is a handful of nodes
+        name = p.getClass().getSimpleName()
+        if name in _PROBE_LEAVES:
+            return True
+        if name not in _PROBE_PASSTHRU:
+            return False
+        children = p.children()
+        if children.size() != 1:
+            return False
+        p = children.apply(0)
+    return False
+
+
 def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     """Pin the downstream stage's parallelism to the session core count.
 
@@ -54,11 +95,17 @@ def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     partition count AQE will not coalesce away — the static partition
     count can't predict the runtime coalesce, so there is no safe skip.
 
-    Without ``cols``: round-robin, only when the input (typically a
-    row-group-limited scan) has fewer partitions than cores."""
+    Without ``cols``: round-robin, only when the input is a narrow scan
+    chain (the row-group-limited case this guard exists for) with fewer
+    partitions than cores. Inputs that already contain a shuffle are left
+    alone — their parallelism is AQE's job, and probing them would
+    execute the upstream stages just to read a partition count (see
+    ``_narrow_scan_chain``)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if cols:
         return df.repartition(par, *cols)
+    if not _narrow_scan_chain(df):
+        return df
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)

@@ -528,6 +528,20 @@ def build_training_manifest(
         pack_manifest,
     )
 
+    # ``tokenizer_word_frame`` may be a zero-arg callable (e.g. a deferred
+    # ``bpe_train``): tokenizer training is independent of the corpus-
+    # cleaning chain and is only NEEDED at the packing step below, so a
+    # callable is trained on a driver thread WHILE build_corpus runs its
+    # eager dedup work (guide §2.6 — the two setup costs overlap to max()
+    # instead of sum()). The resolved frame is returned under the
+    # ``tokenizer_wf`` stage key either way.
+    wf_future = None
+    if callable(tokenizer_word_frame):
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        wf_future = _pool.submit(tokenizer_word_frame)
+        _pool.shutdown(wait=False)
     stages = build_corpus(
         docs,
         chunk_tokens=chunk_tokens,
@@ -535,6 +549,8 @@ def build_training_manifest(
         shards=shards,
         min_tokens=min_tokens,
     )
+    if wf_future is not None:
+        tokenizer_word_frame = wf_future.result()
     train = stages["clean"].where(F.col("split") == "train").persist()
     weights = mixture_weights(train)
     copies = mixture_apply(train, weights)
@@ -554,7 +570,11 @@ def build_training_manifest(
         packed = pack_chunks(
             rep, chunk_tokens=chunk_tokens, bin_tokens=bin_tokens, shards=shards
         )
-    manifest = pack_manifest(packed).persist()
+    # lineage cut, not just a cache: the manifest is (shard, bin)-sized and
+    # feeds the per-seed epoch orders plus several entry-side audit
+    # branches — each re-analyzed the full pack subtree when manifest was
+    # merely persisted (~2.5 s of driver time per composite at sf0.1)
+    manifest = pack_manifest(packed).localCheckpoint(eager=False)
     epochs = None
     for seed in epoch_seeds:
         e = epoch_shuffle(manifest, seed=seed).select(
@@ -572,5 +592,6 @@ def build_training_manifest(
         packed_mix=packed,
         manifest=manifest,
         epochs=epochs,
+        tokenizer_wf=tokenizer_word_frame,
     )
     return stages
