@@ -1089,6 +1089,19 @@ def stream_corpus_ingest(
         vocab_cache[version] = (wf, ids)
         return wf, ids
 
+    # generation 0 trains on the init corpus alone (bound = 0), so it is
+    # fully determined before the first batch arrives — train it on a
+    # driver thread DURING stream startup (guide §2.6) instead of inside
+    # batch 0's wall. The rule-derived result is identical; batch 0 joins
+    # the future (and any training failure re-raises there).
+    vocab_futures: dict = {}
+    if tokenizer_refresh_init is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _vpool = ThreadPoolExecutor(max_workers=1)
+        vocab_futures[0] = _vpool.submit(_vocab_for, spark, 0)
+        _vpool.shutdown(wait=False)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time_mod
 
@@ -1219,8 +1232,12 @@ def stream_corpus_ingest(
                 # vocab for THIS batch trains on strictly-earlier
                 # admitted partitions (bound v*refresh_every <= batch),
                 # so it must resolve BEFORE this batch's own writes
-                wf_run, ids_run = _vocab_for(
-                    sess, int(batch_id) // tokenizer_refresh_every
+                v_gen = int(batch_id) // tokenizer_refresh_every
+                fut = vocab_futures.pop(v_gen, None)
+                wf_run, ids_run = (
+                    fut.result() if fut is not None else _vocab_for(
+                        sess, v_gen
+                    )
                 )
 
             # The batch's sink writes form INDEPENDENT chains once
@@ -1696,27 +1713,62 @@ def stream_vocab_refresh(
             os.path.join(out_dir, "vocab_current")
         )
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        b = int(batch_id)
-        v = b // refresh_every
+    # vocabulary pinned once per generation (batches under the same
+    # generation reuse the checkpointed word frame instead of re-reading
+    # and re-broadcasting the vocab partition per micro-batch)
+    wf_cache: dict[int, DataFrame] = {}
+
+    def _wf_for(v: int) -> DataFrame:
+        if v in wf_cache:
+            return wf_cache[v]
         vdir = os.path.join(vocab_dir, f"version={v}")
         try:
             wf = spark.read.parquet(vdir)
         except AnalysisException:
             _publish(v)  # first batch of the segment (or lost publish)
             wf = spark.read.parquet(vdir)
+        wf = wf.localCheckpoint(eager=True)
+        wf_cache[v] = wf
+        return wf
+
+    # generation 0 trains on init_docs alone — fully determined before the
+    # first batch arrives, so train/publish it on a driver thread DURING
+    # stream startup (guide §2.6); batch 0 joins the future
+    from concurrent.futures import ThreadPoolExecutor
+
+    _vpool = ThreadPoolExecutor(max_workers=1)
+    wf_futures = {0: _vpool.submit(_wf_for, 0)}
+    _vpool.shutdown(wait=False)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        v = b // refresh_every
+        fut = wf_futures.pop(v, None)
+        wf = fut.result() if fut is not None else _wf_for(v)
         seg = B.bpe_segment_stats(
             batch_df.select("doc_id", text_col), wf, text_col=text_col
         )
-        (
-            seg.withColumn("vocab_version", F.lit(v).cast("int"))
-            .select("doc_id", "vocab_version", "n_words", "n_bpe_tokens")
-            .write.mode("overwrite")
-            .parquet(os.path.join(seg_dir, f"batch={b}"))
-        )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(docs_dir, f"batch={b}")
-        )
+
+        def _seg_write():
+            (
+                seg.withColumn("vocab_version", F.lit(v).cast("int"))
+                .select(
+                    "doc_id", "vocab_version", "n_words", "n_bpe_tokens"
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(seg_dir, f"batch={b}"))
+            )
+
+        def _docs_write():
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(docs_dir, f"batch={b}")
+            )
+
+        # the segmented stats and the docs-store append are independent
+        # sinks — overlap them (guide §2.6)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_seg_write), pool.submit(_docs_write)]:
+                fut.result()
 
     stream = (
         spark.readStream.schema(schema)
