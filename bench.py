@@ -81,6 +81,30 @@ def _contended(
     return load1 > LOADAVG_HOT or (calib_start > lim and load1 > LOADAVG_WARM)
 
 
+def _details_path(base_path: str, run_contended: bool) -> str:
+    """Where this run's full per-query record belongs. The record-keeping
+    gate, enforced mechanically (ADVICE r13): a run that stamps itself
+    contended must never overwrite a QUIESCED record — it measured host
+    contention, not code. Such a run is diverted to a
+    ``bench_details_contended.json`` sidecar; anything else (quiesced run,
+    no prior record, or a prior record that was itself contended/unreadable)
+    writes the canonical file."""
+    if not run_contended or not os.path.exists(base_path):
+        return base_path
+    try:
+        with open(base_path) as f:
+            prev_contended = json.load(f).get("machine", {}).get(
+                "contended", True
+            )
+    except (OSError, ValueError):
+        prev_contended = True
+    if prev_contended:
+        return base_path
+    return base_path.replace(
+        "bench_details.json", "bench_details_contended.json"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -183,8 +207,11 @@ def main() -> None:
     # dict overflows it and parses as null (round-1 BENCH had "parsed": null).
     # Print ONE short summary line (headline queries only) and write the full
     # per-query timings to a sidecar file next to this script.
-    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "bench_details.json")
+    details_path = _details_path(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_details.json"),
+        telemetry["contended"],
+    )
     with open(details_path, "w") as f:
         json.dump(
             {
@@ -203,6 +230,11 @@ def main() -> None:
     headline = [
         "pricing_summary", "join_dim_agg", "month_end_snapshot", "sessionize",
         "dedup_minhash_lsh", "dedup_clusters", "ann_ivf", "stream_sessionize",
+        # r14 additions (VERDICT r13 #6, additions-only): the bench's cost
+        # carriers, so the round-over-round geomean tracks where the time
+        # actually goes instead of eight sub-second mart/dedup floors
+        "ann_pq", "training_manifest", "stream_corpus_vocab_ingest",
+        "bpe_training_manifest",
     ]
     print(
         json.dumps(
@@ -213,7 +245,7 @@ def main() -> None:
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "n_queries": len(timings),
                 "machine": telemetry,
-                "details": "bench_details.json",
+                "details": os.path.basename(details_path),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -46,3 +46,24 @@ def test_no_loadavg_falls_back_to_strict_start():
     lim = REF * bench.CONTENTION_TOLERANCE
     assert bench._contended(lim * 1.1, REF, None)
     assert not bench._contended(lim * 0.9, REF, None)
+
+
+def test_contended_run_diverts_to_sidecar(tmp_path):
+    import json
+
+    base = tmp_path / "bench_details.json"
+    # no prior record: even a contended run writes the canonical file
+    assert bench._details_path(str(base), True) == str(base)
+    # prior QUIESCED record: a contended run must divert to the sidecar
+    base.write_text(json.dumps({"machine": {"contended": False}}))
+    assert bench._details_path(str(base), True) == str(
+        tmp_path / "bench_details_contended.json"
+    )
+    # a quiesced run always writes the canonical file
+    assert bench._details_path(str(base), False) == str(base)
+    # prior record itself contended: overwriting it is fine
+    base.write_text(json.dumps({"machine": {"contended": True}}))
+    assert bench._details_path(str(base), True) == str(base)
+    # unreadable prior record: treat as non-authoritative, overwrite
+    base.write_text("not json")
+    assert bench._details_path(str(base), True) == str(base)
