@@ -1632,6 +1632,9 @@ def pq_ingest_batch(
         F.array(*pq_code_columns(books, "__fa")).alias("pq_codes"),
         F.lit(batch_id).cast("long").alias("ingest_batch"),
     )
+    from credit_abs_oltp_to_mart_spark.functions import plancap
+
+    plancap.capture(out, f"encoded_batch{batch_id}")
     out.write.mode("overwrite").parquet(
         f"{index_dir}/postings_inc/batch={batch_id}"
     )

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from credit_abs_oltp_to_mart_spark.functions import plancap
 from credit_abs_oltp_to_mart_spark.functions.parallelism import local_rows
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -676,6 +677,7 @@ def stream_dedup_ingest(
             # the updated store, where every doc matches its own
             # just-written signature and the survivor set collapses to
             # empty. The eager localCheckpoint severs the lineage first.
+            plancap.capture(survivors, f"survivors_batch{batch_id}")
             survivors = survivors.localCheckpoint(eager=True)
             # survivors' signatures = the cached batch signatures filtered
             # to the survivor ids — no second gram pass, and the ONLY
@@ -1225,6 +1227,7 @@ def stream_corpus_ingest(
             # same lineage-severing checkpoint as stream_dedup_ingest:
             # the admitted plan reads the store path, which the signature
             # write below invalidates
+            plancap.capture(admitted, f"admitted_batch{batch_id}")
             admitted = admitted.localCheckpoint(eager=True)
             t0 = _mark("decontam", t0)
             wf_run, ids_run = wf_pinned, ids_pinned
@@ -1324,9 +1327,11 @@ def stream_corpus_ingest(
                     )
                 else:
                     packed_b = packed
-                packed_b.withColumn(
+                packed_out = packed_b.withColumn(
                     "ingest_batch", F.lit(batch_id).cast("long")
-                ).write.mode("overwrite").parquet(
+                )
+                plancap.capture(packed_out, f"packed_batch{batch_id}")
+                packed_out.write.mode("overwrite").parquet(
                     os.path.join(packed_dir, f"batch={batch_id}")
                 )
                 # record this batch's per-shard token totals for the next
@@ -1513,11 +1518,12 @@ def stream_ann_ingest(
             F.col("scale_min").alias("mn"),
             (F.col("scale_max") - F.col("scale_min")).alias("sp"),
         )
-        (
-            codes.join(assigned, "vec_id")
-            .withColumn("ingest_batch", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(inc_dir, f"batch={batch_id}"))
+        appended = codes.join(assigned, "vec_id").withColumn(
+            "ingest_batch", F.lit(batch_id).cast("long")
+        )
+        plancap.capture(appended, f"appended_batch{batch_id}")
+        appended.write.mode("overwrite").parquet(
+            os.path.join(inc_dir, f"batch={batch_id}")
         )
         if auto_compact_partitions is not None:
             maybe_compact_keyed_store(
@@ -1748,6 +1754,7 @@ def stream_vocab_refresh(
         seg = B.bpe_segment_stats(
             batch_df.select("doc_id", text_col), wf, text_col=text_col
         )
+        plancap.capture(seg, f"seg_batch{b}")
 
         def _seg_write():
             (
