@@ -6960,183 +6960,196 @@ def entry(spark: SparkSession) -> DataFrame:
 # states why and names the newest CORRECTNESS round it was granted
 # under; the tool EXPIRES a waiver automatically once a newer round's
 # artifact lands, so the next round cannot silently inherit it
+_R14_DISPLACED = (
+    "displaced for one round by the r14 changed-query re-proof (VERDICT"
+    " r13 #2: 40 queries changed in the r13 optimization phase or in r14"
+    " outrank age-only rotation); this query's code path is UNCHANGED"
+    " since its r11 gate + r10-r12 plan audits, and the local DuckDB"
+    " mirrors at the r14 HEAD are 150/150 hash-exact at sf0.01 and sf0.1"
+)
 WINDOW_AGING_EXCEPTIONS: dict = {
-    # (empty this round: the four r9 waivers expired when the round-9
-    # CORRECTNESS artifact landed, and all four queries now LEAD the
-    # round-10 window — slots 1-4 of queries(). History: git log.)
+    name: {"granted_at_round": 13, "reason": _R14_DISPLACED}
+    for name in (
+        "dup_spans", "dup_spans_removed", "value_histogram", "ewma",
+        "rolling_distinct_users", "correlated_subquery", "exists_subquery",
+        "window_ignore_nulls", "vintage_mob", "cure_rate",
+        "dedup_embedding_lsh", "stg_projection", "bucket_case",
+        "conditional_agg", "filter_scan", "join_dim_agg", "anti_join",
+        "semi_join", "month_end_snapshot", "coalesce_nullif_arith",
+        "audio_near_dups",
+    )
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # === PRIORITY ORDER: the driver's gate checks the FIRST 50
-        # entries in registration order. Round-13 window (derived
-        # mechanically by tools/window_order.py --emit-order from the
-        # committed CORRECTNESS_r*.json evidence): the 50 queries whose
-        # newest driver evidence is r10 (expires at round-13 close).
-        # Consequence (binding for round 13): result-affecting work is
-        # confined to these 50 in-window queries; everything else rides
-        # existing in-window composite oracles or carries regenerated
-        # both-SF local mirrors + local[7] runs per the house waiver
-        # discipline. Run `python tools/window_order.py --check` before
-        # committing any registration change. ===
-        "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,  # r10
-        "perplexity_filter": q_perplexity_filter,  # r10
-        "dsir_select": q_dsir_select,  # r10
-        "graph_bfs": q_graph_bfs,  # r10
-        "token_freq_stats": q_token_freq_stats,  # r10
-        "roll_rate": q_roll_rate,  # r10
-        "unigram_segment": q_unigram_segment,  # r10
-        "stream_ann_ingest": q_stream_ann_ingest,  # r10
-        "sessionize": q_sessionize,  # r10
-        "reconcile_waterfall": q_reconcile_waterfall,  # r10
-        "stream_sessionize": q_stream_sessionize,  # r10
-        "generator_invariants": q_generator_invariants,  # r10
-        "dedup_embedding": q_dedup_embedding,  # r10
-        "variant_extract": q_variant_extract,  # r10
-        "try_arithmetic": q_try_arithmetic,  # r10
-        "ann_brute_force": q_ann_brute_force,  # r10
-        "ann_lsh": q_ann_lsh,  # r10
-        "ann_ivf": q_ann_ivf,  # r10
-        "embedding_quantize": q_embedding_quantize,  # r10
-        "ann_quantized": q_ann_quantized,  # r10
-        "multimodal_meta": q_multimodal_meta,  # r10
-        "multimodal_features": q_multimodal_features,  # r10
-        "multimodal_frames": q_multimodal_frames,  # r10
-        "lang_id": q_lang_id,  # r10
-        "text_quality": q_text_quality,  # r10
-        "token_counts": q_token_counts,  # r10
-        "fingerprints": q_fingerprints,  # r10
-        "text_repetition": q_text_repetition,  # r10
-        "split_assign": q_split_assign,  # r10
-        "stratified_sample": q_stratified_sample,  # r10
-        "doc_chunks": q_doc_chunks,  # r10
-        "tfidf_topk": q_tfidf_topk,  # r10
-        "pii_scan": q_pii_scan,  # r10
-        "weighted_sample": q_weighted_sample,  # r10
-        "interval_join_agg": q_interval_join_agg,  # r10
-        "hypertable_rollup": q_hypertable_rollup,  # r10
-        "scd2_changelog": q_scd2_changelog,  # r10
-        "kmv_distinct": q_kmv_distinct,  # r10
-        "semantic_dedup": q_semantic_dedup,  # r10
-        "semantic_dedup_soft": q_semantic_dedup_soft,  # r10
-        "video_near_dups": q_video_near_dups,  # r10
-        "training_manifest": q_training_manifest,  # r10
-        "stream_corpus_ingest": q_stream_corpus_ingest,  # r10
-        "window_frames": q_window_frames,  # r10
-        "unpivot_measures": q_unpivot_measures,  # r10
-        "array_hof": q_array_hof,  # r10
-        "map_explode": q_map_explode,  # r10
-        "array_agg_sorted": q_array_agg_sorted,  # r10
-        "token_positions": q_token_positions,  # r10
-        "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,  # r10
+        # entries in registration order. Round-14 window: every query
+        # whose code path CHANGED in the r13 optimization phase
+        # (6ff65cb..71940d4) or in r14 and whose newest driver
+        # evidence predates the change (VERDICT r13 #2) — 40 queries,
+        # grouped below by evidence age — plus the 10 oldest-evidence
+        # unchanged r11 queries. 21 unchanged r11-evidence queries are
+        # displaced for one round under documented waivers
+        # (WINDOW_AGING_EXCEPTIONS above; local both-SF mirrors are
+        # 150/150 hash-exact at this HEAD). Run
+        # `python tools/window_order.py --check` before committing any
+        # registration change. ===
+        # --- # changed; evidence r11 ---
+        "profile_stats": q_profile_stats,
+        "ann_quantized_ivf": q_ann_quantized_ivf,
+        "kmeans": q_kmeans,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "corpus_pipeline": q_corpus_pipeline,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "bpe_training_manifest": q_bpe_training_manifest,
+        "ann_pq_refine": q_ann_pq_refine,
+        "bm25_topk": q_bm25_topk,
+        "stream_pq_ingest": q_stream_pq_ingest,
+        "stream_vocab_refresh": q_stream_vocab_refresh,
+        "unigram_train": q_unigram_train,
+        "ann_pq": q_ann_pq,
+        "ann_pq_residual": q_ann_pq_residual,
+        "ann_index_serve": q_ann_index_serve,
+        "epoch_shuffle": q_epoch_shuffle,
+        # --- # changed; evidence r12 ---
+        "semantic_dedup_hier": q_semantic_dedup_hier,
+        "hybrid_rank_fusion": q_hybrid_fusion,
+        "bm25_serve": q_bm25_serve,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
+        "bpe_pack": q_bpe_pack,
+        "stream_bpe_ingest": q_stream_bpe_ingest,
+        "stream_dedup_ingest": q_stream_dedup_ingest,
+        "stream_postings_ingest": q_stream_postings_ingest,
+        "decontaminate_store": q_decontaminate_store,
+        "dedup_incremental": q_dedup_incremental,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        # --- # changed; evidence r13 ---
+        "training_manifest": q_training_manifest,
+        "stream_corpus_ingest": q_stream_corpus_ingest,
+        "stream_corpus_vocab_ingest": q_stream_corpus_vocab_ingest,
+        "stream_ann_ingest": q_stream_ann_ingest,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_soft": q_semantic_dedup_soft,
+        "semantic_dedup_hier_soft": q_semantic_dedup_hier_soft,
+        "ann_ivf": q_ann_ivf,
+        # --- # unchanged r11 (expiring) ---
+        "nullsafe_join": q_nullsafe_join,
+        "retention_cohorts": q_retention_cohorts,
+        "bitmap_distinct": q_bitmap_distinct,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "dedup_exact": q_dedup_exact,
+        "triangle_count": q_triangle_count,
+        "udtf_sentences": q_udtf_sentences,
+        "dup_spans_keep_first": q_dup_spans_keep_first,
+        "pii_redact": q_pii_redact,
+        "bigram_fluency": q_bigram_fluency,
         # ---- driver gate window (50) ends here ----
-        # CAPACITY NOTE (binding): at 150 queries the 50-slot x 3-round
-        # rotation has ZERO slack slots in every round. Grow the
-        # contract surface ONLY by EXTENDING existing composite oracles
-        # (the dsir_select Gumbel extension r10, the decontaminate
-        # semantic extension r11, the hybrid_rank_fusion deep-rank
-        # extension r13) — a new entry would break the rotation.
-        "nullsafe_join": q_nullsafe_join,  # r11
-        "retention_cohorts": q_retention_cohorts,  # r11
-        "profile_stats": q_profile_stats,  # r11
-        "bitmap_distinct": q_bitmap_distinct,  # r11
-        "grouping_sets_revenue": q_grouping_sets_revenue,  # r11
-        "dedup_exact": q_dedup_exact,  # r11
-        "triangle_count": q_triangle_count,  # r11
-        "udtf_sentences": q_udtf_sentences,  # r11
-        "dup_spans_keep_first": q_dup_spans_keep_first,  # r11
-        "ann_quantized_ivf": q_ann_quantized_ivf,  # r11
-        "pii_redact": q_pii_redact,  # r11
-        "bigram_fluency": q_bigram_fluency,  # r11
-        "kmeans": q_kmeans,  # r11
-        "ann_ivf_trained": q_ann_ivf_trained,  # r11
-        "dup_spans": q_dup_spans,  # r11
-        "dup_spans_removed": q_dup_spans_removed,  # r11
-        "corpus_pipeline": q_corpus_pipeline,  # r11
-        "value_histogram": q_value_histogram,  # r11
-        "ewma": q_ewma,  # r11
-        "rolling_distinct_users": q_rolling_distinct_users,  # r11
-        "correlated_subquery": q_correlated_subquery,  # r11
-        "exists_subquery": q_exists_subquery,  # r11
-        "window_ignore_nulls": q_window_ignore_nulls,  # r11
-        "vintage_mob": q_vintage_mob,  # r11
-        "cure_rate": q_cure_rate,  # r11
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,  # r11
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # r11
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # r11
-        "dedup_clusters": q_dedup_clusters,  # r11
-        "decontaminate": q_decontaminate,  # r11
-        "stg_projection": q_stg_projection,  # r11
-        "bucket_case": q_bucket_case,  # r11
-        "conditional_agg": q_conditional_agg,  # r11
-        "filter_scan": q_filter_scan,  # r11
-        "join_dim_agg": q_join_dim_agg,  # r11
-        "anti_join": q_anti_join,  # r11
-        "semi_join": q_semi_join,  # r11
-        "month_end_snapshot": q_month_end_snapshot,  # r11
-        "coalesce_nullif_arith": q_coalesce_nullif_arith,  # r11
-        "bpe_training_manifest": q_bpe_training_manifest,  # r11
-        "ann_pq_refine": q_ann_pq_refine,  # r11
-        "bm25_topk": q_bm25_topk,  # r11
-        "audio_near_dups": q_audio_near_dups,  # r11
-        "stream_pq_ingest": q_stream_pq_ingest,  # r11
-        "stream_vocab_refresh": q_stream_vocab_refresh,  # r11
-        "unigram_train": q_unigram_train,  # r11
-        "epoch_shuffle": q_epoch_shuffle,  # r11
-        "ann_pq": q_ann_pq,  # r11
-        "ann_pq_residual": q_ann_pq_residual,  # r11
-        "ann_index_serve": q_ann_index_serve,  # r11
-        "hybrid_rank_fusion": q_hybrid_fusion,  # r12
-        "asof_join": q_asof_join,  # r12
-        "cube_revenue": q_cube_revenue,  # r12
-        "grouped_pandas_stats": q_grouped_pandas_stats,  # r12
-        "grouped_pandas_wavg": q_grouped_pandas_wavg,  # r12
-        "json_extract": q_json_extract,  # r12
-        "pagerank": q_pagerank,  # r12
-        "pivot_monthly": q_pivot_monthly,  # r12
-        "pricing_summary": q_pricing_summary,  # r12
-        "range_window": q_range_window,  # r12
-        "region_revenue": q_region_revenue,  # r12
-        "rollup_revenue": q_rollup_revenue,  # r12
-        "running_total": q_running_total,  # r12
-        "set_ops": q_set_ops,  # r12
-        "skew_salted_agg": q_skew_salted_agg,  # r12
-        "stream_distinct_keys": q_stream_distinct_keys,  # r12
-        "stream_enriched_agg": q_stream_enriched_agg,  # r12
-        "stream_session_window": q_stream_session_window,  # r12
-        "stream_stream_join": q_stream_stream_join,  # r12
-        "stream_windowed_agg": q_stream_windowed_agg,  # r12
-        "top_revenue_orders": q_top_revenue_orders,  # r12
-        "topk_per_group": q_topk_per_group,  # r12
-        "value_percentiles": q_value_percentiles,  # r12
-        "window_variety": q_window_variety,  # r12
-        "image_near_dups": q_image_near_dups,  # r12
-        "bpe_pack": q_bpe_pack,  # r12
-        "quality_classifier": q_quality_classifier,  # r12
-        "simhash_pairs": q_simhash_pairs,  # r12
-        "mixture_weights": q_mixture_weights,  # r12
-        "pack_chunks": q_pack_chunks,  # r12
-        "bpe_segment": q_bpe_segment,  # r12
-        "bpe_merges": q_bpe_merges,  # r12
-        "stream_dedup_ingest": q_stream_dedup_ingest,  # r12
-        "mixture_apply": q_mixture_apply,  # r12
-        "stream_bpe_ingest": q_stream_bpe_ingest,  # r12
-        "pack_manifest": q_pack_manifest,  # r12
-        "cdc_upsert": q_cdc_upsert,  # r12
-        "gap_fill_daily": q_gap_fill_daily,  # r12
-        "full_outer_recon": q_full_outer_recon,  # r12
-        "fuzzy_name_match": q_fuzzy_name_match,  # r12
-        "dedup_incremental": q_dedup_incremental,  # r12
-        "funnel_stages": q_funnel_stages,  # r12
-        "median_mode": q_median_mode,  # r12
-        "simhash": q_simhash,  # r12
-        "decontaminate_store": q_decontaminate_store,  # r12
-        "cluster_sample": q_cluster_sample,  # r12
-        "token_budget_sample": q_token_budget_sample,  # r12
-        "semantic_dedup_hier": q_semantic_dedup_hier,  # r12
-        "bm25_serve": q_bm25_serve,  # r12
-        "stream_postings_ingest": q_stream_postings_ingest,  # r12
+        "perplexity_filter": q_perplexity_filter,
+        "dsir_select": q_dsir_select,
+        "graph_bfs": q_graph_bfs,
+        "token_freq_stats": q_token_freq_stats,
+        "roll_rate": q_roll_rate,
+        "unigram_segment": q_unigram_segment,
+        "sessionize": q_sessionize,
+        "reconcile_waterfall": q_reconcile_waterfall,
+        "stream_sessionize": q_stream_sessionize,
+        "generator_invariants": q_generator_invariants,
+        "dedup_embedding": q_dedup_embedding,
+        "variant_extract": q_variant_extract,
+        "try_arithmetic": q_try_arithmetic,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_quantized": q_ann_quantized,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "text_repetition": q_text_repetition,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "tfidf_topk": q_tfidf_topk,
+        "pii_scan": q_pii_scan,
+        "weighted_sample": q_weighted_sample,
+        "interval_join_agg": q_interval_join_agg,
+        "hypertable_rollup": q_hypertable_rollup,
+        "scd2_changelog": q_scd2_changelog,
+        "kmv_distinct": q_kmv_distinct,
+        "video_near_dups": q_video_near_dups,
+        "window_frames": q_window_frames,
+        "unpivot_measures": q_unpivot_measures,
+        "array_hof": q_array_hof,
+        "map_explode": q_map_explode,
+        "array_agg_sorted": q_array_agg_sorted,
+        "token_positions": q_token_positions,
+        "dup_spans": q_dup_spans,
+        "dup_spans_removed": q_dup_spans_removed,
+        "value_histogram": q_value_histogram,
+        "ewma": q_ewma,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "correlated_subquery": q_correlated_subquery,
+        "exists_subquery": q_exists_subquery,
+        "window_ignore_nulls": q_window_ignore_nulls,
+        "vintage_mob": q_vintage_mob,
+        "cure_rate": q_cure_rate,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "stg_projection": q_stg_projection,
+        "bucket_case": q_bucket_case,
+        "conditional_agg": q_conditional_agg,
+        "filter_scan": q_filter_scan,
+        "join_dim_agg": q_join_dim_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "month_end_snapshot": q_month_end_snapshot,
+        "coalesce_nullif_arith": q_coalesce_nullif_arith,
+        "audio_near_dups": q_audio_near_dups,
+        "asof_join": q_asof_join,
+        "cube_revenue": q_cube_revenue,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
+        "grouped_pandas_wavg": q_grouped_pandas_wavg,
+        "json_extract": q_json_extract,
+        "pagerank": q_pagerank,
+        "pivot_monthly": q_pivot_monthly,
+        "pricing_summary": q_pricing_summary,
+        "range_window": q_range_window,
+        "region_revenue": q_region_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "running_total": q_running_total,
+        "set_ops": q_set_ops,
+        "skew_salted_agg": q_skew_salted_agg,
+        "stream_distinct_keys": q_stream_distinct_keys,
+        "stream_enriched_agg": q_stream_enriched_agg,
+        "stream_session_window": q_stream_session_window,
+        "stream_stream_join": q_stream_stream_join,
+        "stream_windowed_agg": q_stream_windowed_agg,
+        "top_revenue_orders": q_top_revenue_orders,
+        "topk_per_group": q_topk_per_group,
+        "value_percentiles": q_value_percentiles,
+        "window_variety": q_window_variety,
+        "image_near_dups": q_image_near_dups,
+        "quality_classifier": q_quality_classifier,
+        "mixture_weights": q_mixture_weights,
+        "pack_chunks": q_pack_chunks,
+        "mixture_apply": q_mixture_apply,
+        "pack_manifest": q_pack_manifest,
+        "cdc_upsert": q_cdc_upsert,
+        "gap_fill_daily": q_gap_fill_daily,
+        "full_outer_recon": q_full_outer_recon,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "funnel_stages": q_funnel_stages,
+        "median_mode": q_median_mode,
+        "cluster_sample": q_cluster_sample,
+        "token_budget_sample": q_token_budget_sample,
     }
 
 
