@@ -48,6 +48,7 @@ def _mean_recall(spark, approx, exact) -> float:
     return sum(row.recall for row in r) / len(r)
 
 
+@pytest.mark.slow
 def test_exact_baseline_finds_planted_twin(spark, planted):
     emb, qids = planted
     exact = ann.brute_force_topk(emb, qids, k=1)
@@ -56,6 +57,7 @@ def test_exact_baseline_finds_planted_twin(spark, planted):
     assert got == {N_BASE + i: i for i in range(N_PLANTED)}
 
 
+@pytest.mark.slow
 def test_lsh_recall_on_planted_neighbors(spark, planted):
     emb, qids = planted
     exact = ann.brute_force_topk(emb, qids, k=1)
@@ -79,6 +81,7 @@ def test_ivf_recall_on_planted_neighbors(spark, planted):
     assert mean >= 0.85, f"IVF planted recall {mean:.3f} < 0.85"
 
 
+@pytest.mark.slow
 def test_ivf_trained_recall_on_planted_neighbors(spark, planted):
     """The kmeans->IVF composition: centroids come from 3 Lloyd rounds
     instead of member-vector stand-ins. A twin and its base vector land in
@@ -149,6 +152,7 @@ def _pair_set(df) -> set:
     return {(r.id_a, r.id_b) for r in df.collect() if r.id_a != r.id_b}
 
 
+@pytest.mark.slow
 def test_near_dup_lsh_pair_recall(spark, boundary_pairs):
     # VERDICT r02 #5: 4-plane single-seed collision is only ~0.66 at cosine
     # 0.95 — the n_seeds union must lift measured PAIR recall >= 0.9 against
@@ -188,6 +192,7 @@ def test_lsh_dim_mismatch_raises(spark, planted):
         bad.collect()
 
 
+@pytest.mark.slow
 def test_persisted_index_serves_identical_to_inplan(spark, planted, tmp_path):
     """build_ivf_index -> ivf_index_probe must reproduce the in-plan
     quantized search bit-for-bit (the index persists everything the
@@ -244,6 +249,7 @@ def test_persisted_index_postings_are_cluster_partitioned(spark, planted, tmp_pa
         assert len(files) == 1, (d, files)
 
 
+@pytest.mark.slow
 def test_pq_index_recall_on_planted_neighbors(spark, planted, tmp_path):
     """The persisted IVF-PQ stack (build_pq_index -> pq_index_probe): ADC
     scoring over m=4 16-dim sub-codebooks (32 codewords each — coarser
@@ -272,6 +278,7 @@ def test_pq_index_recall_on_planted_neighbors(spark, planted, tmp_path):
     assert mean >= 0.85, f"IVF-PQ planted recall {mean:.3f} < 0.85"
 
 
+@pytest.mark.slow
 def test_pq_residual_recall_and_finer_cells(spark, planted, tmp_path):
     """Residual encoding must retrieve the planted twins too — and with
     COARSER sub-codebooks than the raw-vector mode needs, because the
@@ -298,6 +305,7 @@ def test_pq_residual_recall_and_finer_cells(spark, planted, tmp_path):
     assert mean >= 0.85, f"residual IVF-PQ planted recall {mean:.3f} < 0.85"
 
 
+@pytest.mark.slow
 def test_pq_probe_codebook_paths_agree(spark, planted, tmp_path):
     """The PQ probe's literal and broadcast codebook transports must be
     BIT-IDENTICAL — same LUT arithmetic, same residual base term, same
@@ -331,6 +339,7 @@ def test_pq_probe_codebook_paths_agree(spark, planted, tmp_path):
         assert bc.count() > 0
 
 
+@pytest.mark.slow
 def test_pq_refine_recovers_adc_recall(spark, planted, tmp_path):
     """The IndexRefine pattern: with COARSE sub-codebooks (8 codewords
     per 16-dim subspace, raw mode — a config whose plain ADC recall sits
@@ -361,6 +370,7 @@ def test_pq_refine_recovers_adc_recall(spark, planted, tmp_path):
     assert r_ref >= 0.95, f"refined recall {r_ref:.3f} < 0.95"
 
 
+@pytest.mark.slow
 def test_pq_refine_requires_refine_tier(spark, planted, tmp_path):
     import pytest
     from pyspark.sql import functions as F

@@ -75,6 +75,7 @@ def test_schema_ddl_mapping():
     )
 
 
+@pytest.mark.slow
 def test_spark_reads_avro_landing_dir(spark, tmp_path):
     register(spark)
     write_avro(str(tmp_path / "a.avro"), SCHEMA, _rows(120, 0))

@@ -180,6 +180,7 @@ def test_store_probe_distributed_prune_matches_literal_mode(spark, tmp_path):
     assert " IN (" not in p.split("FileScan")[0], p
 
 
+@pytest.mark.slow
 def test_store_probe_auto_flips_to_distributed_past_threshold(
     spark, tmp_path
 ):
@@ -200,6 +201,7 @@ def test_store_probe_auto_flips_to_distributed_past_threshold(
     assert "dynamicpruningexpression" in p.lower(), p
 
 
+@pytest.mark.slow
 def test_store_probe_distributed_prune_with_incremental(spark, tmp_path):
     """The dual-mode contract holds through the streamed overlay path
     too: base + incremental serve is identical under both prune modes."""
@@ -250,6 +252,7 @@ def _ingest(spark, tmp_path):
     return docs, store, src, got
 
 
+@pytest.mark.slow
 def test_postings_ingest_union_serves_full_corpus(spark, tmp_path):
     """After ingest, base UNION overlay == a fresh build over the full
     corpus — df, totals (incl. the token-less doc 5's n_docs bump) and
@@ -275,6 +278,7 @@ def test_postings_ingest_union_serves_full_corpus(spark, tmp_path):
     assert sum(int(r["n_toks"] or 0) for r in tot) == 6
 
 
+@pytest.mark.slow
 def test_postings_replay_idempotent(spark, tmp_path):
     import os
 
@@ -299,6 +303,7 @@ def test_postings_replay_idempotent(spark, tmp_path):
     assert len(again) == len(set(again))
 
 
+@pytest.mark.slow
 def test_postings_compaction_transparent(spark, tmp_path):
     from credit_abs_oltp_to_mart_spark.sources.maintenance import (
         compact_keyed_store,
@@ -351,6 +356,7 @@ def test_overflow_guard_fires_loudly_bigint(spark):
         retrieval.bm25_topk(docs, qs, k=3, decimal_scores=False).collect()
 
 
+@pytest.mark.slow
 def test_auto_mode_scores_exactly_beyond_bigint_bound(spark):
     """The production default (decimal_scores='auto'): a corpus whose
     driver-known magnitudes breach the int64 envelope scores EXACTLY
@@ -370,6 +376,7 @@ def test_auto_mode_scores_exactly_beyond_bigint_bound(spark):
     assert got[1] == expect[1]
 
 
+@pytest.mark.slow
 def test_auto_mode_store_probe_beyond_bigint_bound(spark, tmp_path):
     """Serve-side auto: the store's persisted totals (N, T, max_dl)
     drive the same decision — a probe of an adversarial-magnitude store
@@ -387,6 +394,7 @@ def test_auto_mode_store_probe_beyond_bigint_bound(spark, tmp_path):
     assert got == expect[0]
 
 
+@pytest.mark.slow
 def test_auto_mode_tracks_incremental_max_dl(spark, tmp_path):
     """Serve-side auto with the streamed overlay: a small base store
     grown by an adversarial-magnitude ingest batch must flip the auto

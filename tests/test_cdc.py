@@ -3,6 +3,8 @@ shuffle plan shape."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.operators.cdc import apply_cdc
@@ -75,6 +77,7 @@ def test_target_joins_via_broadcast_anti_not_sortmerge(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+@pytest.mark.slow
 def test_streaming_arrears_feed_maintains_current_dpd(spark, oltp_dir, tmp_path):
     """Domain wiring: the daily arrears snapshot feed (the reference's
     workhorse table) streamed in as_of_date slices keeps a latest-DPD-per-

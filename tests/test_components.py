@@ -4,6 +4,8 @@ plus convergence behavior."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -63,6 +65,7 @@ def test_isolated_and_mixed(spark):
     _check(spark, [0, 1, 2, 3, 4, 5, 9], [(3, 4), (4, 5)])
 
 
+@pytest.mark.slow
 def test_random_graphs_match_union_find(spark):
     rng = random.Random(7)
     for _ in range(3):

@@ -132,6 +132,7 @@ def test_packed_chunks_respect_budget(stages):
     assert p.where(F.col("bin") != F.expr("start_tok div 256")).count() == 0
 
 
+@pytest.mark.slow
 def test_pipeline_deterministic(docs, stages):
     again = build_corpus(docs)["packed"]
     a = sorted(tuple(r) for r in stages["packed"].collect())
@@ -139,6 +140,7 @@ def test_pipeline_deterministic(docs, stages):
     assert a == b
 
 
+@pytest.mark.slow
 def test_build_corpus_span_cut_stage(docs):
     """cut_dup_spans=True: the spancut stage rewrites exactly the docs that
     carry corpus-wide duplicated spans, the rest stay byte-identical, and
@@ -172,6 +174,7 @@ def test_build_corpus_span_cut_stage(docs):
     assert n_dups_in_clean == 0
 
 
+@pytest.mark.slow
 def test_span_cut_drops_fully_cut_docs(spark):
     """Docs whose ENTIRE text is a corpus-wide duplicated span rewrite to
     empty; the re-applied token gate must drop them before dedup so no
@@ -205,6 +208,7 @@ def test_span_cut_drops_fully_cut_docs(spark):
     assert got[1] == boiler and got[3] == uniq
 
 
+@pytest.mark.slow
 def test_semantic_gate_drops_planted_paraphrase(spark, docs):
     """build_corpus(embeddings=...) arms the semantic decontamination
     stage: a TRAIN doc whose text shares no 5-grams with any eval doc (so
@@ -255,6 +259,7 @@ def test_semantic_gate_drops_planted_paraphrase(spark, docs):
     # corpus here) — already implied by kept == base_kept - {planted}
 
 
+@pytest.mark.slow
 def test_semantic_gate_hier_assign_drops_planted_paraphrase(spark, docs):
     """semantic_assign="hier" routes the gate's codebook through
     kmeans_assign_hier (the O(sqrt(k)) scale path; flat read 13.34x at

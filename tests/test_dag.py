@@ -63,6 +63,7 @@ def test_duplicate_and_unknown_ids_rejected():
         dag.task("b", lambda: None, upstream=["missing"])
 
 
+@pytest.mark.slow
 def test_credit_mart_dag_end_to_end(spark, tmp_path):
     from credit_abs_oltp_to_mart_spark.generator import OLTPSynthConfig
 

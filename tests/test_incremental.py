@@ -6,6 +6,8 @@ partitions' files were not rewritten."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 
@@ -110,6 +112,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_refresh_month_all_marts_equal_full_build(
     spark, oltp_dir, marts, tmp_path
 ):

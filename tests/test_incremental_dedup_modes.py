@@ -33,6 +33,7 @@ def _rows(df):
     return {tuple(r) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_broadcast_and_merge_modes_agree(spark):
     """The physical knob must not change the answer: broadcast-batch and
     sort-merge-fallback modes produce the identical pair set."""
@@ -114,6 +115,7 @@ def _land(spark, src, schema, k, rows, t0):
             os.utime(os.path.join(d, f), (t, t))
 
 
+@pytest.mark.slow
 def test_stream_dedup_ingest_replay_is_idempotent(spark, tmp_path):
     """Crash between the sink writes and the checkpoint commit: deleting
     commits/0 forces the engine to REPLAY batch 0 on restart. The replay
@@ -148,6 +150,7 @@ def test_stream_dedup_ingest_replay_is_idempotent(spark, tmp_path):
     assert _rows(second) == {(1, 0), (2, 0), (11, 1)}
 
 
+@pytest.mark.slow
 def test_stream_dedup_ingest_within_batch_dedup(spark, tmp_path):
     """dedup_within_batch=True: a doc also drops when it matches any
     SMALLER-doc_id doc of its own batch — independent of the store check,
@@ -174,6 +177,7 @@ def test_stream_dedup_ingest_within_batch_dedup(spark, tmp_path):
     assert _rows(got) == {(1, 0), (2, 0), (11, 1)}
 
 
+@pytest.mark.slow
 def test_signature_store_compaction_preserves_semantics(spark, tmp_path):
     """compact_signature_store folds all committed batch partitions into
     one, preserving (a) the survivor table exactly (ingest_batch is a
@@ -220,6 +224,7 @@ def test_signature_store_compaction_preserves_semantics(spark, tmp_path):
     assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == got
 
 
+@pytest.mark.slow
 def test_signature_store_compaction_resumes_after_crash(spark, tmp_path):
     """A crash between the partition deletes and the final rename leaves
     the hidden .compact-<id> dir as the only copy of the merged data; the
@@ -261,6 +266,7 @@ def test_signature_store_compaction_resumes_after_crash(spark, tmp_path):
     assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == before
 
 
+@pytest.mark.slow
 def test_compaction_resume_falls_through_to_fresh_merge(spark, tmp_path):
     """A call that resumes a crashed swap must ALSO deliver the compaction
     it was asked for: with a complete .compact-1 pending (batches 0-1) and
@@ -303,6 +309,7 @@ def test_compaction_resume_falls_through_to_fresh_merge(spark, tmp_path):
     assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == before
 
 
+@pytest.mark.slow
 def test_auto_compaction_triggers_inside_ingest_loop(spark, tmp_path):
     """auto_compact_partitions arms the in-loop trigger: once the store
     exceeds the threshold, COMMITTED partitions fold between batches,
@@ -344,6 +351,7 @@ def test_auto_compaction_triggers_inside_ingest_loop(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_auto_compaction_then_crash_replay_is_idempotent(spark, tmp_path):
     """The compaction-mid-stream crash window: the trigger fires inside
     batch N's foreachBatch (folding committed partitions < N), then the
@@ -399,6 +407,7 @@ def test_auto_compaction_then_crash_replay_is_idempotent(spark, tmp_path):
 
 
 @pytest.mark.parametrize("broadcast_batch", [True, False])
+@pytest.mark.slow
 def test_stream_dedup_ingest_modes_agree(spark, tmp_path, broadcast_batch):
     """The join-physics knob threads through the streaming ingest without
     changing the survivor set."""
@@ -415,6 +424,7 @@ def test_stream_dedup_ingest_modes_agree(spark, tmp_path, broadcast_batch):
     assert _rows(got) == {(1, 0), (2, 0), (11, 1)}
 
 
+@pytest.mark.slow
 def test_stream_dedup_ingest_prebanded_store(spark, tmp_path):
     """store_prebanded=True: identical survivor set, band_key baked into
     the store partitions (bands rows per doc), store-side scans feed the
@@ -472,6 +482,7 @@ def test_stream_dedup_ingest_prebanded_store(spark, tmp_path):
     assert got == results[True]
 
 
+@pytest.mark.slow
 def test_signature_store_audit(spark, tmp_path):
     """audit_signature_store: clean after an ingest AND after compaction;
     detects planted duplicate doc_ids, mislabeled rows, and orphan
@@ -516,6 +527,7 @@ def test_signature_store_audit(spark, tmp_path):
     assert bad["orphan_partitions"] == [99]
 
 
+@pytest.mark.slow
 def test_compaction_drops_partial_hidden_dir_and_remerges(spark, tmp_path):
     """A hidden dir WITHOUT _SUCCESS is a crashed mid-write (partitions
     intact): compaction must drop it and re-merge — trusting it would
@@ -547,6 +559,7 @@ def test_compaction_drops_partial_hidden_dir_and_remerges(spark, tmp_path):
     assert _rows(spark.read.parquet(store).select("doc_id", "ingest_batch")) == before
 
 
+@pytest.mark.slow
 def test_ingest_heals_half_swapped_store(spark, tmp_path):
     """Crash between compaction's partition deletes and the rename: the
     only copy of merged history is the hidden dir. A restarted ingest

@@ -39,6 +39,7 @@ def emb(spark):
 # ---------------------------------------------------------------- exact index
 
 
+@pytest.mark.slow
 def test_centroid_index_bit_parity_hard(spark, emb):
     flat = kmeans_assign(
         emb, init_ids=K80_IDS, iterations=2, centroid_index=False
@@ -50,6 +51,7 @@ def test_centroid_index_bit_parity_hard(spark, emb):
     assert idx.exceptAll(flat).count() == 0
 
 
+@pytest.mark.slow
 def test_centroid_index_bit_parity_soft(spark, emb):
     flat = kmeans_assign_soft(
         emb, init_ids=K80_IDS, iterations=2, margin=0.01, centroid_index=False
@@ -116,6 +118,7 @@ HIER_KW = dict(
 )
 
 
+@pytest.mark.slow
 def test_hier_labels_are_subseed_ids_and_deterministic(spark, emb):
     a1 = kmeans_assign_hier(emb, nprobe=1, **HIER_KW)
     a2 = kmeans_assign_hier(emb, nprobe=1, **HIER_KW)
@@ -149,6 +152,7 @@ def test_hier_nprobe_bound(spark, emb):
         assert scored.agg(F.max("n")).first()[0] <= sum(max_members)
 
 
+@pytest.mark.slow
 def test_hier_nprobe1_matches_own_cell_argmin(spark, emb):
     """nprobe=1 assigns within the vector's coarse-argmin cell — the
     final training assignment — so cluster labels refine the coarse
@@ -190,6 +194,7 @@ def test_hier_serve_is_map_only(spark, emb):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_hier_soft_rows_shape(spark, emb):
     s = kmeans_assign_hier_soft(emb, margin=0.01, nprobe=2, **HIER_KW)
     n = emb.count()
@@ -210,6 +215,7 @@ def test_hier_soft_pruned_serve_is_map_only(spark, emb):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_hier_hard_prune_bit_identical_to_union(spark, emb):
     """Hard nprobe=2 assignment through the margin-0 prune equals the
     plain union kernel, bit for bit."""
@@ -227,6 +233,7 @@ def test_hier_hard_prune_bit_identical_to_union(spark, emb):
 
 
 @pytest.mark.parametrize("margin", [0.0, 0.01, 0.5, 10.0])
+@pytest.mark.slow
 def test_hier_soft_prune_bit_identical_to_union(spark, emb, margin):
     """The margin prune is a certified skip: the pruned kernel's output
     rows equal the full nprobe=2 union kernel's, bit for bit, across
@@ -247,6 +254,7 @@ def test_hier_soft_prune_bit_identical_to_union(spark, emb, margin):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_hier_soft_prune_randomized_boundary_parity(spark, seed):
     """Adversarial geometry for the float-sqrt conservativeness: tight
     clusters PLUS vectors sitting on midpoints between cluster pairs

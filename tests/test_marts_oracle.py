@@ -176,6 +176,7 @@ def test_months_on_book_edge_dates(spark):
         assert got[(orig, month)] == expected, (orig, month, got[(orig, month)], expected)
 
 
+@pytest.mark.slow
 def test_pipeline_observe_metrics(spark, oltp_dir, tmp_path):
     """df.observe metrics accumulate during the mart writes (no extra
     pass): row counts match the written tables, key nulls are zero."""

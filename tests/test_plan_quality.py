@@ -53,6 +53,7 @@ def test_roll_rate_single_window_shuffle(spark):
     assert n_exchanges <= 2, f"roll_rate plan has {n_exchanges} hash exchanges"
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_anywhere(spark):
     # block-pair cross joins (embedding near-dup) and the 1-row threshold
     # broadcast are BroadcastNestedLoopJoin by design; true CartesianProduct
@@ -529,6 +530,7 @@ def test_stream_ann_ingest_union_probe_never_scans_floats(spark, tmp_path):
     assert "postings_inc" in p  # the incremental tail is in the union
 
 
+@pytest.mark.slow
 def test_pq_index_probe_prunes_partitions_never_scans_floats(spark):
     """IVF-PQ serve path: the candidate side reads ONLY the persisted
     compressed postings (dynamic partition pruning restricts the scan to

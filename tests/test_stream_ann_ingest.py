@@ -8,6 +8,8 @@ from __future__ import annotations
 import os
 import time as _time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from credit_abs_oltp_to_mart_spark.operators import ann
@@ -88,6 +90,7 @@ def test_assignment_parity_and_batch_labels(spark, tmp_path):
     assert inc[100] == base_codes[2] and inc[101] == base_codes[3]
 
 
+@pytest.mark.slow
 def test_union_probe_retrieves_streamed_neighbor(spark, tmp_path):
     idx, _, _ = _build_and_stream(spark, tmp_path)
     queries = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
@@ -122,6 +125,7 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert len(again) == len(set(again))  # no duplicated postings
 
 
+@pytest.mark.slow
 def test_compaction_is_transparent_to_the_probe(spark, tmp_path):
     from credit_abs_oltp_to_mart_spark.sources.maintenance import (
         compact_keyed_store,
@@ -148,6 +152,7 @@ def test_compaction_is_transparent_to_the_probe(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_rebuild_clears_stale_incremental_postings(spark, tmp_path):
     """Retraining the index must clear the postings_inc overlay and the
     ingest checkpoint: incremental rows were assigned/quantized under the
@@ -209,6 +214,7 @@ def test_union_probe_dedups_re_ingested_vector(spark, tmp_path):
     assert sorted(r["rank"] for r in got) == list(range(1, len(got) + 1))
 
 
+@pytest.mark.slow
 def test_pq_ingest_parity_with_build(spark, tmp_path):
     """A vector ingested online against the persisted codebooks must get
     EXACTLY the posting a full rebuild would give it (same cluster, same
@@ -267,6 +273,7 @@ def test_pq_ingest_parity_with_build(spark, tmp_path):
         assert ingested == expected, (by_residual, ingested, expected)
 
 
+@pytest.mark.slow
 def test_pq_union_probe_serves_ingested_and_dedups(spark, tmp_path):
     """The PQ union probe must retrieve a vector that arrived ONLY as an
     incremental posting, and a re-ingested base vector must occupy one
@@ -326,6 +333,7 @@ def test_pq_ingest_dim_mismatch_raises(spark, tmp_path):
     assert {r["vec_id"] for r in inc} == {200}
 
 
+@pytest.mark.slow
 def test_pq_refine_covers_ingested_vectors(spark, tmp_path):
     """An index built with_refine keeps its refine tier consistent under
     online ingest: pq_ingest_batch writes the batch's SQ payload to
@@ -359,6 +367,7 @@ def test_pq_refine_covers_ingested_vectors(spark, tmp_path):
     assert not os.path.exists(f"{idx}/refine_inc")
 
 
+@pytest.mark.slow
 def test_stream_pq_ingest_parity_and_replay(spark, tmp_path):
     """stream_pq_ingest must land exactly the postings pq_ingest_batch
     would write per batch (offline/online bit-parity through the shared

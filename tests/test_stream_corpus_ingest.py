@@ -63,6 +63,7 @@ def _run(spark, src, out, schema, gram_store):
     )
 
 
+@pytest.mark.slow
 def test_stream_corpus_ingest_every_drop_reason(spark, tmp_path):
     schema = spark.createDataFrame([Row(doc_id=1, text=GOOD_A)]).schema
     gram_store = str(tmp_path / "eval_grams")
@@ -103,6 +104,7 @@ def test_stream_corpus_ingest_every_drop_reason(spark, tmp_path):
     assert {r.doc_id for r in packed.select("doc_id").distinct().collect()} == {1, 12}
 
 
+@pytest.mark.slow
 def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     """Crash after the sinks but before the checkpoint commit: replaying
     the last batch must reproduce the identical admitted set with no
@@ -140,6 +142,7 @@ def test_stream_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     assert len(again) == len(set(again))  # no duplicated survivor rows
 
 
+@pytest.mark.slow
 def test_stream_corpus_ingest_auto_compaction_parity(spark, tmp_path):
     """auto_compact_partitions threads through the full corpus pipeline
     without changing the admitted set or the packed shards: the in-loop
@@ -190,6 +193,7 @@ def test_stream_corpus_ingest_auto_compaction_parity(spark, tmp_path):
     assert results[2] == {(1, 0, n_a), (12, 1, n_f)}
 
 
+@pytest.mark.slow
 def test_stream_corpus_ingest_prebanded_store_agrees(spark, tmp_path):
     """store_prebanded=True: identical admitted set + chunk counts, with
     band_key baked into the signature-store partitions (bands rows per
@@ -218,6 +222,7 @@ def test_stream_corpus_ingest_prebanded_store_agrees(spark, tmp_path):
     assert store.groupBy("doc_id").count().where(F.col("count") != 2).count() == 0
 
 
+@pytest.mark.slow
 def test_stream_pack_bins_continue_across_batches(spark, tmp_path):
     """Cross-batch pack continuity: bin numbering carries each shard's
     running token total across micro-batches (the pack_offsets state
@@ -292,6 +297,7 @@ def test_stream_pack_bins_continue_across_batches(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_pack_offsets_survive_crash_replay(spark, tmp_path):
     """Replaying the last batch after a lost commit must reproduce the
     SAME continued offsets (the offsets read excludes the replaying
@@ -326,6 +332,7 @@ def test_stream_pack_offsets_survive_crash_replay(spark, tmp_path):
     assert again == first
 
 
+@pytest.mark.slow
 def test_add_eval_suite_mid_run_blocks_from_next_batch(spark, tmp_path):
     """A benchmark suite landed BETWEEN micro-batches (via
     curation.add_eval_suite from the on_batch_complete hook) must start
@@ -378,6 +385,7 @@ def test_add_eval_suite_mid_run_blocks_from_next_batch(spark, tmp_path):
     assert got == {(1, 0)}
 
 
+@pytest.mark.slow
 def test_stream_bpe_pack_matches_batch_bpe_pack(spark, tmp_path):
     """Tokenizer-aware streaming ingest: with a trained word frame the
     pack stage emits token-ID shards, and cross-batch offsets make the
@@ -539,6 +547,7 @@ def _vocab_ingest_run(spark, tmp_path, tag):
     return got, out, src
 
 
+@pytest.mark.slow
 def test_vocab_ingest_cadence_and_generations(spark, tmp_path):
     import os as _os
 
@@ -573,6 +582,7 @@ def test_vocab_ingest_cadence_and_generations(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_vocab_ingest_replay_is_idempotent(spark, tmp_path):
     import os as _os
 
@@ -606,6 +616,7 @@ def test_vocab_ingest_replay_is_idempotent(spark, tmp_path):
     assert again == first
 
 
+@pytest.mark.slow
 def test_streaming_semantic_gate_drops_planted_paraphrase(spark, tmp_path):
     """The streaming half of build_corpus(embeddings=...): with the
     semantic eval store + doc-embedding lookup + FIXED codebook armed, an
@@ -721,6 +732,7 @@ def test_streaming_semantic_gate_rejects_id_collision(spark, tmp_path):
         ).collect()
 
 
+@pytest.mark.slow
 def test_streaming_semantic_gate_hier_codebook(spark, tmp_path):
     """semantic_centroids in the two-level {"coarse", "sub"} form routes
     both the eval-store pin and the batch side through

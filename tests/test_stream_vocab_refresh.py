@@ -5,6 +5,8 @@ Values on the real tables are oracle-gated in test_entry_contract."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 import time as _time
@@ -57,6 +59,7 @@ def _run(spark, tmp_path, tag):
     return got, out
 
 
+@pytest.mark.slow
 def test_cadence_versions_and_pinning(spark, tmp_path):
     got, out = _run(spark, tmp_path, "main")
     rows = got.collect()
@@ -82,6 +85,7 @@ def test_cadence_versions_and_pinning(spark, tmp_path):
     assert len(s1["xyxy"]) < len("xyxy")  # v1 merged the xy pair
 
 
+@pytest.mark.slow
 def test_replay_is_deterministic_and_self_heals(spark, tmp_path):
     got_a, out_a = _run(spark, tmp_path, "a")
     a = {(r["batch"], r["doc_id"]): (r["vocab_version"], r["n_bpe_tokens"])

@@ -90,6 +90,7 @@ def test_stream_sessionize_multibatch(spark, tmp_path):
     assert out.count() > w_last.count()
 
 
+@pytest.mark.slow
 def test_stream_stream_join_multibatch(spark, tmp_path):
     """Click->purchase join pairs must survive micro-batch boundaries:
     time-sliced files, one per trigger, vs the batch range join."""
@@ -182,6 +183,7 @@ def test_stream_upsert_snapshot_foreachbatch(spark, tmp_path):
     assert _collect_sorted(got, cols) == _collect_sorted(exp, cols)
 
 
+@pytest.mark.slow
 def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicates inside the watermark are
     suppressed; once the watermark passes a key's event time its state is
