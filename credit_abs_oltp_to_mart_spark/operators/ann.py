@@ -861,6 +861,7 @@ def pq_train_fp(
     bit-identical to the sequential form (pinned by the ann_pq* oracle
     gates and test_ann_recall)."""
     from credit_abs_oltp_to_mart_spark.operators.kmeans import (
+        centroid_score_structs,
         use_literal_codebook,
     )
 
@@ -899,54 +900,17 @@ def pq_train_fp(
             out.append(cents)
         return out
     for _ in range(iterations - 1):
-        # per-round codebooks travel as BROADCAST data, not plan
-        # literals: literal centroids change every round, so each round's
-        # fused update job generated fresh source and paid a fresh
-        # whole-stage-codegen compile — with one (subspace-indexed)
-        # broadcast codebook row the generated code is identical across
-        # rounds and the codegen cache serves rounds 2..n (guide §1.2;
-        # same move as kmeans_train's intermediate rounds). Scoring
-        # arithmetic and the (score, cid) array_min tiebreak are the
-        # exact integer kernel of codebook_score_structs_expr, so the
-        # returned codebooks stay bit-identical (pinned by the ann_pq*
-        # oracle gates).
-        cb_row = [
-            [
-                (
-                    int(cid),
-                    int(sum(x * x for x in b_[cid])),
-                    [int(x) for x in b_[cid]],
-                )
-                for cid in sorted(b_)
-            ]
-            for b_ in books
-        ]
-        vb = v.crossJoin(
-            F.broadcast(
-                local_rows(
-                    v.sparkSession,
-                    [(cb_row,)],
-                    "__cbs array<array<struct<cid:bigint,cc:bigint,"
-                    "arr:array<bigint>>>>",
-                )
-            )
-        )
         branches = None
         for s in range(m):
             arr = f"slice(__fa, {s * dsub + 1}, {dsub})"
             cluster = F.array_min(
-                F.expr(
-                    f"transform(__cbs[{s}], c -> struct("
-                    f"c.cc - 2L * aggregate("
-                    f"zip_with({arr}, c.arr, (x, y) -> x * y),"
-                    f" 0L, (acc, x) -> acc + x) as score, c.cid as cid))"
-                )
+                F.array(*centroid_score_structs(books[s], arr))
             )["cid"]
             # two-step select: a generator (posexplode) next to the
-            # struct getField in ONE projection makes the analyzer
-            # re-derive the struct's field names as col1/col2
+            # struct-literal getField in ONE projection makes the
+            # analyzer re-derive the struct's field names as col1/col2
             # (FIELD_NOT_FOUND) — split so the argmin resolves first
-            b = vb.select(
+            b = v.select(
                 F.lit(s).alias("__s"),
                 cluster.alias("cluster"),
                 F.expr(arr).alias("__sub"),

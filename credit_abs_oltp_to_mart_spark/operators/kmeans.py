@@ -489,19 +489,7 @@ def kmeans_train(
     indexed = use_centroid_index(cents, codebook_as_literals, centroid_index)
     assign = None
     for it in range(iterations):
-        # Intermediate rounds always ride the BROADCAST transport, even
-        # when the codebook is literal-sized: a literal codebook bakes
-        # each round's fresh centroid values into the plan, so every
-        # round's update job generates NEW source and pays a fresh
-        # whole-stage-codegen compile. With the codebook as broadcast
-        # DATA the per-round generated code is byte-identical and the
-        # codegen cache serves rounds 2..n (guide §1.2: fixed per-round
-        # cost). Bit-parity of the two kernels is load-bearing and pinned
-        # (codebook_score_structs_expr docstring + tests), and only the
-        # FINAL round's assignment is serve-visible — its configured
-        # path, and therefore every plan-gated serve shape, is unchanged.
-        final_round = it == iterations - 1
-        if literals and final_round:
+        if literals:
             choices = centroid_score_structs(cents, "a")
             cluster = F.array_min(F.array(*choices))["cid"]
             scored = v
