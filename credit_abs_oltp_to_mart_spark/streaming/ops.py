@@ -1851,26 +1851,35 @@ def stream_postings_ingest(
         post, delta = R.batch_postings(
             batch_df, n_buckets=n_buckets, text_col=text_col
         )
-        (
-            post.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(inc_dir, f"batch={batch_id}"))
-        )
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(tot_dir, f"batch={batch_id}"))
-        )
-        if auto_compact_partitions is not None:
-            sess = batch_df.sparkSession
-            for store in (inc_dir, tot_dir):
+        sess = batch_df.sparkSession
+
+        # the two stores form independent (write -> compact) chains over
+        # pure functions of the batch — overlap them (guide §2.6), order
+        # preserved WITHIN each chain (a store compacts only after its
+        # own batch partition lands)
+        def _chain(df: DataFrame, store: str) -> None:
+            df.withColumn(
+                "ingest_batch", F.lit(batch_id).cast("long")
+            ).write.mode("overwrite").parquet(
+                os.path.join(store, f"batch={batch_id}")
+            )
+            if auto_compact_partitions is not None:
                 maybe_compact_keyed_store(
                     sess,
                     store,
                     commits_dir=os.path.join(ck_dir, "commits"),
                     max_partitions=auto_compact_partitions,
                 )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [
+                pool.submit(_chain, post, inc_dir),
+                pool.submit(_chain, delta.coalesce(1), tot_dir),
+            ]
+            for fut in futures:
+                fut.result()  # propagate the first failure
 
     stream = (
         spark.readStream.schema(schema)
