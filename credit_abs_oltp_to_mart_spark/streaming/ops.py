@@ -1402,6 +1402,26 @@ def stream_corpus_ingest(
                 else:
                     _store_chain()
                     t0 = _mark("store_write", t0)
+            # if the NEXT batch opens a new vocabulary generation, its
+            # training corpus (admitted docs of batches <= this one) is
+            # complete the moment this batch's writes land — train it on
+            # a driver thread NOW so it overlaps the next batch's
+            # admission stages (filter/signatures/dedup/decontam run
+            # before the vocab is needed; guide §2.6). Rule-derived from
+            # the same partitions a synchronous call would read, so the
+            # result is identical; the next batch joins the future.
+            if tokenizer_refresh_init is not None:
+                nv = (int(batch_id) + 1) // tokenizer_refresh_every
+                if (
+                    nv != int(batch_id) // tokenizer_refresh_every
+                    and nv not in vocab_cache
+                    and nv not in vocab_futures
+                ):
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    _np = ThreadPoolExecutor(max_workers=1)
+                    vocab_futures[nv] = _np.submit(_vocab_for, sess, nv)
+                    _np.shutdown(wait=False)
             # between-batches hook: metrics, store compaction triggers,
             # or landing a new eval suite (add_eval_suite) that the NEXT
             # batch's re-pin picks up — runs after this batch's sinks
@@ -1776,6 +1796,16 @@ def stream_vocab_refresh(
         with ThreadPoolExecutor(max_workers=2) as pool:
             for fut in [pool.submit(_seg_write), pool.submit(_docs_write)]:
                 fut.result()
+        # if the NEXT batch opens a new generation, its training corpus
+        # (docs-store batches <= this one) is complete as of the append
+        # above — train it now on a driver thread so it overlaps the
+        # next batch's segmentation (same rule-derived corpus as a
+        # synchronous call; the next batch joins the future)
+        nv = (b + 1) // refresh_every
+        if nv != v and nv not in wf_cache and nv not in wf_futures:
+            _np = ThreadPoolExecutor(max_workers=1)
+            wf_futures[nv] = _np.submit(_wf_for, nv)
+            _np.shutdown(wait=False)
 
     stream = (
         spark.readStream.schema(schema)
